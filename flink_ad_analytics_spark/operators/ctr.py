@@ -1,0 +1,147 @@
+"""CTR pipeline: event-time interval LEFT join + tumbling-window
+click-through-rate aggregation.
+
+Reference semantics (`/root/reference/flink/flink_job.sql:77-98`):
+
+    impressions LEFT JOIN clicks
+      ON i.impression_id = c.impression_id
+     AND c.event_time BETWEEN i.event_time
+                          AND i.event_time + INTERVAL '10' MINUTE
+    GROUP BY TUMBLE(i.event_time, INTERVAL '1' MINUTE), campaign_id
+    -> COUNT(DISTINCT impression_id), COUNT(DISTINCT click_id),
+       ctr = CASE WHEN imps > 0 THEN clicks/imps ELSE 0.0 END
+
+Correctness traps this module owns (the reference author hit a Flink
+1.17 bug exactly here, README.md:127 -- LEFT JOIN + COUNT gave
+impressions == clicks):
+
+* an impression with N matching clicks contributes 1 impression and N
+  distinct clicks (COUNT(DISTINCT) over the join fan-out);
+* an unmatched impression contributes a NULL click side -- COUNT over a
+  nullable column skips NULLs, so it adds 0 clicks but 1 impression;
+* duplicate click deliveries (at-least-once bus) must count once.
+
+Scale notes:
+* Batch: the equi-key part of the join condition shuffles both sides on
+  the key; Catalyst plans SortMergeJoin with the band predicate applied
+  as a post-join filter, or BroadcastHashJoin when one side is small.
+  At 100 TB the key (impression_id / user_id) is high-cardinality and
+  well distributed, so the shuffle partitions evenly; AQE skew-join
+  splits any hot key.
+* The distinct aggregation is Spark's expand + two-phase
+  (partial/final) plan -- map-side partial aggregation bounds shuffle
+  volume.
+* Streaming: COUNT(DISTINCT) is unsupported in Structured Streaming;
+  ``streaming=True`` applies the dedup-before-aggregate rewrite from
+  plans/rewrites.py, which is exactly equivalent here because after
+  per-side dedup each surviving joined row is a distinct
+  (impression, click) pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..plans.rewrites import dedup_within_watermark
+
+
+def attribute_clicks(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    *,
+    key: str = "impression_id",
+    click_key: str | None = None,
+    imp_time: str = "event_time",
+    click_time: str = "click_time",
+    band: str = "10 minutes",
+) -> DataFrame:
+    """Interval LEFT OUTER join: each impression keeps clicks with the
+    same key whose time falls in [imp_time, imp_time + band].
+
+    Unmatched impressions survive with NULL click columns (J1-J3 in
+    SURVEY.md §2.3). Column names must be disjoint across the two
+    inputs except for the key.
+    """
+    click_key = click_key or key
+    i = impressions.alias("i")
+    c = clicks.alias("c")
+    cond: Column = (
+        (F.col(f"i.{key}") == F.col(f"c.{click_key}"))
+        & (F.col(f"c.{click_time}") >= F.col(f"i.{imp_time}"))
+        & (F.col(f"c.{click_time}") <= F.col(f"i.{imp_time}") + F.expr(f"INTERVAL {band}"))
+    )
+    joined = i.join(c, cond, "left_outer")
+    if click_key == key:
+        joined = joined.drop(F.col(f"c.{click_key}"))
+    return joined
+
+
+def ctr_windows(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    *,
+    key: str = "impression_id",
+    click_key: str | None = None,
+    group_key: str = "campaign_id",
+    imp_id: str = "impression_id",
+    click_id: str = "click_id",
+    imp_time: str = "event_time",
+    click_time: str = "click_time",
+    window: str = "1 minute",
+    band: str = "10 minutes",
+    streaming: bool = False,
+    watermark: str = "5 seconds",
+) -> DataFrame:
+    """Tumbling-window CTR per (window, group_key).
+
+    Output columns: window_start, window_end, <group_key>,
+    impression_count, click_count, ctr -- matching the reference sink
+    schema (flink_job.sql:44-57).
+    """
+    if streaming:
+        # Streaming rewrite (SURVEY.md §7.4#1): dedupe ids within the
+        # watermark before the join, then plain count() replaces
+        # countDistinct(). Also attaches watermarks, which the
+        # stream-stream outer join requires.
+        impressions = dedup_within_watermark(impressions, [imp_id], imp_time, watermark)
+        clicks = dedup_within_watermark(clicks, [click_id], click_time, watermark)
+
+    joined = attribute_clicks(
+        impressions,
+        clicks,
+        key=key,
+        click_key=click_key,
+        imp_time=imp_time,
+        click_time=click_time,
+        band=band,
+    )
+
+    grouped = joined.groupBy(
+        F.window(F.col(f"i.{imp_time}"), window).alias("w"),
+        F.col(f"i.{group_key}").alias(group_key),
+    )
+    if streaming:
+        # count(col) skips NULLs -> unmatched impressions add 0 clicks.
+        agg = grouped.agg(
+            F.count(F.col(f"i.{imp_id}")).alias("impression_count"),
+            F.count(F.col(f"c.{click_id}")).alias("click_count"),
+        )
+    else:
+        agg = grouped.agg(
+            F.countDistinct(F.col(f"i.{imp_id}")).alias("impression_count"),
+            F.countDistinct(F.col(f"c.{click_id}")).alias("click_count"),
+        )
+
+    # CASE WHEN imps > 0 THEN clicks/imps ELSE 0.0 (flink_job.sql:87-90).
+    ctr = F.when(
+        F.col("impression_count") > 0,
+        F.col("click_count").cast("double") / F.col("impression_count").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        group_key,
+        "impression_count",
+        "click_count",
+        ctr.alias("ctr"),
+    )

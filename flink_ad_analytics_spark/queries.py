@@ -1,0 +1,575 @@
+"""Query registry: reference-surface + relational queries over the
+driver tables, each with a DuckDB oracle SQL equivalent.
+
+Every entry returns a DataFrame whose column names AND values are
+bit-identical to the oracle's answer. Determinism across engines is
+engineered, not hoped for:
+
+* all event-time math is integer microseconds (``ts DIV 1000`` in
+  Spark, ``epoch_ns(ts)//1000`` in DuckDB -- exact int64 floor);
+* additive aggregates over doubles go through DECIMAL(18,6) casts, so
+  summation is exact and order-independent in both engines, then cast
+  back to DOUBLE (deterministic IEEE nearest);
+* ratios are exact small-int divisions (identical IEEE results);
+* every ORDER BY carries a unique tiebreak column.
+
+The reference-parity queries map the reference's ad-event model
+(`/root/reference/flink/flink_job.sql`, ``anomaly_job.sql``) onto the
+driver's ``events`` table: ``view`` events act as impressions, ``click``
+events as clicks, attribution = same user within a 10-minute band
+(the reference's interval-join band, flink_job.sql:95), campaign
+surrogate = ``camp-<user_id % 10>``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.anomaly import detect_anomalies
+from .operators.ctr import ctr_windows
+from .operators.engagement import engagement_windows
+from .sources.batch import load_events, load_table
+
+# DuckDB CTE: events with microsecond event_time (matches load_events).
+EV_SQL = (
+    "SELECT event_id, user_id, event_type, value, props, "
+    "make_timestamp(epoch_ns(ts) // 1000) AS event_time FROM events"
+)
+
+# Exact decimal-sum-to-double idiom (see module docstring).
+def _dsum(col: str) -> F.Column:
+    # ROUND the exact decimal sum to 4dp BEFORE the double cast: the
+    # rounded value has few enough significant digits that the
+    # decimal->double conversion is exact in both engines (an unrounded
+    # high-scale decimal sum converts with engine-specific ulp error).
+    return F.round(F.sum(F.col(col).cast("decimal(18,6)")), 4).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface queries (SURVEY.md §2: S1-S10, P1-P11, J1-J3, A1-A5, W1)
+# ---------------------------------------------------------------------------
+
+
+def _impressions_clicks(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = load_events(spark, sf_dir)
+    imp = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("impression_id"),
+        F.col("user_id"),
+        F.concat(F.lit("camp-"), (F.col("user_id") % 10).cast("string")).alias(
+            "campaign_id"
+        ),
+        F.col("event_time"),
+        # device surrogate exercising COALESCE: NULL for even event ids.
+        F.when(F.col("event_id") % 2 == 1, F.concat(F.lit("dev-"), (F.col("event_id") % 3).cast("string"))).alias("device_type"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("event_time").alias("click_time"),
+    )
+    return imp, clk
+
+
+_IMP_CLK_SQL = f"""
+ev AS ({EV_SQL}),
+imp AS (
+  SELECT event_id AS impression_id, user_id,
+         'camp-' || CAST(user_id % 10 AS VARCHAR) AS campaign_id,
+         event_time,
+         CASE WHEN event_id % 2 = 1
+              THEN 'dev-' || CAST(event_id % 3 AS VARCHAR) END AS device_type
+  FROM ev WHERE event_type = 'view'),
+clk AS (
+  SELECT event_id AS click_id, user_id, event_time AS click_time
+  FROM ev WHERE event_type = 'click')
+"""
+
+
+def q_ctr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: interval LEFT join + tumbling-window CTR (J1-J3, A1-A5)."""
+    imp, clk = _impressions_clicks(spark, sf_dir)
+    return ctr_windows(
+        imp,
+        clk,
+        key="user_id",
+        group_key="campaign_id",
+        window="1 hour",
+        band="10 minutes",
+    )
+
+
+CTR_HOURLY_SQL = f"""
+WITH {_IMP_CLK_SQL}
+SELECT date_trunc('hour', i.event_time) AS window_start,
+       date_trunc('hour', i.event_time) + INTERVAL 1 HOUR AS window_end,
+       i.campaign_id,
+       COUNT(DISTINCT i.impression_id) AS impression_count,
+       COUNT(DISTINCT c.click_id) AS click_count,
+       CASE WHEN COUNT(DISTINCT i.impression_id) > 0
+            THEN CAST(COUNT(DISTINCT c.click_id) AS DOUBLE)
+                 / CAST(COUNT(DISTINCT i.impression_id) AS DOUBLE)
+            ELSE 0.0 END AS ctr
+FROM imp i
+LEFT JOIN clk c
+  ON i.user_id = c.user_id
+ AND c.click_time >= i.event_time
+ AND c.click_time <= i.event_time + INTERVAL 10 MINUTE
+GROUP BY 1, 2, 3
+"""
+
+
+def q_engagement_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement variant: COALESCE(device,'Unknown') segment key (P7)."""
+    imp, clk = _impressions_clicks(spark, sf_dir)
+    return engagement_windows(
+        imp,
+        clk,
+        segment_col="device_type",
+        key="user_id",
+        window="1 hour",
+        band="10 minutes",
+    )
+
+
+ENGAGEMENT_HOURLY_SQL = f"""
+WITH {_IMP_CLK_SQL}
+SELECT date_trunc('hour', i.event_time) AS window_start,
+       date_trunc('hour', i.event_time) + INTERVAL 1 HOUR AS window_end,
+       COALESCE(i.device_type, 'Unknown') AS device_type,
+       COUNT(DISTINCT i.impression_id) AS impression_count,
+       COUNT(DISTINCT c.click_id) AS click_count,
+       CASE WHEN COUNT(DISTINCT i.impression_id) > 0
+            THEN CAST(COUNT(DISTINCT c.click_id) AS DOUBLE)
+                 / CAST(COUNT(DISTINCT i.impression_id) AS DOUBLE)
+            ELSE 0.0 END AS ctr
+FROM imp i
+LEFT JOIN clk c
+  ON i.user_id = c.user_id
+ AND c.click_time >= i.event_time
+ AND c.click_time <= i.event_time + INTERVAL 10 MINUTE
+GROUP BY 1, 2, 3
+"""
+
+
+def q_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 2: LAG over windowed CTR -> SPIKE/DROP alerts (W1, P3-P5)."""
+    return detect_anomalies(q_ctr_hourly(spark, sf_dir))
+
+
+ANOMALY_ALERTS_SQL = f"""
+WITH {_IMP_CLK_SQL},
+ctr_results AS (
+  SELECT date_trunc('hour', i.event_time) AS window_start,
+         date_trunc('hour', i.event_time) + INTERVAL 1 HOUR AS window_end,
+         i.campaign_id,
+         CASE WHEN COUNT(DISTINCT i.impression_id) > 0
+              THEN CAST(COUNT(DISTINCT c.click_id) AS DOUBLE)
+                   / CAST(COUNT(DISTINCT i.impression_id) AS DOUBLE)
+              ELSE 0.0 END AS ctr
+  FROM imp i
+  LEFT JOIN clk c
+    ON i.user_id = c.user_id
+   AND c.click_time >= i.event_time
+   AND c.click_time <= i.event_time + INTERVAL 10 MINUTE
+  GROUP BY 1, 2, 3),
+with_prev AS (
+  SELECT window_end AS alert_time, campaign_id, ctr AS current_ctr,
+         LAG(ctr, 1) OVER (PARTITION BY campaign_id ORDER BY window_end)
+           AS previous_ctr
+  FROM ctr_results)
+SELECT alert_time, campaign_id, current_ctr, previous_ctr,
+       CASE WHEN previous_ctr > 0 AND current_ctr > previous_ctr * 2.0
+            THEN 'SPIKE'
+            WHEN current_ctr < previous_ctr * 0.5 THEN 'DROP' END AS alert_type
+FROM with_prev
+WHERE previous_ctr IS NOT NULL
+  AND ((previous_ctr > 0 AND current_ctr > previous_ctr * 2.0)
+       OR current_ctr < previous_ctr * 0.5)
+"""
+
+
+def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (S4 analogue) + grouped stats per bucket."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k_bucket", k % 10)
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _dsum("value").alias("sum_value"),
+        )
+    )
+
+
+EVENTS_JSON_STATS_SQL = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap session windows per user.
+
+    Uses Spark's native session_window (streaming-capable); oracle is
+    the classic gaps-and-islands rewrite. session_end is the last
+    event time + gap (Spark session-window semantics).
+    """
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.col("user_id"), F.session_window("event_time", "30 minutes"))
+        .agg(
+            F.min("event_time").alias("session_start"),
+            F.max("event_time").alias("session_end_event"),
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            (F.col("session_end_event") + F.expr("INTERVAL 30 MINUTES")).alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+USER_SESSIONS_SQL = f"""
+WITH ev AS ({EV_SQL}),
+marked AS (
+  SELECT user_id, event_id, event_time, value,
+         CASE WHEN LAG(event_time) OVER w IS NULL
+                OR event_time - LAG(event_time) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_time, event_id)),
+numbered AS (
+  SELECT *, SUM(new_session) OVER
+           (PARTITION BY user_id ORDER BY event_time, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id,
+       MIN(event_time) AS session_start,
+       MAX(event_time) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+def q_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows: 2-hour windows sliding by 1 hour, per event_type."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("event_time", "2 hours", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+SLIDING_EVENT_COUNTS_SQL = f"""
+WITH ev AS ({EV_SQL}),
+assigned AS (
+  SELECT date_trunc('hour', event_time) - k.k * INTERVAL 1 HOUR AS window_start,
+         event_type, user_id
+  FROM ev CROSS JOIN (VALUES (0), (1)) AS k(k))
+SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+       event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM assigned
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational suite over the star schema (general SQL surface; SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: multi-aggregate scan + group.
+
+    Scale: single scan, map-side partial aggregation, 6 output groups;
+    the shipdate filter pushes into the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # Tight decimal widths keep the triple product within 38-digit
+    # precision in BOTH engines (a (18,6)^3 product overflows and each
+    # engine degrades differently): (12,6)*(8,6)*(8,6) -> (30,18), exact.
+    price = F.col("l_extendedprice").cast("decimal(12,6)")
+    disc = F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)")
+    tax = F.lit(1).cast("decimal(8,6)") + F.col("l_tax").cast("decimal(8,6)")
+    disc_price = price * disc
+    charge = price * disc * tax
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).cast("double").alias("sum_charge"),
+            (_dsum("l_quantity") / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+            (_dsum("l_extendedprice") / F.count(F.lit(1)).cast("double")).alias("avg_price"),
+            (_dsum("l_discount") / F.count(F.lit(1)).cast("double")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,6))
+                * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,6))
+                * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
+                * (CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))), 4) AS DOUBLE) AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,6))), 4) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join, filter, group, top-10.
+
+    Scale: customer is the small side -> broadcast into orders; the
+    orders<->lineitem join shuffles on orderkey (co-partitioned keys).
+    Top-10 executes as TakeOrderedAndProject (no global sort).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    revenue = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)")
+               - F.col("l_discount").cast("decimal(18,6)"))
+        ),
+        4,
+    ).cast("double")
+    return (
+        F.broadcast(cust)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-way join with region filter, revenue per nation.
+
+    Scale: region/nation/supplier/customer are broadcast dims; the only
+    large shuffle is orders<->lineitem on orderkey.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)")
+               - F.col("l_discount").cast("decimal(18,6)"))
+        ),
+        4,
+    ).cast("double")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function: top-2 orders by totalprice per customer."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 2
+"""
+
+
+def q_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: nations with customers vs nations with suppliers."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust_nations = (
+        nation.join(cust, F.col("n_nationkey") == F.col("c_nationkey"))
+        .select("n_name")
+        .distinct()
+    )
+    supp_nations = (
+        nation.join(supp, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("n_name")
+        .distinct()
+    )
+    both = cust_nations.intersect(supp_nations).withColumn(
+        "category", F.lit("customers_and_suppliers")
+    )
+    cust_only = cust_nations.exceptAll(supp_nations).withColumn(
+        "category", F.lit("customers_only")
+    )
+    return both.unionAll(cust_only)
+
+
+NATION_COVERAGE_SQL = """
+WITH cust_nations AS (
+  SELECT DISTINCT n_name FROM nation JOIN customer ON n_nationkey = c_nationkey),
+supp_nations AS (
+  SELECT DISTINCT n_name FROM nation JOIN supplier ON n_nationkey = s_nationkey)
+SELECT n_name, 'customers_and_suppliers' AS category
+FROM (SELECT n_name FROM cust_nations INTERSECT SELECT n_name FROM supp_nations)
+UNION ALL
+SELECT n_name, 'customers_only' AS category
+FROM (SELECT n_name FROM cust_nations EXCEPT SELECT n_name FROM supp_nations)
+"""
+
+
+def q_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (CASE-based pivot) + string/date functions."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.when(F.substring("o_orderpriority", 1, 1) == "1", 1).otherwise(0)
+    high = F.when(F.substring("o_orderpriority", 1, 1) == "2", 1).otherwise(0)
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("long"))
+        .groupBy("order_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(urgent).alias("n_urgent"),
+            F.sum(high).alias("n_high"),
+            _dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+ORDER_PRIORITY_PIVOT_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
+       COUNT(*) AS n_orders,
+       SUM(CASE WHEN substr(o_orderpriority, 1, 1) = '1' THEN 1 ELSE 0 END) AS n_urgent,
+       SUM(CASE WHEN substr(o_orderpriority, 1, 1) = '2' THEN 1 ELSE 0 END) AS n_high,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+#: name -> (spark_builder, oracle_sql | None)
+RELATIONAL_QUERIES: dict[str, tuple] = {
+    "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
+    "engagement_hourly": (q_engagement_hourly, ENGAGEMENT_HOURLY_SQL),
+    "anomaly_alerts": (q_anomaly_alerts, ANOMALY_ALERTS_SQL),
+    "events_json_stats": (q_events_json_stats, EVENTS_JSON_STATS_SQL),
+    "user_sessions": (q_user_sessions, USER_SESSIONS_SQL),
+    "sliding_event_counts": (q_sliding_event_counts, SLIDING_EVENT_COUNTS_SQL),
+    "pricing_summary": (q_pricing_summary, PRICING_SUMMARY_SQL),
+    "shipping_priority": (q_shipping_priority, SHIPPING_PRIORITY_SQL),
+    "local_supplier_volume": (q_local_supplier_volume, LOCAL_SUPPLIER_VOLUME_SQL),
+    "top_orders_per_customer": (
+        q_top_orders_per_customer,
+        TOP_ORDERS_PER_CUSTOMER_SQL,
+    ),
+    "nation_coverage": (q_nation_coverage, NATION_COVERAGE_SQL),
+    "order_priority_pivot": (q_order_priority_pivot, ORDER_PRIORITY_PIVOT_SQL),
+}

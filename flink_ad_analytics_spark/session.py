@@ -1,0 +1,90 @@
+"""SparkSession factory and per-session config contract.
+
+Two concerns live here:
+
+1. ``build_session`` -- the session our own tests/bench create, with
+   AQE + shuffle sizing tuned for the local[N] harness but chosen so
+   the same logical plans scale to a multi-executor cluster (AQE
+   coalescing, skew-join handling, broadcast thresholds are
+   cluster-side mechanisms, not local hacks).
+
+2. ``ensure_engine_conf`` -- runtime confs every query entrypoint must
+   set on *whatever* session it is handed (the correctness driver
+   passes its own). These are runtime-settable SQL confs only:
+
+   - ``spark.sql.legacy.parquet.nanosAsLong``: the fixture parquet
+     stores ``events.ts`` as INT64 TIMESTAMP(NANOS), which Spark
+     refuses by default (PARQUET_TYPE_ILLEGAL). With this conf the
+     column surfaces as nanosecond BIGINT; sources/batch.py converts
+     to a proper micros timestamp.
+   - ``spark.sql.session.timeZone=UTC``: all event-time semantics
+     (window alignment, epoch conversions) are defined in UTC so
+     results are invariant to host timezone and match the DuckDB
+     oracle (which treats naive timestamps as-is).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs required for correct reads/semantics on any session.
+ENGINE_RUNTIME_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+#: Defaults for sessions we create ourselves. All of these hold on a real
+#: cluster; none are local-mode hacks.
+ENGINE_BUILD_CONF = {
+    # AQE: runtime partition coalescing + skew-join splitting. At 100 TB
+    # the static shuffle-partition number is always wrong for some stage;
+    # AQE re-plans from runtime statistics.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Session windows / stateful ops off-heap state can stay default
+    # locally; RocksDB provider is configured by streaming jobs that
+    # need large state (see streaming/jobs.py).
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply required runtime confs to an externally-provided session."""
+    for k, v in ENGINE_RUNTIME_CONF.items():
+        spark.conf.set(k, v)
+    return spark
+
+
+def build_session(
+    app_name: str = "flink-ad-analytics-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with engine defaults.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores; shuffle
+    partitions default to max(32, 2*cpus) -- at cluster scale this is
+    instead sized so a shuffle partition is ~128-200 MB, with AQE
+    coalescing handling the long tail.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(ENGINE_BUILD_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf.update(ENGINE_RUNTIME_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ensure_engine_conf(spark)
+    return spark

@@ -1,0 +1,59 @@
+"""Batch parquet loaders for the driver tables.
+
+Mirrors the reference's source layer (Kafka JSON scans with computed
+event-time columns, ``flink/flink_job.sql:5-41``) for the batch track:
+parquet scan + computed ``event_time`` column. Filters and projections
+applied downstream of these loaders push into the parquet scan via
+Catalyst (verify with ``df.explain``: PushedFilters / ReadSchema).
+
+Scale notes: loaders never collect, never infer schemas row-wise, and
+keep the raw scan lazy so partition pruning and column pruning apply.
+At 100 TB the same code reads a partitioned table directory; nothing
+here assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schemas import DRIVER_TABLES
+from ..session import ensure_engine_conf
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table; applies required runtime confs first."""
+    ensure_engine_conf(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load ``events`` with a proper event-time column.
+
+    The parquet stores ``ts`` as INT64 TIMESTAMP(NANOS); with
+    ``nanosAsLong`` it arrives as nanosecond BIGINT. We derive
+    ``event_time`` as a microsecond timestamp via integer floor
+    division (``DIV`` -- exact on int64, unlike float division which
+    loses precision above 2^53). This is the analogue of the
+    reference's computed column ``event_time AS
+    TO_TIMESTAMP_LTZ(event_timestamp, 3)`` (flink_job.sql:14).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver table into a dict (events gains event_time)."""
+    out: dict[str, DataFrame] = {}
+    for name in DRIVER_TABLES:
+        out[name] = (
+            load_events(spark, sf_dir) if name == "events" else load_table(spark, sf_dir, name)
+        )
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
