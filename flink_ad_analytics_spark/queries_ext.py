@@ -1,0 +1,387 @@
+"""Extension query registry: dedup, similarity search, text analysis,
+multimodal plumbing -- the training-data-pipeline operators, each with
+a DuckDB oracle (including MinHash-LSH and the stubbed multimodal
+decoder, whose fake dimensions are re-derived in SQL from md5 bytes).
+
+Determinism engineering mirrors queries.py; additionally every Spark
+integer output is cast to BIGINT to match DuckDB's wider int types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    N_MINHASHES,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from .operators.multimodal import (
+    asset_metadata_stats,
+    assets_from_documents,
+    decode_assets,
+)
+from .operators.similarity import IVF_SIGN_DIMS, cosine_topk, ivf_topk
+from .operators.text import LANG_MARKERS, STOPWORDS, lang_id, text_features
+from .sources.batch import load_table
+
+# Shared DuckDB fragments -------------------------------------------------
+
+_TOKS_SQL = (
+    "toks AS (SELECT doc_id, lang, "
+    "string_split_regex(trim(text), '\\s+') AS ws FROM documents)"
+)
+_SHINGLES_SQL = (
+    "sh AS (SELECT doc_id, list_distinct("
+    "CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1), "
+    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) "
+    "ELSE []::VARCHAR[] END) AS shingles FROM toks)"
+)
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+# Dedup -------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).withColumn(
+        "total_bytes", F.col("total_bytes").cast("long")
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5({_NORM_SQL}) AS fingerprint,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {_TOKS_SQL},
+{_SHINGLES_SQL},
+sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         len(list_intersect(a.shingles, b.shingles)) AS shared,
+         a.n AS n1, b.n AS n2
+  FROM sized a JOIN sized b ON a.doc_id < b.doc_id)
+SELECT doc_id_1, doc_id_2,
+       CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) AS jaccard
+FROM pairs
+WHERE CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) >= 0.2
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.2)
+
+
+def _minhash_lsh_oracle() -> str:
+    mh_cols = ",\n   ".join(
+        f"MIN(substr(md5('{j}:' || shingle), 1, 16)) AS mh_{j}"
+        for j in range(N_MINHASHES)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"mh_{b * LSH_ROWS + r}" for r in range(LSH_ROWS)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH {_TOKS_SQL},
+{_SHINGLES_SQL},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0),
+sig AS (SELECT doc_id,
+   {mh_cols}
+ FROM ex GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+verified AS (
+  SELECT c.doc_id_1, c.doc_id_2,
+         len(list_intersect(s1.shingles, s2.shingles)) AS shared,
+         s1.n AS n1, s2.n AS n2
+  FROM cand c
+  JOIN sized s1 ON c.doc_id_1 = s1.doc_id
+  JOIN sized s2 ON c.doc_id_2 = s2.doc_id)
+SELECT doc_id_1, doc_id_2,
+       CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) AS jaccard
+FROM verified
+WHERE CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) >= 0.2
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs)
+
+
+SIMHASH_SQL = f"""
+WITH {_TOKS_SQL},
+tok AS (SELECT DISTINCT doc_id, unnest(ws) AS t FROM toks),
+h AS (SELECT doc_id, substr(md5(t), 1, 8) AS h8 FROM tok WHERE t <> ''),
+bits AS (
+  SELECT doc_id, p.p,
+         (instr('0123456789abcdef', substr(h8, p.p // 4 + 1, 1)) - 1) AS hv
+  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS p) p),
+sums AS (
+  SELECT doc_id, p, SUM(((hv >> (3 - p % 4)) & 1) * 2 - 1) AS s
+  FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM sums GROUP BY doc_id
+"""
+
+
+# Similarity --------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, query_filter=F.col("vec_id") < 20, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_DOT_TERM_SQL = "CAST(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE) AS DECIMAL(20,16))"
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS qv
+  FROM embeddings WHERE vec_id < 20),
+c AS (
+  SELECT vec_id AS c_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS cv
+  FROM embeddings),
+dots AS (
+  SELECT q_id, c_id,
+         CAST(ROUND(SUM({_DOT_TERM_SQL.format(a='qv', b='cv')}), 12) AS DOUBLE) AS dot
+  FROM q JOIN c USING (pos) GROUP BY 1, 2),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(ROUND(SUM({_DOT_TERM_SQL.format(a='v', b='v')}), 12) AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY 1),
+scored AS (
+  SELECT q_id, c_id, ROUND(dot / (qn.nrm * cn.nrm), 6) AS cosine
+  FROM dots
+  JOIN norms qn ON q_id = qn.vec_id
+  JOIN norms cn ON c_id = cn.vec_id
+  WHERE q_id <> c_id)
+SELECT q_id, c_id, cosine, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, c_id) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(IVF_SIGN_DIMS)
+)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, query_filter=F.col("vec_id") < 20, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long")).withColumn(
+        "bucket", F.col("bucket").cast("long")
+    )
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+  FROM embeddings),
+q AS (
+  SELECT vec_id AS q_id, bucket, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS qv
+  FROM b WHERE vec_id < 20),
+c AS (
+  SELECT vec_id AS c_id, bucket, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS cv
+  FROM b),
+dots AS (
+  SELECT q.bucket, q_id, c_id,
+         CAST(ROUND(SUM({_DOT_TERM_SQL.format(a='qv', b='cv')}), 12) AS DOUBLE) AS dot
+  FROM q JOIN c ON q.bucket = c.bucket AND q.pos = c.pos
+  GROUP BY 1, 2, 3),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(ROUND(SUM({_DOT_TERM_SQL.format(a='v', b='v')}), 12) AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY 1),
+scored AS (
+  SELECT bucket, q_id, c_id, ROUND(dot / (qn.nrm * cn.nrm), 6) AS cosine
+  FROM dots
+  JOIN norms qn ON q_id = qn.vec_id
+  JOIN norms cn ON c_id = cn.vec_id
+  WHERE q_id <> c_id)
+SELECT q_id, c_id, bucket, cosine, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, c_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+# Text analysis -----------------------------------------------------------
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_features(docs)
+    for c in ("n_tokens", "n_bpe_tokens", "n_chars_nospace"):
+        out = out.withColumn(c, F.col(c).cast("long"))
+    return out
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+TEXT_QUALITY_SQL = f"""
+WITH {_TOKS_SQL},
+feat AS (
+  SELECT t.doc_id,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) AS BIGINT)
+           AS n_bpe_tokens,
+         CAST(length(regexp_replace(d.text, '\\s', '', 'g')) AS BIGINT)
+           AS n_chars_nospace,
+         CAST(len(list_filter(ws, x -> x IN ({_STOP_LIST}))) AS BIGINT)
+           AS n_stopwords
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id)
+SELECT doc_id, n_tokens, n_bpe_tokens, n_chars_nospace,
+       CAST(n_chars_nospace AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+       CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+       ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             + 0.2 * least((CAST(n_chars_nospace AS DOUBLE)
+                            / CAST(n_tokens AS DOUBLE)) / 10.0, 1.0), 6)
+         AS quality_score
+FROM feat
+"""
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = lang_id(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n       ".join(
+        "CAST(len(list_filter(ws, x -> x IN ({m}))) AS BIGINT) AS s_{lang}".format(
+            m=", ".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    branches = "\n            ".join(
+        "WHEN {conds} THEN '{lang}'".format(
+            conds=" AND ".join(
+                f"s_{lang} >= s_{other}" for other in langs if other != lang
+            ),
+            lang=lang,
+        )
+        for lang in langs
+    )
+    return f"""
+WITH {_TOKS_SQL},
+scored AS (
+  SELECT doc_id, lang,
+       {score_cols}
+  FROM toks),
+pred AS (
+  SELECT doc_id, lang,
+         CASE {branches} END AS pred_lang
+  FROM scored)
+SELECT lang, pred_lang, COUNT(*) AS n_docs
+FROM pred GROUP BY 1, 2
+"""
+
+
+# Multimodal --------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = asset_metadata_stats(docs)
+    return out.withColumn("total_bytes", F.col("total_bytes").cast("long")).withColumn(
+        "max_bytes", F.col("max_bytes").cast("long")
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT source,
+       COUNT(*) AS n_assets,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       COUNT(DISTINCT md5(text)) AS n_distinct_payloads,
+       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+GROUP BY source
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode over binary payloads (fake
+    decoder -- deterministic dims from md5 bytes, re-derived in SQL by
+    the oracle). Exercises the real distributed plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = assets_from_documents(docs)
+    return decode_assets(assets, fake=True)
+
+
+def _hexval(expr: str) -> str:
+    return f"(instr('0123456789abcdef', {expr}) - 1)"
+
+
+MULTIMODAL_DECODE_SQL = f"""
+SELECT doc_id AS asset_id,
+       'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       CAST(16 + ({_hexval("substr(md5(text), 1, 1)")} * 16
+                  + {_hexval("substr(md5(text), 2, 1)")}) % 240 AS INTEGER) AS width,
+       CAST(16 + ({_hexval("substr(md5(text), 3, 1)")} * 16
+                  + {_hexval("substr(md5(text), 4, 1)")}) % 240 AS INTEGER) AS height
+FROM documents
+"""
+
+
+EXTENSION_QUERIES: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_lsh_oracle()),
+    "simhash_signatures": (q_simhash, SIMHASH_SQL),
+    "ann_cosine_topk": (q_ann_cosine_topk, ANN_COSINE_TOPK_SQL),
+    "ann_ivf_topk": (q_ann_ivf_topk, ANN_IVF_TOPK_SQL),
+    "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
+    "lang_id_confusion": (q_lang_id_confusion, _lang_id_oracle()),
+    "multimodal_meta": (q_multimodal_meta, MULTIMODAL_META_SQL),
+    "multimodal_decode": (q_multimodal_decode, MULTIMODAL_DECODE_SQL),
+}
