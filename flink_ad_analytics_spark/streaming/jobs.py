@@ -1,0 +1,118 @@
+"""Streaming CTR/engagement jobs: the reference's main job
+(`/root/reference/flink/flink_job.sql:74-120`) as Structured Streaming
+plans, with EXACT COUNT(DISTINCT) semantics.
+
+Structured Streaming forbids countDistinct, so the plan is decomposed
+(SURVEY.md §7.4#1, upgraded from the dedup-only rewrite):
+
+  impressions --dedupWithinWatermark(imp_id)--> windowed count
+                                                      |
+                                                 LEFT JOIN (window, key)
+                                                      |
+  impressions JOIN clicks                             v
+  (interval inner join,     --> windowed count --> CTR result
+   clicks deduped by id)
+
+* impression_count is exact: ids deduped within the watermark, then a
+  plain count -- no join fan-out can inflate it (the Flink bug the
+  reference hit, README.md:127, is structurally impossible here).
+* click_count is exact under the reference's FK model (click ->
+  exactly one impression): after click-side dedup, every inner-join
+  output row is a distinct click. (With a non-FK join key a click
+  matching k impressions counts k times; the batch spec counts it
+  once. Documented divergence; the reference workload has the FK.)
+* unmatched windows get click_count 0 via the outer join + coalesce,
+  preserving the LEFT-join "unmatched impression still counts"
+  semantics.
+
+This is a 4-stateful-operator plan (dedup, dedup+join, 2 aggs + agg
+join), supported since Spark 3.5's multiple-stateful-operator work.
+
+Scale notes: each stateful op keeps watermark-bounded state (dedup:
+one entry per id inside the watermark; join: band+watermark TTL,
+derived automatically from the time-range condition; aggs: open
+windows only). With RocksDB state store
+(`spark.sql.streaming.stateStore.providerClass`) state spills to disk,
+so key cardinality is bounded by retention, not memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def streaming_ctr_windows(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    *,
+    key: str = "impression_id",
+    group_key: str = "campaign_id",
+    imp_id: str = "impression_id",
+    click_id: str = "click_id",
+    imp_time: str = "event_time",
+    click_time: str = "click_time",
+    window: str = "1 minute",
+    band: str = "10 minutes",
+) -> DataFrame:
+    """Exact streaming CTR per (tumbling window, group_key).
+
+    Inputs must already carry watermarks (streaming/sources.py does).
+    Output matches the batch ``ctr_windows`` schema: window_start,
+    window_end, <group_key>, impression_count, click_count, ctr.
+    """
+    imp_d = impressions.dropDuplicatesWithinWatermark([imp_id])
+    clk_d = clicks.dropDuplicatesWithinWatermark([click_id])
+
+    imp_counts = (
+        imp_d.groupBy(
+            F.window(F.col(imp_time), window).alias("w"),
+            F.col(group_key),
+        ).agg(F.count(F.lit(1)).alias("impression_count"))
+    )
+
+    i = imp_d.alias("i")
+    c = clk_d.alias("c")
+    cond = F.expr(
+        f"i.{key} = c.{key} AND c.{click_time} >= i.{imp_time} "
+        f"AND c.{click_time} <= i.{imp_time} + interval {band}"
+    )
+    click_counts = (
+        i.join(c, cond, "inner")
+        .groupBy(
+            F.window(F.col(f"i.{imp_time}"), window).alias("w"),
+            F.col(f"i.{group_key}").alias(group_key),
+        )
+        .agg(F.count(F.col(f"c.{click_id}")).alias("click_count"))
+    )
+
+    joined = imp_counts.join(click_counts, ["w", group_key], "left")
+    ctr = F.when(
+        F.col("impression_count") > 0,
+        F.coalesce(F.col("click_count"), F.lit(0)).cast("double")
+        / F.col("impression_count").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        group_key,
+        "impression_count",
+        F.coalesce(F.col("click_count"), F.lit(0)).alias("click_count"),
+        ctr.alias("ctr"),
+    )
+
+
+def streaming_engagement_windows(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    *,
+    segment_col: str = "device_type",
+    default: str = "Unknown",
+    **kwargs,
+) -> DataFrame:
+    """Streaming engagement: COALESCE-defaulted segment key
+    (flink_job.sql:102-118)."""
+    segmented = impressions.withColumn(
+        "segment", F.coalesce(F.col(segment_col), F.lit(default))
+    )
+    out = streaming_ctr_windows(segmented, clicks, group_key="segment", **kwargs)
+    return out.withColumnRenamed("segment", segment_col)

@@ -1,0 +1,382 @@
+"""Streaming-mode tests: streaming plans must equal their batch
+counterparts on the reference-parity fixtures (the batch plan is the
+semantic spec -- SURVEY.md §7.4), plus watermark late-data behavior
+and the two-stage (job1 -> bus -> job2) topology.
+
+Technique: a far-future "sentinel" event appended after the real data
+pushes the watermark past every window + join band, so append-mode
+output is COMPLETE and can be compared 1:1 with batch."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ad_analytics_spark.fixtures import VIRTUAL_START_MS, generate
+from flink_ad_analytics_spark.operators.anomaly import detect_anomalies
+from flink_ad_analytics_spark.operators.ctr import ctr_windows
+from flink_ad_analytics_spark.streaming.jobs import streaming_ctr_windows
+from flink_ad_analytics_spark.streaming.sinks import dual_sink, to_parquet_dir
+from flink_ad_analytics_spark.streaming.sources import file_event_stream
+from flink_ad_analytics_spark.streaming.stateful import streaming_anomaly_alerts
+
+SENTINEL_MS = VIRTUAL_START_MS + 3 * 3600 * 1000  # +3h: past every band
+
+
+def _write_halves(df: pd.DataFrame, directory: str, time_col: str = "event_timestamp"):
+    """Two time-ordered halves -> two incremental micro-batches with
+    no cross-batch late data."""
+    os.makedirs(directory, exist_ok=True)
+    d = df.sort_values(time_col, kind="stable").reset_index(drop=True)
+    half = len(d) // 2
+    d.iloc[:half].to_parquet(f"{directory}/part-0.parquet", index=False)
+    return d.iloc[half:]
+
+
+def _sentinel_imp() -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "impression_id": "imp-sentinel",
+                "user_id": "user-0",
+                "campaign_id": "camp-sentinel",
+                "ad_id": "ad-0",
+                "device_type": "mobile",
+                "browser": "chrome",
+                "event_timestamp": SENTINEL_MS,
+                "cost": 0.01,
+            }
+        ]
+    )
+
+
+def _sentinel_clk() -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "click_id": "clk-sentinel",
+                "impression_id": "imp-sentinel",
+                "user_id": "user-0",
+                "event_timestamp": SENTINEL_MS,
+            }
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def stream_fixture(tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream_fx")
+    fx = generate(duration_sec=1200, seed=42)
+    imp_dir, clk_dir = str(base / "imp"), str(base / "clk")
+    imp_rest = _write_halves(fx.impressions, imp_dir)
+    clk_rest = _write_halves(fx.clicks, clk_dir)
+    return {
+        "imp_dir": imp_dir,
+        "clk_dir": clk_dir,
+        "imp_rest": imp_rest,
+        "clk_rest": clk_rest,
+        "fx": fx,
+        "base": str(base),
+    }
+
+
+def _drive(q, sf, imp_dir, clk_dir):
+    """Feed remaining half, then the sentinel, processing each round."""
+    q.processAllAvailable()
+    sf["imp_rest"].to_parquet(f"{imp_dir}/part-1.parquet", index=False)
+    sf["clk_rest"].to_parquet(f"{clk_dir}/part-1.parquet", index=False)
+    q.processAllAvailable()
+    _sentinel_imp().to_parquet(f"{imp_dir}/part-2-sentinel.parquet", index=False)
+    _sentinel_clk().to_parquet(f"{clk_dir}/part-2-sentinel.parquet", index=False)
+    q.processAllAvailable()
+    q.stop()
+
+
+def _streams(spark, sf):
+    imp_schema = spark.read.parquet(sf["imp_dir"]).schema
+    clk_schema = spark.read.parquet(sf["clk_dir"]).schema
+    imp = file_event_stream(
+        spark, sf["imp_dir"], imp_schema, watermark="5 seconds",
+        max_files_per_trigger=None,
+    )
+    clk_raw = file_event_stream(
+        spark, sf["clk_dir"], clk_schema, watermark=None,
+        max_files_per_trigger=None, event_time_col="click_time",
+    )
+    clk = clk_raw.drop("event_timestamp").withWatermark("click_time", "5 seconds")
+    return imp, clk
+
+
+def test_streaming_ctr_equals_batch(spark, stream_fixture):
+    """The core dual-mode guarantee: streaming CTR (dedup-decomposed
+    plan) == batch CTR (countDistinct spec), window for window."""
+    sf = stream_fixture
+    imp, clk = _streams(spark, sf)
+    result = streaming_ctr_windows(imp, clk, window="1 minute", band="10 minutes")
+    q = (
+        result.writeStream.format("memory")
+        .queryName("ctr_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{sf['base']}/ckpt_ctr")
+        .start()
+    )
+    _drive(q, sf, sf["imp_dir"], sf["clk_dir"])
+    streamed = (
+        spark.table("ctr_stream")
+        .filter(F.col("campaign_id") != "camp-sentinel")
+        .toPandas()
+        .sort_values(["window_start", "campaign_id"])
+        .reset_index(drop=True)
+    )
+
+    fx = sf["fx"]
+    imp_b = spark.createDataFrame(fx.impressions).withColumn(
+        "event_time", F.timestamp_millis(F.col("event_timestamp"))
+    )
+    clk_b = spark.createDataFrame(fx.clicks).withColumn(
+        "click_time", F.timestamp_millis(F.col("event_timestamp"))
+    ).drop("event_timestamp")
+    batch = (
+        ctr_windows(imp_b, clk_b, window="1 minute", band="10 minutes")
+        .toPandas()
+        .sort_values(["window_start", "campaign_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
+
+
+def test_late_data_watermark(spark, tmp_path):
+    """A click 4s later than the watermark-advancing batch counts; a
+    click older than the watermark is dropped (T2/T6 semantics)."""
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    os.makedirs(imp_dir)
+    os.makedirs(clk_dir)
+    t0 = VIRTUAL_START_MS
+    pd.DataFrame(
+        [
+            # two impressions in one window
+            {"impression_id": "i1", "user_id": "u1", "campaign_id": "c1",
+             "ad_id": "a", "device_type": "d", "browser": "b",
+             "event_timestamp": t0, "cost": 0.1},
+            {"impression_id": "i2", "user_id": "u1", "campaign_id": "c1",
+             "ad_id": "a", "device_type": "d", "browser": "b",
+             "event_timestamp": t0 + 1000, "cost": 0.1},
+            # watermark advancer: global watermark is the MIN across
+            # inputs, so the impression side must advance too
+            {"impression_id": "i-adv", "user_id": "u9", "campaign_id": "c-adv",
+             "ad_id": "a", "device_type": "d", "browser": "b",
+             "event_timestamp": t0 + 120_000, "cost": 0.1},
+        ]
+    ).to_parquet(f"{imp_dir}/part-0.parquet", index=False)
+    # batch 1 clicks: advance click watermark to t0+120s-5s=t0+115s
+    pd.DataFrame(
+        [{"click_id": "k0", "impression_id": "none", "user_id": "u9",
+          "event_timestamp": t0 + 120_000}]
+    ).to_parquet(f"{clk_dir}/part-0.parquet", index=False)
+
+    imp_schema = spark.read.parquet(imp_dir).schema
+    clk_schema = spark.read.parquet(clk_dir).schema
+    imp = file_event_stream(spark, imp_dir, imp_schema, watermark="5 seconds",
+                            max_files_per_trigger=None)
+    clk = (
+        file_event_stream(spark, clk_dir, clk_schema, watermark=None,
+                          max_files_per_trigger=None,
+                          event_time_col="click_time")
+        .drop("event_timestamp")
+        .withWatermark("click_time", "5 seconds")
+    )
+    result = streaming_ctr_windows(imp, clk, window="1 minute", band="10 minutes")
+    q = (
+        result.writeStream.format("memory")
+        .queryName("late_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2 (out-of-order arrivals): k1 at t0+117s is above the
+    # t0+115s watermark -> counts toward i1 (in band); k2 at t0+30s is
+    # below the watermark -> dropped, so i2 stays clickless.
+    pd.DataFrame(
+        [
+            {"click_id": "k1", "impression_id": "i1", "user_id": "u1",
+             "event_timestamp": t0 + 117_000},
+            {"click_id": "k2", "impression_id": "i2", "user_id": "u1",
+             "event_timestamp": t0 + 30_000},
+        ]
+    ).to_parquet(f"{clk_dir}/part-1.parquet", index=False)
+    q.processAllAvailable()
+    # sentinel to flush
+    pd.DataFrame(
+        [{"impression_id": "s", "user_id": "u", "campaign_id": "cs",
+          "ad_id": "a", "device_type": "d", "browser": "b",
+          "event_timestamp": SENTINEL_MS, "cost": 0.1}]
+    ).to_parquet(f"{imp_dir}/part-2.parquet", index=False)
+    pd.DataFrame(
+        [{"click_id": "ks", "impression_id": "s", "user_id": "u",
+          "event_timestamp": SENTINEL_MS}]
+    ).to_parquet(f"{clk_dir}/part-2.parquet", index=False)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {
+        r.campaign_id: r
+        for r in spark.table("late_stream").collect()
+    }
+    c1 = rows["c1"]
+    assert c1.impression_count == 2
+    # k1 counted (within watermark), k2 dropped (too late)
+    assert c1.click_count == 1
+
+
+@pytest.fixture(scope="module")
+def ctr_results_stream_dir(tmp_path_factory):
+    """Scripted stage-2 input (FIXTURES.md §3): camp-1 CTR sequence
+    0.10,0.10,0.10,0.01,0.01,0.40,0.40,0.10 -> DROP@w3, SPIKE@w5,
+    DROP@w7; camp-2 flat."""
+    d = tmp_path_factory.mktemp("ctr_results")
+    seq = [0.10, 0.10, 0.10, 0.01, 0.01, 0.40, 0.40, 0.10]
+    rows = []
+    for i, ctr in enumerate(seq):
+        start = pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i)
+        rows.append(
+            {"window_start": start, "window_end": start + pd.Timedelta(minutes=1),
+             "campaign_id": "camp-1", "impression_count": 100,
+             "click_count": int(ctr * 100), "ctr": ctr}
+        )
+        rows.append(
+            {"window_start": start, "window_end": start + pd.Timedelta(minutes=1),
+             "campaign_id": "camp-2", "impression_count": 100,
+             "click_count": 10, "ctr": 0.10}
+        )
+    # watermark-flushing sentinel (final buffered windows only emit
+    # once the watermark passes them)
+    s_start = pd.Timestamp("2024-01-01") + pd.Timedelta(hours=3)
+    rows.append(
+        {"window_start": s_start, "window_end": s_start + pd.Timedelta(minutes=1),
+         "campaign_id": "camp-sentinel", "impression_count": 1,
+         "click_count": 0, "ctr": 0.0}
+    )
+    df = pd.DataFrame(rows)
+    # microsecond timestamps (pyarrow would otherwise write nanos,
+    # which plain Spark sessions refuse)
+    for c in ("window_start", "window_end"):
+        df[c] = df[c].astype("datetime64[us]")
+    # three files -> state must survive across micro-batches; the
+    # middle file arrives out of order relative to file 1 windows
+    df.iloc[:8].to_parquet(f"{d}/part-0.parquet", index=False)
+    df.iloc[8:16].to_parquet(f"{d}/part-1.parquet", index=False)
+    df.iloc[16:].to_parquet(f"{d}/part-2.parquet", index=False)
+    return str(d)
+
+
+def test_streaming_lag_equals_batch(spark, ctr_results_stream_dir, tmp_path):
+    """applyInPandasWithState LAG == batch lag() on ordered input."""
+    schema = spark.read.parquet(ctr_results_stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ctr_results_stream_dir)
+    )
+    alerts = streaming_anomaly_alerts(stream)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("lag_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lag"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = (
+        spark.table("lag_stream")
+        .filter(F.col("campaign_id") != "camp-sentinel")
+        .toPandas()
+        .sort_values(["alert_time", "campaign_id"])
+        .reset_index(drop=True)
+    )
+
+    batch_df = spark.read.parquet(ctr_results_stream_dir).filter(
+        F.col("campaign_id") != "camp-sentinel"
+    )
+    batch = (
+        detect_anomalies(batch_df)
+        .toPandas()
+        .sort_values(["alert_time", "campaign_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        streamed[batch.columns], batch, check_dtype=False
+    )
+    kinds = list(
+        streamed[streamed.campaign_id == "camp-1"]
+        .sort_values("alert_time")["alert_type"]
+    )
+    assert kinds == ["DROP", "SPIKE", "DROP"]
+
+
+def test_two_stage_pipeline(spark, stream_fixture, tmp_path):
+    """Full reference topology: job1 (CTR windows) -> parquet bus ->
+    job2 (stateful LAG alerts), the file analogue of
+    flink_job.sql -> ctr_results topic -> anomaly_job.sql."""
+    sf = stream_fixture
+    imp, clk = _streams(spark, sf)
+    stage1 = streaming_ctr_windows(imp, clk, window="1 minute", band="10 minutes")
+    bus = str(tmp_path / "ctr_bus")
+    q1 = to_parquet_dir(stage1, path=bus, checkpoint=str(tmp_path / "ckpt1"))
+    _drive(q1, sf, sf["imp_dir"], sf["clk_dir"])
+
+    schema = spark.read.parquet(bus).schema
+    stage2_in = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "4").parquet(bus)
+    )
+    alerts = streaming_anomaly_alerts(stage2_in)
+    q2 = (
+        alerts.writeStream.format("memory")
+        .queryName("two_stage_alerts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = {
+        (r.alert_time.minute, r.alert_type)
+        for r in spark.table("two_stage_alerts")
+        .filter(F.col("campaign_id") == "camp-1")
+        .collect()
+    }
+    # phase boundaries (generate_events.py:108-121): DROP after 300s,
+    # SPIKE after 600s, recovery DROP after 900s (window ends).
+    assert (6, "DROP") in got
+    assert (11, "SPIKE") in got
+    assert (16, "DROP") in got
+
+
+def test_dual_sink(spark, stream_fixture, tmp_path):
+    """Statement-set analogue: one upstream, two sinks, one pass."""
+    sf = stream_fixture
+    imp_schema = spark.read.parquet(sf["imp_dir"]).schema
+    imp = file_event_stream(
+        spark, sf["imp_dir"], imp_schema, watermark="5 seconds",
+        max_files_per_trigger=None,
+    )
+    counts = imp.groupBy(
+        F.window("event_time", "1 minute").alias("w"), "campaign_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    q = dual_sink(
+        counts,
+        lambda b: b.write.mode("append").parquet(out_a),
+        lambda b: b.select("campaign_id", "n").write.mode("append").parquet(out_b),
+        checkpoint=str(tmp_path / "ckpt_dual"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    a = spark.read.parquet(out_a)
+    b = spark.read.parquet(out_b)
+    assert a.count() == b.count() > 0
+    assert set(b.columns) == {"campaign_id", "n"}
