@@ -36,18 +36,24 @@ def text_features(
     quality_score   0.5*min(n_tokens/100,1) + 0.3*(1-stopword_ratio)
                     + 0.2*min(avg_token_len/10,1), rounded 6dp
     """
-    ws = TOKENS.format(col=text_col)
-    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    df = docs.select(
+    # tokens materialized once (splicing the split() into multiple
+    # expressions would re-run it per use; see dedup.doc_shingles)
+    toks = docs.select(
         F.col(id_col),
-        F.expr(f"size({ws})").alias("n_tokens"),
+        F.col(text_col),
+        F.expr(TOKENS.format(col=text_col)).alias("ws"),
+    )
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    df = toks.select(
+        F.col(id_col),
+        F.expr("size(ws)").alias("n_tokens"),
         F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_REGEX}', 0)")).alias(
             "n_bpe_tokens"
         ),
         F.length(F.regexp_replace(F.col(text_col), r"\s", "")).alias(
             "n_chars_nospace"
         ),
-        F.expr(f"size(filter({ws}, t -> t IN ({stop_list})))").alias("n_stopwords"),
+        F.expr(f"size(filter(ws, t -> t IN ({stop_list})))").alias("n_stopwords"),
     )
     avg_len = F.col("n_chars_nospace").cast("double") / F.col("n_tokens").cast(
         "double"
@@ -88,12 +94,14 @@ def lang_id(
 ) -> DataFrame:
     """Marker-based language ID: per-language marker-token counts,
     argmax with alphabetical tiebreak (deterministic CASE chain)."""
-    ws = TOKENS.format(col=text_col)
-    scored = docs.select(
+    toks = docs.select(
+        F.col(id_col), F.expr(TOKENS.format(col=text_col)).alias("ws")
+    )
+    scored = toks.select(
         F.col(id_col),
         *[
             F.expr(
-                f"size(filter({ws}, t -> t IN "
+                f"size(filter(ws, t -> t IN "
                 f"({', '.join(repr(m) for m in LANG_MARKERS[lang])})))"
             ).alias(f"s_{lang}")
             for lang in sorted(LANG_MARKERS)

@@ -33,6 +33,17 @@ from pyspark.sql import SparkSession
 ENGINE_RUNTIME_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # InferFiltersFromGenerate synthesizes `size(gen_input) > 0` filters
+    # under every explode(); predicate pushdown then re-inlines the
+    # generator's (expensive, lambda-bearing) defining expression into
+    # the scan, where it evaluates once per row on the pre-shuffle
+    # partitioning. For array-producing pipelines (shingling, token
+    # explosion) this measured 3-4x the whole query's runtime; the
+    # inferred filter only skips empty arrays, which explode() skips
+    # anyway.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 #: Defaults for sessions we create ourselves. All of these hold on a real

@@ -1,0 +1,98 @@
+"""Physical-plan quality gates: the properties that make these
+queries survive a 100x scale-up, asserted against explain() output so
+regressions are caught like correctness bugs.
+
+These mirror the scale checklist: filters/columns push into the
+parquet scan, small dimensions broadcast, the hot expressions stay in
+whole-stage codegen, and the InferFiltersFromGenerate pathology (an
+inferred filter re-inlining a generator's expensive expression into
+the scan) stays excluded.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ad_analytics_spark.operators.dedup import minhash_signatures
+from flink_ad_analytics_spark.queries import (
+    q_local_supplier_volume,
+    q_pricing_summary,
+    q_shipping_priority,
+)
+from tests.conftest import SF_CORRECT
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """The shipdate filter must reach the parquet reader as a pushed
+    filter, and the scan must prune to the referenced columns only."""
+    plan = plan_of(q_pricing_summary(spark, SF_CORRECT))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 11-column lineitem scan reads only 7 columns
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "l_orderkey" not in read_schema  # unused columns pruned
+    assert "l_quantity" in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    """Q3/Q5-style joins must broadcast the dimension sides -- no
+    shuffle of the big fact table against small dims."""
+    for q in (q_shipping_priority, q_local_supplier_volume):
+        plan = plan_of(q(spark, SF_CORRECT))
+        assert "BroadcastHashJoin" in plan, q.__name__
+    # Q3: top-10 must run as TakeOrderedAndProject, not a global sort
+    plan3 = plan_of(q_shipping_priority(spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan3
+    assert "GlobalSort" not in plan3
+
+
+def test_no_inferred_generate_filter(spark):
+    """Regression guard: explode() must not grow an inferred
+    size(..)>0 filter that pushes the shingle expression into the
+    scan (single-threaded re-splitting; measured 3-4x total runtime).
+    """
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    posting = minhash_signatures(docs)
+    plan = plan_of(posting, "simple")
+    scan_section = plan[plan.index("FileScan") :] if "FileScan" in plan else plan
+    # the defining transform must not appear inside the scan's filters
+    assert "DataFilters: [(size(CASE WHEN" not in plan
+    assert "transform" not in scan_section.split("\n")[0]
+
+
+def test_whole_stage_codegen_covers_aggregation(spark):
+    """The CTR aggregation pipeline must run inside whole-stage
+    codegen (JVM-compiled), not interpreted."""
+    from flink_ad_analytics_spark.queries import q_ctr_hourly
+
+    # AQE's pre-execution wrapper hides codegen subtrees; disable it
+    # for the inspection only (execution behavior is unchanged).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(q_ctr_hourly(spark, SF_CORRECT), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # codegen explain reports "Found N WholeStageCodegen subtrees"
+    first = plan.splitlines()[0]
+    n = int(first.split("Found ")[1].split(" ")[0])
+    assert n >= 1
+
+
+def test_exchange_reuse_in_lsh_self_join(spark):
+    """The LSH band self-join should reuse one exchange/subtree for
+    both sides where Spark supports it, rather than recomputing the
+    signature pipeline twice."""
+    from flink_ad_analytics_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    plan = plan_of(minhash_lsh_pairs(docs), "formatted")
+    # ReusedExchange appears when the band subtree is shared
+    assert "ReusedExchange" in plan or plan.count("Generate explode") <= 4
