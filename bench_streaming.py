@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Streaming throughput benchmark: events/sec through the full
+streaming CTR pipeline (dedup x2 + interval join + 2 windowed aggs +
+agg-join), file source -> memory sink.
+
+The reference's workload rate is 50 events/s (generate_events.py:18);
+BASELINE.md sets >= 50 ev/s as the floor and >= 5000 ev/s single-node
+as the stretch target. Prints one JSON line.
+
+Usage: python3 bench_streaming.py [duration_sec] [--rocksdb]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_ad_analytics_spark.fixtures import generate  # noqa: E402
+from flink_ad_analytics_spark.session import build_session  # noqa: E402
+from flink_ad_analytics_spark.streaming.jobs import streaming_ctr_windows  # noqa: E402
+from flink_ad_analytics_spark.streaming.sources import file_event_stream  # noqa: E402
+from flink_ad_analytics_spark.streaming.state import use_rocksdb  # noqa: E402
+
+
+def main() -> None:
+    duration = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 3600
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(
+        app_name="fas-stream-bench",
+        cpus=cpus,
+        shuffle_partitions=max(8, cpus // 2),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    store = "hdfs-backed"
+    if "--rocksdb" in sys.argv:
+        use_rocksdb(spark)
+        store = "rocksdb"
+
+    tmp = tempfile.mkdtemp(prefix="fas_stream_bench_")
+    try:
+        fx = generate(duration_sec=duration, seed=42)
+        n_events = len(fx.impressions) + len(fx.clicks)
+        imp_dir, clk_dir = f"{tmp}/imp", f"{tmp}/clk"
+        os.makedirs(imp_dir)
+        os.makedirs(clk_dir)
+        # 8 files per side -> several micro-batches
+        imp = fx.impressions.sort_values("event_timestamp")
+        clk = fx.clicks.sort_values("event_timestamp")
+        for i in range(8):
+            imp.iloc[i * len(imp) // 8 : (i + 1) * len(imp) // 8].to_parquet(
+                f"{imp_dir}/part-{i}.parquet", index=False
+            )
+            clk.iloc[i * len(clk) // 8 : (i + 1) * len(clk) // 8].to_parquet(
+                f"{clk_dir}/part-{i}.parquet", index=False
+            )
+
+        imp_s = file_event_stream(
+            spark, imp_dir, spark.read.parquet(imp_dir).schema,
+            watermark="5 seconds", max_files_per_trigger=1,
+        )
+        clk_s = (
+            file_event_stream(
+                spark, clk_dir, spark.read.parquet(clk_dir).schema,
+                watermark=None, max_files_per_trigger=1,
+                event_time_col="click_time",
+            )
+            .drop("event_timestamp")
+            .withWatermark("click_time", "5 seconds")
+        )
+        result = streaming_ctr_windows(
+            imp_s, clk_s, window="1 minute", band="10 minutes"
+        )
+        t0 = time.perf_counter()
+        q = (
+            result.writeStream.format("memory")
+            .queryName("bench_stream")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        elapsed = time.perf_counter() - t0
+        q.stop()
+        out_rows = spark.table("bench_stream").count()
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_ctr_throughput",
+                    "value": round(n_events / elapsed, 1),
+                    "unit": "events/sec",
+                    "events": n_events,
+                    "elapsed_sec": round(elapsed, 2),
+                    "result_rows": out_rows,
+                    "state_store": store,
+                    "virtual_duration_sec": duration,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

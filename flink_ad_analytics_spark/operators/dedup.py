@@ -173,14 +173,14 @@ def minhash_signatures(
     signatures are bit-identical either way, so the DuckDB oracle is
     unaffected.
     """
+    from ..functions.hashing import hex_minhash_term
+
     sh = doc_shingles(docs, id_col, text_col)
     posting = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     uniq = posting.select("shingle").distinct().select(
         "shingle",
         *[
-            F.substring(
-                F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 16
-            ).alias(f"h_{j}")
+            hex_minhash_term(F.col("shingle"), j).alias(f"h_{j}")
             for j in range(N_MINHASHES)
         ],
     )

@@ -555,6 +555,100 @@ FROM orders
 GROUP BY 1, 2
 """
 
+def q_urgent_undelivered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS): urgent orders that have at least one late
+    line item. Executes as a LeftSemi join -- no fan-out, no distinct
+    needed, one shuffle on the orderkey."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2001-06-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+URGENT_UNDELIVERED_SQL = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '2001-06-01 00:00:00')
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS): customers that never ordered."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above their segment's average price.
+
+    The per-segment average is an exact decimal ratio rounded once, so
+    the comparison threshold is identical across engines. Broadcast of
+    the tiny per-segment aggregate replaces the correlated subquery's
+    re-evaluation (Catalyst would do the same de-correlation).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    oc = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    seg_avg = oc.groupBy("c_mktsegment").agg(
+        (
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 4).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("seg_avg")
+    )
+    return (
+        oc.join(F.broadcast(seg_avg), "c_mktsegment")
+        .filter(F.col("o_totalprice") > F.col("seg_avg"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            _dsum("o_totalprice").alias("sum_above"),
+        )
+    )
+
+
+ABOVE_AVERAGE_ORDERS_SQL = """
+WITH oc AS (
+  SELECT o_orderkey, o_totalprice, c_mktsegment
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+seg AS (
+  SELECT c_mktsegment,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS seg_avg
+  FROM oc GROUP BY 1)
+SELECT oc.c_mktsegment,
+       COUNT(*) AS n_above,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS sum_above
+FROM oc JOIN seg ON oc.c_mktsegment = seg.c_mktsegment
+WHERE o_totalprice > seg_avg
+GROUP BY 1
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -572,4 +666,10 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     ),
     "nation_coverage": (q_nation_coverage, NATION_COVERAGE_SQL),
     "order_priority_pivot": (q_order_priority_pivot, ORDER_PRIORITY_PIVOT_SQL),
+    "urgent_undelivered": (q_urgent_undelivered, URGENT_UNDELIVERED_SQL),
+    "customers_without_orders": (
+        q_customers_without_orders,
+        CUSTOMERS_WITHOUT_ORDERS_SQL,
+    ),
+    "above_average_orders": (q_above_average_orders, ABOVE_AVERAGE_ORDERS_SQL),
 }

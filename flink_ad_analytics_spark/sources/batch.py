@@ -18,6 +18,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.time import epoch_nanos_to_ts
 from ..schemas import DRIVER_TABLES
 from ..session import ensure_engine_conf
 
@@ -40,7 +41,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TO_TIMESTAMP_LTZ(event_timestamp, 3)`` (flink_job.sql:14).
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev.withColumn("event_time", epoch_nanos_to_ts("ts"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

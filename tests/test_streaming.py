@@ -330,9 +330,13 @@ def test_two_stage_pipeline(spark, stream_fixture, tmp_path):
     _drive(q1, sf, sf["imp_dir"], sf["clk_dir"])
 
     schema = spark.read.parquet(bus).schema
-    stage2_in = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", "4").parquet(bus)
-    )
+    # One batch for the replay: chunked replay of a historical bus can
+    # deliver the sentinel's far-future watermark before real windows,
+    # and Spark's late-data filter (correctly) drops them before any
+    # operator sees them. Out-of-order robustness across batches is
+    # covered by test_streaming_lag_equals_batch with controlled file
+    # ordering; this test asserts the topology.
+    stage2_in = spark.readStream.schema(schema).parquet(bus)
     alerts = streaming_anomaly_alerts(stage2_in)
     q2 = (
         alerts.writeStream.format("memory")
@@ -354,6 +358,43 @@ def test_two_stage_pipeline(spark, stream_fixture, tmp_path):
     assert (6, "DROP") in got
     assert (11, "SPIKE") in got
     assert (16, "DROP") in got
+
+
+def test_rocksdb_state_store(spark, ctr_results_stream_dir, tmp_path):
+    """The stateful LAG must produce identical alerts on the RocksDB
+    state store provider (T9: the reference's RocksDB backend)."""
+    from flink_ad_analytics_spark.streaming.state import (
+        use_default_store,
+        use_rocksdb,
+    )
+
+    schema = spark.read.parquet(ctr_results_stream_dir).schema
+    use_rocksdb(spark)
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(ctr_results_stream_dir)
+        )
+        alerts = streaming_anomaly_alerts(stream)
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName("rocksdb_lag")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        use_default_store(spark)
+    got = (
+        spark.table("rocksdb_lag")
+        .filter(F.col("campaign_id") == "camp-1")
+        .orderBy("alert_time")
+        .collect()
+    )
+    assert [r.alert_type for r in got] == ["DROP", "SPIKE", "DROP"]
 
 
 def test_dual_sink(spark, stream_fixture, tmp_path):
