@@ -91,6 +91,54 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sign-bucketed.
+
+    All same-bucket vector pairs with rounded cosine >= threshold.
+    The bucket restriction is the scale lever (candidates ~ n^2 / 2^k
+    per bucket, shuffle key = bucket); recall is bucket-bounded and
+    deterministic, with brute-force ``cosine_topk`` as the exact
+    reference. Output: (vec_id_1, vec_id_2, bucket, cosine).
+    """
+    bucketed = embeddings.withColumn("bucket", sign_bucket())
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("bucket"),
+        F.posexplode("embedding").alias("pos", "v1"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("bucket"),
+        F.posexplode("embedding").alias("pos", "v2"),
+    )
+    dots = (
+        a.join(b, ["bucket", "pos"])
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .groupBy("bucket", "vec_id_1", "vec_id_2")
+        .agg(
+            F.round(F.sum(F.expr(_TERM.format(a="v1", b="v2"))), 12)
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    norms = vector_norms(embeddings)
+    n1 = norms.select(F.col("vec_id").alias("vec_id_1"), F.col("nrm").alias("nrm1"))
+    n2 = norms.select(F.col("vec_id").alias("vec_id_2"), F.col("nrm").alias("nrm2"))
+    return (
+        dots.join(F.broadcast(n1), "vec_id_1")
+        .join(F.broadcast(n2), "vec_id_2")
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.col("nrm1") * F.col("nrm2")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_id_1", "vec_id_2", "bucket", "cosine")
+    )
+
+
 IVF_SIGN_DIMS = 4  # 2^4 = 16 coarse buckets
 
 

@@ -15,9 +15,13 @@ from .operators.dedup import (
     LSH_BANDS,
     LSH_ROWS,
     N_MINHASHES,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+    SIMHASH_HAMMING,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_pairs,
     simhash_signatures,
 )
 from .operators.multimodal import (
@@ -25,7 +29,12 @@ from .operators.multimodal import (
     assets_from_documents,
     decode_assets,
 )
-from .operators.similarity import IVF_SIGN_DIMS, cosine_topk, ivf_topk
+from .operators.similarity import (
+    IVF_SIGN_DIMS,
+    cosine_near_dup_pairs,
+    cosine_topk,
+    ivf_topk,
+)
 from .operators.text import LANG_MARKERS, STOPWORDS, lang_id, text_features
 from .sources.batch import load_table
 
@@ -138,19 +147,43 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMHASH_SQL = f"""
 WITH {_TOKS_SQL},
-tok AS (SELECT DISTINCT doc_id, unnest(ws) AS t FROM toks),
-h AS (SELECT doc_id, substr(md5(t), 1, 8) AS h8 FROM tok WHERE t <> ''),
+{_SHINGLES_SQL},
+post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+h AS (SELECT doc_id, substr(md5(shingle), 1, 15) AS h15 FROM post),
 bits AS (
-  SELECT doc_id, p.p,
-         (instr('0123456789abcdef', substr(h8, p.p // 4 + 1, 1)) - 1) AS hv
-  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS p) p),
+  SELECT doc_id, p.p AS p,
+         (instr('0123456789abcdef', substr(h15, p.p // 4 + 1, 1)) - 1) AS hv
+  FROM h CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS p) p),
 sums AS (
-  SELECT doc_id, p, SUM(((hv >> (3 - p % 4)) & 1) * 2 - 1) AS s
+  SELECT doc_id, p, SUM(((hv >> CAST(3 - p % 4 AS INTEGER)) & 1) * 2 - 1) AS sm
   FROM bits GROUP BY 1, 2)
 SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
-            AS BIGINT) AS simhash
+       CAST(SUM(CASE WHEN sm > 0
+                     THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+                     ELSE 0 END) AS BIGINT) AS simhash
 FROM sums GROUP BY doc_id
+"""
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs)
+
+
+def _simhash_pairs_oracle() -> str:
+    chunk_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {k} AS k, (simhash >> {k * 8}) & 255 AS chunk FROM sig"
+        for k in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH sig AS ({SIMHASH_SQL}),
+chunks AS ({chunk_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+SELECT doc_id_1, doc_id_2, hamming
+FROM cand WHERE hamming <= {SIMHASH_HAMMING}
 """
 
 
@@ -242,6 +275,44 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                                    ORDER BY cosine DESC, c_id) AS rank
       FROM scored)
 WHERE rank <= 5
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sign-bucketed candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_near_dup_pairs(emb, threshold=0.4)
+    return out.withColumn("bucket", F.col("bucket").cast("long"))
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+  FROM embeddings),
+a AS (
+  SELECT vec_id AS vec_id_1, bucket, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS v1
+  FROM b),
+c AS (
+  SELECT vec_id AS vec_id_2, bucket, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS v2
+  FROM b),
+dots AS (
+  SELECT a.bucket, vec_id_1, vec_id_2,
+         CAST(ROUND(SUM({_DOT_TERM_SQL.format(a='v1', b='v2')}), 12) AS DOUBLE) AS dot
+  FROM a JOIN c ON a.bucket = c.bucket AND a.pos = c.pos
+  WHERE vec_id_1 < vec_id_2
+  GROUP BY 1, 2, 3),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(ROUND(SUM({_DOT_TERM_SQL.format(a='v', b='v')}), 12) AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY 1)
+SELECT vec_id_1, vec_id_2, bucket,
+       ROUND(dot / (n1.nrm * n2.nrm), 6) AS cosine
+FROM dots
+JOIN norms n1 ON vec_id_1 = n1.vec_id
+JOIN norms n2 ON vec_id_2 = n2.vec_id
+WHERE ROUND(dot / (n1.nrm * n2.nrm), 6) >= 0.4
 """
 
 
@@ -378,6 +449,11 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_lsh_oracle()),
     "simhash_signatures": (q_simhash, SIMHASH_SQL),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_oracle()),
+    "dedup_embedding_cosine": (
+        q_dedup_embedding_cosine,
+        DEDUP_EMBEDDING_COSINE_SQL,
+    ),
     "ann_cosine_topk": (q_ann_cosine_topk, ANN_COSINE_TOPK_SQL),
     "ann_ivf_topk": (q_ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),

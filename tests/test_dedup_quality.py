@@ -1,0 +1,66 @@
+"""Dedup-family quality tests: the approximate operators (MinHash-LSH,
+SimHash) must actually FIND the corpus's planted near-duplicates, with
+the exhaustive n-gram Jaccard operator as ground truth.
+
+Oracle parity (tests/test_oracle_parity.py) proves determinism; these
+prove usefulness -- an LSH that deterministically finds nothing would
+pass parity.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_ad_analytics_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def truth_pairs(docs):
+    """Exhaustive exact-Jaccard near-dups (threshold 0.2): the planted
+    duplicate pairs of the fixture corpus."""
+    return {
+        (r.doc_id_1, r.doc_id_2)
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+
+
+def test_fixture_has_planted_near_dups(truth_pairs):
+    assert len(truth_pairs) >= 10  # corpus ships ~25 planted pairs
+
+
+def test_minhash_lsh_recall(docs, truth_pairs):
+    """4x4 banding catches high-jaccard pairs with P~0.99; on the
+    planted pairs (j >= ~0.8) recall must be 100%."""
+    lsh = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    assert lsh == truth_pairs
+
+
+def test_simhash_recall_and_precision(docs, truth_pairs):
+    """Hamming <= 7 on the 60-bit shingle SimHash: all planted pairs,
+    nothing else (background hamming starts at ~18 on this corpus)."""
+    sim = {
+        (r.doc_id_1, r.doc_id_2) for r in simhash_pairs(docs).collect()
+    }
+    assert sim == truth_pairs
+
+
+def test_exact_dedup_identity(docs):
+    """No exact duplicates are planted: every fingerprint is unique,
+    and the keeper covers every doc."""
+    res = exact_dedup(docs).collect()
+    assert sum(r.n_docs for r in res) == docs.count()
+    assert all(r.n_docs == 1 for r in res)
