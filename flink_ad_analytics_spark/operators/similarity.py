@@ -1,52 +1,76 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three operators:
 
-* ``cosine_topk`` -- brute-force exact top-k: every query vector
-  against every candidate. The correctness baseline.
-* ``ivf_topk``    -- IVF-style bucketed ANN: vectors are coarsely
+* ``cosine_topk``          -- brute-force exact top-k: every query
+  vector against every candidate. The correctness baseline.
+* ``ivf_topk``             -- IVF-style bucketed ANN: vectors coarsely
   quantized by the sign pattern of their leading dimensions; queries
-  search only their own bucket. The scale path: at 100 TB the
-  candidate set per query drops by ~2^k, and buckets are
-  hash-partitionable (bucket id is the shuffle key), so the search is
-  embarrassingly parallel with no cross-partition traffic.
+  search only their own bucket.
+* ``cosine_near_dup_pairs`` -- all same-bucket pairs above a cosine
+  threshold (embedding-level near-duplicate detection).
 
-Determinism engineering (oracle = DuckDB): dot products and norms are
-accumulated as DECIMAL(20,16) terms (each term is the exact double
-product of two floats, rounded once, deterministically, to 16dp), so
-the SUM is order-independent and exact; the decimal sum is rounded to
-12dp before the double cast (keeps the conversion exact); sqrt and
-division are correctly-rounded IEEE ops; ranking orders by the
-*rounded* cosine with vec_id tiebreak, so rank is engine-independent.
+Physical shape: the similarity join is a (broadcast) join of vector
+ROWS with the dot product computed as an in-row ``zip_with`` +
+``aggregate`` fold -- whole-stage-codegen, no positional explode, no
+shuffle keyed on vector position (an explode-join shuffles |dims| x
+|pairs| rows over only |dims| distinct keys -- pure skew). Buckets are
+the shuffle key for the ANN variants, so the search is embarrassingly
+parallel; at 100 TB the bucket count scales with the corpus while
+per-bucket work stays bounded.
 
-At production scale the exact-decimal trick is unnecessary (we'd rank
-by raw double cosine, or go through a vectorized pandas_udf over
-Arrow batches); it exists so correctness is *provable* against an
-independent engine.
+Determinism engineering (oracle = DuckDB): each dot-product term is
+the exact double product of two floats, rounded once to DECIMAL(20,16)
+(deterministic), and accumulated in DECIMAL(38,16) -- decimal addition
+is exact, so the fold equals DuckDB's order-independent SUM of the
+same terms. The sum is rounded to 12dp before the double cast (keeps
+the conversion exact); sqrt/division are correctly-rounded IEEE ops;
+ranking orders by the *rounded* cosine with vec_id tiebreak. At
+production scale the decimal trick can be swapped for raw double
+folds; it exists so correctness is *provable* against an independent
+engine.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-# Exact, order-independent dot-product accumulation (see module doc).
-_TERM = "CAST(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE) AS DECIMAL(20,16))"
+# Exact decimal dot-product fold over two array<float> columns.
+_DOT_FOLD = (
+    "CAST(round(aggregate("
+    "zip_with({a}, {b}, (x, y) -> "
+    "CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,16))), "
+    "CAST(0 AS DECIMAL(38,16)), "
+    # decimal addition widens precision by 1, so the merge result must
+    # be cast back to the accumulator type (exact at our magnitudes)
+    "(acc, t) -> CAST(acc + t AS DECIMAL(38,16))), 12) AS DOUBLE)"
+)
 
 
-def _unnested(df: DataFrame, id_alias: str, val_alias: str) -> DataFrame:
-    return df.select(
-        F.col("vec_id").alias(id_alias),
-        F.posexplode("embedding").alias("pos", val_alias),
-    )
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(_DOT_FOLD.format(a=a, b=b))
+
+
+def _norm(col: str) -> F.Column:
+    return F.sqrt(_dot(col, col))
 
 
 def vector_norms(embeddings: DataFrame) -> DataFrame:
     """(vec_id, nrm): deterministic L2 norm per vector."""
-    un = _unnested(embeddings, "vec_id", "v")
-    return un.groupBy("vec_id").agg(
-        F.sqrt(
-            F.round(F.sum(F.expr(_TERM.format(a="v", b="v"))), 12).cast("double")
-        ).alias("nrm")
+    return embeddings.select("vec_id", _norm("embedding").alias("nrm"))
+
+
+def _scored_pairs(
+    left: DataFrame, right: DataFrame, on: list[str] | None
+) -> DataFrame:
+    """Join vector rows and score with the in-row cosine fold. Both
+    inputs carry (<id alias>, <emb alias>, <pre-computed norm>)."""
+    joined = (
+        left.crossJoin(right) if not on else left.join(right, on)
+    )
+    return joined.withColumn(
+        "cosine",
+        F.round(_dot("q_emb", "c_emb") / (F.col("qn") * F.col("cn")), 6),
     )
 
 
@@ -62,80 +86,26 @@ def cosine_topk(
     search against the full table, excluding self).
     Output: (q_id, c_id, cosine, rank), rank 1..k per query.
     """
-    queries = embeddings.filter(query_filter)
-    qe = _unnested(queries, "q_id", "qv")
-    ce = _unnested(embeddings, "c_id", "cv")
-    dots = (
-        qe.join(ce, "pos")
-        .groupBy("q_id", "c_id")
-        .agg(
-            F.round(F.sum(F.expr(_TERM.format(a="qv", b="cv"))), 12)
-            .cast("double")
-            .alias("dot")
+    queries = F.broadcast(
+        embeddings.filter(query_filter).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm("embedding").alias("qn"),
         )
     )
-    norms = vector_norms(embeddings)
-    qn = norms.select(F.col("vec_id").alias("q_id"), F.col("nrm").alias("qn"))
-    cn = norms.select(F.col("vec_id").alias("c_id"), F.col("nrm").alias("cn"))
-    scored = (
-        dots.filter(F.col("q_id") != F.col("c_id"))
-        .join(F.broadcast(qn), "q_id")
-        .join(F.broadcast(cn), "c_id")
-        .withColumn("cosine", F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6))
+    cands = embeddings.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm("embedding").alias("cn"),
+    )
+    scored = _scored_pairs(cands, queries, on=None).filter(
+        F.col("q_id") != F.col("c_id")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine", "rank")
-    )
-
-
-def cosine_near_dup_pairs(
-    embeddings: DataFrame,
-    *,
-    threshold: float = 0.4,
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, sign-bucketed.
-
-    All same-bucket vector pairs with rounded cosine >= threshold.
-    The bucket restriction is the scale lever (candidates ~ n^2 / 2^k
-    per bucket, shuffle key = bucket); recall is bucket-bounded and
-    deterministic, with brute-force ``cosine_topk`` as the exact
-    reference. Output: (vec_id_1, vec_id_2, bucket, cosine).
-    """
-    bucketed = embeddings.withColumn("bucket", sign_bucket())
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_id_1"),
-        F.col("bucket"),
-        F.posexplode("embedding").alias("pos", "v1"),
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_id_2"),
-        F.col("bucket"),
-        F.posexplode("embedding").alias("pos", "v2"),
-    )
-    dots = (
-        a.join(b, ["bucket", "pos"])
-        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
-        .groupBy("bucket", "vec_id_1", "vec_id_2")
-        .agg(
-            F.round(F.sum(F.expr(_TERM.format(a="v1", b="v2"))), 12)
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    norms = vector_norms(embeddings)
-    n1 = norms.select(F.col("vec_id").alias("vec_id_1"), F.col("nrm").alias("nrm1"))
-    n2 = norms.select(F.col("vec_id").alias("vec_id_2"), F.col("nrm").alias("nrm2"))
-    return (
-        dots.join(F.broadcast(n1), "vec_id_1")
-        .join(F.broadcast(n2), "vec_id_2")
-        .withColumn(
-            "cosine", F.round(F.col("dot") / (F.col("nrm1") * F.col("nrm2")), 6)
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_id_1", "vec_id_2", "bucket", "cosine")
     )
 
 
@@ -164,38 +134,63 @@ def ivf_topk(
     cosine_topk is the exact reference. Output adds the bucket id.
     """
     bucketed = embeddings.withColumn("bucket", sign_bucket())
-    queries = bucketed.filter(query_filter)
-    qe = queries.select(
+    queries = bucketed.filter(query_filter).select(
         F.col("vec_id").alias("q_id"),
         F.col("bucket"),
-        F.posexplode("embedding").alias("pos", "qv"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("qn"),
     )
-    ce = bucketed.select(
+    cands = bucketed.select(
         F.col("vec_id").alias("c_id"),
         F.col("bucket"),
-        F.posexplode("embedding").alias("pos", "cv"),
+        F.col("embedding").alias("c_emb"),
+        _norm("embedding").alias("cn"),
     )
-    dots = (
-        qe.join(ce, ["bucket", "pos"])
-        .groupBy("bucket", "q_id", "c_id")
-        .agg(
-            F.round(F.sum(F.expr(_TERM.format(a="qv", b="cv"))), 12)
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    norms = vector_norms(embeddings)
-    qn = norms.select(F.col("vec_id").alias("q_id"), F.col("nrm").alias("qn"))
-    cn = norms.select(F.col("vec_id").alias("c_id"), F.col("nrm").alias("cn"))
-    scored = (
-        dots.filter(F.col("q_id") != F.col("c_id"))
-        .join(F.broadcast(qn), "q_id")
-        .join(F.broadcast(cn), "c_id")
-        .withColumn("cosine", F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6))
+    scored = _scored_pairs(cands, F.broadcast(queries), on=["bucket"]).filter(
+        F.col("q_id") != F.col("c_id")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "bucket", "cosine", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sign-bucketed.
+
+    All same-bucket vector pairs with rounded cosine >= threshold.
+    The bucket restriction is the scale lever (candidates ~ n^2 / 2^k
+    per bucket, shuffle key = bucket); recall is bucket-bounded and
+    deterministic, with brute-force ``cosine_topk`` as the exact
+    reference. Output: (vec_id_1, vec_id_2, bucket, cosine).
+    """
+    bucketed = embeddings.withColumn("bucket", sign_bucket())
+    a = bucketed.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("bucket"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("qn"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("bucket"),
+        F.col("embedding").alias("c_emb"),
+        _norm("embedding").alias("cn"),
+    )
+    return (
+        _scored_pairs(a, b, on=["bucket"])
+        .filter(F.col("q_id") < F.col("c_id"))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("q_id").alias("vec_id_1"),
+            F.col("c_id").alias("vec_id_2"),
+            "bucket",
+            "cosine",
+        )
     )
