@@ -26,17 +26,26 @@ BENCH_QUERIES = (
     "ctr_hourly",
     "engagement_hourly",
     "anomaly_alerts",
+    "events_json_stats",
     "user_sessions",
     "sliding_event_counts",
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
     "top_orders_per_customer",
+    "urgent_undelivered",
+    "above_average_orders",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "simhash_signatures",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_quality",
+    "lang_id_confusion",
+    "multimodal_decode",
 )
 
 
