@@ -157,6 +157,59 @@ def ivf_topk(
     )
 
 
+def cosine_topk_vectorized(
+    embeddings: DataFrame,
+    *,
+    query_filter,
+    k: int = 10,
+) -> DataFrame:
+    """Production-scale brute-force top-k: Arrow-batched NumPy matmul.
+
+    The query set (a small explicit batch, as in any k-NN serving or
+    eval workload) is collected and broadcast as a normalized matrix;
+    candidates stream through ``mapInPandas``, each Arrow batch scored
+    with one BLAS matmul. ~vector-width times faster than per-element
+    SQL folds and the pattern that actually runs at 100 TB (the decimal
+    ``cosine_topk`` stays as the oracle-provable reference; this one's
+    float64 results agree to ~1e-12, asserted by tests).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = embeddings.filter(query_filter).select("vec_id", "embedding").collect()
+    if not rows:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], "q_id long, c_id long, cosine double, rank long"
+        )
+    q_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    q = np.array([r.embedding for r in rows], dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    bq = embeddings.sparkSession.sparkContext.broadcast((q_ids, qn))
+
+    def score(batches):
+        ids, qmat = bq.value
+        for pdf in batches:
+            cand = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cand /= np.linalg.norm(cand, axis=1, keepdims=True)
+            sims = qmat @ cand.T  # (n_queries, batch)
+            c_ids = pdf["vec_id"].to_numpy()
+            for qi, qid in enumerate(ids):
+                yield pd.DataFrame(
+                    {"q_id": qid, "c_id": c_ids, "cosine": sims[qi]}
+                )
+
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(
+        score, "q_id long, c_id long, cosine double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     *,

@@ -25,6 +25,35 @@ def _with_event_time(df: DataFrame, ts_col: str, out_col: str, watermark: str | 
     return out
 
 
+def decode_json_value(
+    raw: DataFrame,
+    schema: T.StructType,
+    *,
+    ts_col: str = "event_timestamp",
+    event_time_col: str = "event_time",
+    watermark: str | None = "5 seconds",
+) -> DataFrame:
+    """Kafka-wire decode: binary ``value`` column -> typed rows.
+
+    ``from_json`` in default PERMISSIVE mode nulls malformed records
+    (the reference's `json.ignore-parse-errors=true`,
+    flink_job.sql:22); rows that fail to parse entirely are dropped,
+    matching Flink's drop behavior. Shared by the Kafka stream and the
+    broker-less tests (tests/test_kafka_decode.py), so the parse logic
+    is exercised even without a broker.
+    """
+    parsed = (
+        raw.select(F.from_json(F.col("value").cast("string"), schema).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select("e.*")
+        # PERMISSIVE mode yields an all-null ROW (not a null struct)
+        # for malformed input; requiring the event-time field drops
+        # those, matching Flink's ignore-parse-errors record drop.
+        .filter(F.col(ts_col).isNotNull())
+    )
+    return _with_event_time(parsed, ts_col, event_time_col, watermark)
+
+
 def kafka_json_stream(
     spark: SparkSession,
     *,
@@ -36,13 +65,7 @@ def kafka_json_stream(
     event_time_col: str = "event_time",
     watermark: str | None = "5 seconds",
 ) -> DataFrame:
-    """Kafka topic -> typed stream, lenient JSON parse.
-
-    ``from_json`` in default PERMISSIVE mode nulls malformed records
-    (the reference's `json.ignore-parse-errors=true`,
-    flink_job.sql:22); rows that fail to parse entirely are dropped,
-    matching Flink's drop behavior.
-    """
+    """Kafka topic -> typed stream, lenient JSON parse (S1-S4)."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -50,10 +73,10 @@ def kafka_json_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("e")
-    ).filter(F.col("e").isNotNull()).select("e.*")
-    return _with_event_time(parsed, ts_col, event_time_col, watermark)
+    return decode_json_value(
+        raw, schema, ts_col=ts_col, event_time_col=event_time_col,
+        watermark=watermark,
+    )
 
 
 def file_event_stream(

@@ -1,0 +1,66 @@
+"""Salted-join equivalence and vectorized-ANN agreement tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ad_analytics_spark.functions.skew import salted_join
+from flink_ad_analytics_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_vectorized,
+)
+from tests.conftest import SF_CORRECT
+
+
+def test_salted_join_equals_plain_join(spark):
+    """On a deliberately skewed workload (90% of rows on one key) the
+    salted join must return exactly the plain join's result."""
+    large = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0))  # hot key 0: 90% of rows
+        .otherwise((F.col("id") % 100).cast("long"))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim_val")
+    )
+    plain = large.join(small, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+    )
+    salted = salted_join(large, small, "k", n_salts=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+    # left join preserves unmatched large rows
+    large2 = large.withColumn("k", F.col("k") + 1000)  # no matches
+    left = salted_join(large2, small, "k", n_salts=4, how="left")
+    assert left.count() == large2.count()
+    assert left.filter(F.col("dim_val").isNotNull()).count() == 0
+
+
+def test_vectorized_topk_agrees_with_exact(spark):
+    """The NumPy-matmul path must agree with the decimal-exact
+    reference: same neighbor sets, cosines within 1e-9."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    exact = {
+        (r.q_id, r.c_id): r.cosine
+        for r in cosine_topk(emb, query_filter=F.col("vec_id") < 10, k=5).collect()
+    }
+    fast = {
+        (r.q_id, r.c_id): r.cosine
+        for r in cosine_topk_vectorized(
+            emb, query_filter=F.col("vec_id") < 10, k=5
+        ).collect()
+    }
+    assert set(exact) == set(fast)
+    # the exact path rounds to 6dp; the raw float64 result must sit
+    # within that rounding granularity
+    for key, v in exact.items():
+        assert fast[key] == pytest.approx(v, abs=6e-7)
+
+
+def test_vectorized_topk_empty_queries(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    out = cosine_topk_vectorized(emb, query_filter=F.col("vec_id") < -1, k=5)
+    assert out.count() == 0
