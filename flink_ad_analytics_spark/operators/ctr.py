@@ -32,17 +32,15 @@ Scale notes:
   (partial/final) plan -- map-side partial aggregation bounds shuffle
   volume.
 * Streaming: COUNT(DISTINCT) is unsupported in Structured Streaming;
-  ``streaming=True`` applies the dedup-before-aggregate rewrite from
-  plans/rewrites.py, which is exactly equivalent here because after
-  per-side dedup each surviving joined row is a distinct
-  (impression, click) pair.
+  the streaming counterpart (streaming/jobs.py) decomposes the plan
+  into dedup-within-watermark impression counts LEFT-JOINed with
+  interval-join click counts, proven equal to this batch spec by
+  tests/test_streaming.py.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
-
-from ..plans.rewrites import dedup_within_watermark
 
 
 def attribute_clicks(
@@ -89,23 +87,17 @@ def ctr_windows(
     click_time: str = "click_time",
     window: str = "1 minute",
     band: str = "10 minutes",
-    streaming: bool = False,
-    watermark: str = "5 seconds",
 ) -> DataFrame:
-    """Tumbling-window CTR per (window, group_key).
+    """Tumbling-window CTR per (window, group_key) -- the batch form
+    and SEMANTIC SPEC. The streaming counterpart (Structured Streaming
+    forbids countDistinct) is ``streaming.jobs.streaming_ctr_windows``,
+    a dedup-decomposed plan proven equal to this one by
+    tests/test_streaming.py.
 
     Output columns: window_start, window_end, <group_key>,
     impression_count, click_count, ctr -- matching the reference sink
     schema (flink_job.sql:44-57).
     """
-    if streaming:
-        # Streaming rewrite (SURVEY.md §7.4#1): dedupe ids within the
-        # watermark before the join, then plain count() replaces
-        # countDistinct(). Also attaches watermarks, which the
-        # stream-stream outer join requires.
-        impressions = dedup_within_watermark(impressions, [imp_id], imp_time, watermark)
-        clicks = dedup_within_watermark(clicks, [click_id], click_time, watermark)
-
     joined = attribute_clicks(
         impressions,
         clicks,
@@ -116,21 +108,13 @@ def ctr_windows(
         band=band,
     )
 
-    grouped = joined.groupBy(
+    agg = joined.groupBy(
         F.window(F.col(f"i.{imp_time}"), window).alias("w"),
         F.col(f"i.{group_key}").alias(group_key),
+    ).agg(
+        F.countDistinct(F.col(f"i.{imp_id}")).alias("impression_count"),
+        F.countDistinct(F.col(f"c.{click_id}")).alias("click_count"),
     )
-    if streaming:
-        # count(col) skips NULLs -> unmatched impressions add 0 clicks.
-        agg = grouped.agg(
-            F.count(F.col(f"i.{imp_id}")).alias("impression_count"),
-            F.count(F.col(f"c.{click_id}")).alias("click_count"),
-        )
-    else:
-        agg = grouped.agg(
-            F.countDistinct(F.col(f"i.{imp_id}")).alias("impression_count"),
-            F.countDistinct(F.col(f"c.{click_id}")).alias("click_count"),
-        )
 
     # CASE WHEN imps > 0 THEN clicks/imps ELSE 0.0 (flink_job.sql:87-90).
     ctr = F.when(

@@ -184,7 +184,13 @@ def minhash_signatures(
             for j in range(N_MINHASHES)
         ],
     )
-    hashed = posting.join(uniq, "shingle")
+    # shuffle-hash, never broadcast: the posting side's size estimate
+    # is bogus (generate output), which can make Catalyst broadcast
+    # MILLIONS of posting rows and OOM the driver; and the vocabulary
+    # side, while smaller, is unbounded at corpus scale. Building the
+    # hash table from the (hinted) vocabulary side is right at every
+    # scale.
+    hashed = posting.join(uniq.hint("shuffle_hash"), "shingle")
     aggs = [F.min(F.col(f"h_{j}")).alias(f"mh_{j}") for j in range(N_MINHASHES)]
     return hashed.groupBy(id_col).agg(*aggs)
 

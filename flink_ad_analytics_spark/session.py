@@ -61,6 +61,10 @@ ENGINE_BUILD_CONF = {
     # locally; RocksDB provider is configured by streaming jobs that
     # need large state (see streaming/jobs.py).
     "spark.sql.shuffle.partitions": "32",
+    # local-mode: driver == executor JVM; the 1g default heap dies on
+    # any serious shuffle. (Cluster deployments size executors via
+    # their own submit config -- this only affects sessions we build.)
+    "spark.driver.memory": "12g",
 }
 
 
