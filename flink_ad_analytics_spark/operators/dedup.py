@@ -91,10 +91,18 @@ def doc_shingles(
       parallelism when the input arrives in few large files and (b) is
       exactly the partitioning the downstream per-doc aggregations
       (minhash groupBy) need, so no second shuffle happens.
+
+    The partition count is pinned explicitly (defaultParallelism):
+    AQE sizes exchanges by shuffled BYTES, and a 5k-doc input is
+    few-MB, so it would coalesce to 1-2 tasks -- blind to the ~60x
+    explode + hash fan-out every consumer of this exchange runs above
+    it. Pinning keeps one task per core; at lake scale the same pin is
+    simply the cluster's parallelism.
     """
     ws = _TOKENIZE.format(col=text_col)
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
     toks = docs.select(F.col(id_col), F.expr(ws).alias("ws")).repartition(
-        F.col(id_col)
+        n_part, F.col(id_col)
     )
     sh = _SHINGLES.format(ws="ws")
     return toks.select(
@@ -177,7 +185,12 @@ def minhash_signatures(
 
     sh = doc_shingles(docs, id_col, text_col)
     posting = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    uniq = posting.select("shingle").distinct().select(
+    # The pinned repartition (same rationale as doc_shingles: AQE would
+    # coalesce the small vocabulary exchange to ~1 task, serializing
+    # the 16 md5s/shingle computed in the projection above it) also
+    # pre-partitions the vocabulary on the join key.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    uniq = posting.select("shingle").distinct().repartition(n_part, "shingle").select(
         "shingle",
         *[
             hex_minhash_term(F.col("shingle"), j).alias(f"h_{j}")

@@ -51,6 +51,21 @@ def _dot(a: str, b: str) -> F.Column:
     return F.expr(_DOT_FOLD.format(a=a, b=b))
 
 
+# Plain double fold: same terms, sequential IEEE adds. Not
+# order-independent across engines (so never used for final scores),
+# but within 64 dims its error vs the exact decimal fold is
+# < dims * ulp -- orders of magnitude inside the 1e-5 prefilter margin.
+_DOT_FAST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+)
+
+
+def _dot_fast(a: str, b: str) -> F.Column:
+    return F.expr(_DOT_FAST.format(a=a, b=b))
+
+
 def _norm(col: str) -> F.Column:
     return F.sqrt(_dot(col, col))
 
@@ -223,22 +238,51 @@ def cosine_near_dup_pairs(
     deterministic, with brute-force ``cosine_topk`` as the exact
     reference. Output: (vec_id_1, vec_id_2, bucket, cosine).
     """
+    n_salts = 4
+    n_part = 2 ** IVF_SIGN_DIMS * n_salts
     bucketed = embeddings.withColumn("bucket", sign_bucket())
+    # Two scale levers on the candidate join:
+    # * salting -- sign buckets are skewed (clustered corpora pile into
+    #   few sign patterns), and a bucket's cost grows as n_b^2; the
+    #   q-side scatters each bucket across n_salts deterministic
+    #   sub-keys, the c-side replicates once per salt, so one hot
+    #   bucket becomes n_salts tasks (pair set unchanged).
+    # * explicit numPartitions pins the exchange: AQE sees a few-MB
+    #   shuffle and would coalesce to one partition -- size-blind to
+    #   the O(n_b^2) compute the join FANS OUT above it, which would
+    #   serialize the scoring.
     a = bucketed.select(
         F.col("vec_id").alias("q_id"),
         F.col("bucket"),
         F.col("embedding").alias("q_emb"),
         _norm("embedding").alias("qn"),
-    )
+        (F.col("vec_id") % n_salts).cast("int").alias("__salt"),
+    ).repartition(n_part, "bucket", "__salt")
     b = bucketed.select(
         F.col("vec_id").alias("c_id"),
         F.col("bucket"),
         F.col("embedding").alias("c_emb"),
         _norm("embedding").alias("cn"),
-    )
-    return (
-        _scored_pairs(a, b, on=["bucket"])
+    ).withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    ).repartition(n_part, "bucket", "__salt")
+    cand = (
+        a.join(b, on=["bucket", "__salt"])
         .filter(F.col("q_id") < F.col("c_id"))
+        .drop("__salt")
+    )
+    # Cheap double-precision prescreen: the exact (decimal-fold) score
+    # is only computed for pairs within 1e-5 of the threshold; the
+    # final filter re-applies the exact rounded cosine, so results are
+    # bit-identical to the unprescreened plan. At near-dup thresholds
+    # this removes the decimal arithmetic from ~all candidate pairs.
+    approx = _dot_fast("q_emb", "c_emb") / (F.col("qn") * F.col("cn"))
+    cand = cand.filter(approx >= F.lit(threshold - 1e-5))
+    return (
+        cand.withColumn(
+            "cosine",
+            F.round(_dot("q_emb", "c_emb") / (F.col("qn") * F.col("cn")), 6),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col("q_id").alias("vec_id_1"),
