@@ -29,6 +29,7 @@ BENCH_QUERIES = (
     "events_json_stats",
     "user_sessions",
     "sliding_event_counts",
+    "campaign_spend",
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",

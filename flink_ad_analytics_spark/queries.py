@@ -383,6 +383,38 @@ FROM counts n JOIN spend s USING (window_start, campaign_id)
 # ---------------------------------------------------------------------------
 
 
+def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation: ROLLUP over (status, priority) with
+    per-level totals and a grouping id (SURVEY.md §2.7 notes the
+    reference has no grouping sets; this is the standard-surface
+    entry).
+
+    Scale: rollup executes as a single Expand + hash aggregate -- one
+    scan, one shuffle, rows multiplied only by the 3 grouping levels;
+    map-side partial aggregation bounds the shuffle as usual.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("total_price"),
+            F.grouping_id().cast("long").alias("lvl"),
+        )
+    )
+
+
+ORDER_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS total_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: multi-aggregate scan + group.
 
@@ -735,6 +767,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "user_sessions": (q_user_sessions, USER_SESSIONS_SQL),
     "sliding_event_counts": (q_sliding_event_counts, SLIDING_EVENT_COUNTS_SQL),
     "campaign_spend": (q_campaign_spend, CAMPAIGN_SPEND_SQL),
+    "order_rollup": (q_order_rollup, ORDER_ROLLUP_SQL),
     "pricing_summary": (q_pricing_summary, PRICING_SUMMARY_SQL),
     "shipping_priority": (q_shipping_priority, SHIPPING_PRIORITY_SQL),
     "local_supplier_volume": (q_local_supplier_volume, LOCAL_SUPPLIER_VOLUME_SQL),
