@@ -30,6 +30,7 @@ BENCH_QUERIES = (
     "user_sessions",
     "sliding_event_counts",
     "campaign_spend",
+    "order_rollup",
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",

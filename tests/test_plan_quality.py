@@ -96,3 +96,16 @@ def test_exchange_reuse_in_lsh_self_join(spark):
     plan = plan_of(minhash_lsh_pairs(docs), "formatted")
     # ReusedExchange appears when the band subtree is shared
     assert "ReusedExchange" in plan or plan.count("Generate explode") <= 4
+
+
+def test_rollup_single_expand_single_shuffle(spark):
+    """ROLLUP must execute as one Expand feeding one hash aggregate
+    pair -- a single shuffle whose volume is bounded by map-side
+    partial aggregation, not one scan per grouping level."""
+    from flink_ad_analytics_spark.queries import q_order_rollup
+
+    plan = plan_of(q_order_rollup(spark, SF_CORRECT), "simple")
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1  # one scan serves all 3 levels
+    # exactly one exchange between partial and final aggregates
+    assert plan.count("Exchange") == 1
