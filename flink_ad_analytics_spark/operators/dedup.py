@@ -125,22 +125,27 @@ def ngram_jaccard_pairs(
     integer counts -- bit-identical across engines.
 
     ``max_shingle_df`` drops shingles appearing in more than N docs
-    before the self-join (stop-shingle pruning). Pruning changes
-    recall, so the default (None) keeps exact semantics; at 100 TB set
-    a cap and let MinHash-LSH be the primary path.
+    before the self-join (stop-shingle pruning). Set sizes |A|, |B| are
+    always taken from the UNPRUNED shingle sets, so pruning only
+    under-counts the intersection: scores can only shrink (no false
+    positives), i.e. pruning trades recall, never precision. The
+    default (None) keeps exact semantics; at 100 TB set a cap and let
+    MinHash-LSH be the primary path.
     """
     sh = doc_shingles(docs, id_col, text_col)
     posting = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    # set sizes by counting UNPRUNED postings: reuses the doc-id
+    # partitioning from doc_shingles (no extra shuffle), avoids a
+    # size(...) column whose defining expression Catalyst would
+    # duplicate, and keeps |A|,|B| exact even under stop-shingle
+    # pruning (only the intersection is approximated).
+    sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     if max_shingle_df is not None:
         freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         posting = posting.join(
             F.broadcast(freq.filter(F.col("df") <= max_shingle_df).select("shingle")),
             "shingle",
         )
-    # set sizes by counting postings: reuses the doc-id partitioning
-    # from doc_shingles (no extra shuffle), and avoids a size(...)
-    # column whose defining expression Catalyst would duplicate
-    sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = posting.select(F.col(id_col).alias("doc_id_1"), "shingle")
     b = posting.select(F.col(id_col).alias("doc_id_2"), "shingle")
     pairs = (
@@ -381,6 +386,6 @@ def simhash_pairs(
             "doc_id_2",
             F.expr("bit_count(s1 ^ s2)").alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

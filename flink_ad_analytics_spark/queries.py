@@ -657,8 +657,8 @@ def q_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORDER_PRIORITY_PIVOT_SQL = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
        COUNT(*) AS n_orders,
-       SUM(CASE WHEN substr(o_orderpriority, 1, 1) = '1' THEN 1 ELSE 0 END) AS n_urgent,
-       SUM(CASE WHEN substr(o_orderpriority, 1, 1) = '2' THEN 1 ELSE 0 END) AS n_high,
+       CAST(SUM(CASE WHEN substr(o_orderpriority, 1, 1) = '1' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(SUM(CASE WHEN substr(o_orderpriority, 1, 1) = '2' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY 1, 2

@@ -16,11 +16,12 @@ Structured Streaming forbids countDistinct, so the plan is decomposed
 * impression_count is exact: ids deduped within the watermark, then a
   plain count -- no join fan-out can inflate it (the Flink bug the
   reference hit, README.md:127, is structurally impossible here).
-* click_count is exact under the reference's FK model (click ->
-  exactly one impression): after click-side dedup, every inner-join
-  output row is a distinct click. (With a non-FK join key a click
-  matching k impressions counts k times; the batch spec counts it
-  once. Documented divergence; the reference workload has the FK.)
+* click_count is exact in both key regimes: under the reference's FK
+  model (click -> exactly one impression) every inner-join output row
+  is already a distinct click; with a non-FK join key (e.g. user_id) a
+  click matching k impressions would fan out k times, so the plan
+  inserts a dedup-within-watermark on (window, group, click_id) -- the
+  exact grain of the batch spec's countDistinct -- before counting.
 * unmatched windows get click_count 0 via the outer join + coalesce,
   preserving the LEFT-join "unmatched impression still counts"
   semantics.
@@ -76,13 +77,25 @@ def streaming_ctr_windows(
         f"i.{key} = c.{key} AND c.{click_time} >= i.{imp_time} "
         f"AND c.{click_time} <= i.{imp_time} + interval {band}"
     )
-    click_counts = (
-        i.join(c, cond, "inner")
-        .groupBy(
-            F.window(F.col(f"i.{imp_time}"), window).alias("w"),
-            F.col(f"i.{group_key}").alias(group_key),
-        )
-        .agg(F.count(F.col(f"c.{click_id}")).alias("click_count"))
+    # NOTE: the window struct carries the event-time metadata; the raw
+    # imp_time column must NOT survive alongside it (two event-time
+    # columns in one stream is an analysis error once a stateful op
+    # consumes the frame).
+    matched = i.join(c, cond, "inner").select(
+        F.window(F.col(f"i.{imp_time}"), window).alias("w"),
+        F.col(f"i.{group_key}").alias(group_key),
+        F.col(f"c.{click_id}").alias(click_id),
+    )
+    if key != imp_id:
+        # Non-FK join key (e.g. user_id): one click can match k
+        # impressions, and the batch spec (countDistinct(click_id) per
+        # window/group) counts it once per (window, group), not k
+        # times. Dedup the join fan-out on exactly that grain before
+        # counting. Under the FK (key == imp_id) every joined row is
+        # already a distinct click, so the extra stateful op is skipped.
+        matched = matched.dropDuplicatesWithinWatermark(["w", group_key, click_id])
+    click_counts = matched.groupBy("w", group_key).agg(
+        F.count(F.col(click_id)).alias("click_count")
     )
 
     joined = imp_counts.join(click_counts, ["w", group_key], "left")

@@ -49,5 +49,12 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "que
     assert list(actual.columns) == list(expected.columns), (
         f"{name}: columns {list(actual.columns)} != oracle {list(expected.columns)}"
     )
+    # The driver's hash gate is dtype-sensitive (a DuckDB HUGEINT fetched
+    # as float64 hashes differently from Spark's int64 even when every
+    # value matches -- the round-1 order_priority_pivot miss). Mirror that
+    # strictness: normalized dtypes must agree exactly.
+    assert list(actual.dtypes) == list(expected.dtypes), (
+        f"{name}: dtypes {dict(actual.dtypes)} != oracle {dict(expected.dtypes)}"
+    )
     pd.testing.assert_frame_equal(actual, expected, check_dtype=False, check_exact=True,
                                   obj=name)
