@@ -46,6 +46,7 @@ BENCH_QUERIES = (
     "local_supplier_volume",
     "top_orders_per_customer",
     "nation_coverage",
+    "nation_revenue_salted",
     "order_priority_pivot",
     "urgent_undelivered",
     "customers_without_orders",
@@ -57,6 +58,7 @@ BENCH_QUERIES = (
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
+    "ann_topk_vectorized",
     "ann_ivf_topk",
     "text_quality",
     "lang_id_confusion",

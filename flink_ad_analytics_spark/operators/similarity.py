@@ -210,6 +210,7 @@ def cosine_topk_vectorized(
     *,
     query_filter,
     k: int = 10,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Production-scale brute-force top-k: Arrow-batched NumPy matmul.
 
@@ -220,6 +221,12 @@ def cosine_topk_vectorized(
     SQL folds and the pattern that actually runs at 100 TB (the decimal
     ``cosine_topk`` stays as the oracle-provable reference; this one's
     float64 results agree to ~1e-12, asserted by tests).
+
+    ``round_to``: round cosines to N decimals BEFORE ranking (ties
+    then broken by c_id). With N=6 the output is comparable across
+    engines -- float64 scoring noise (~1e-12) only shows if a value
+    sits within it of a rounding boundary -- which is what lets this
+    production path carry its own DuckDB oracle entry.
     """
     import numpy as np
     import pandas as pd
@@ -250,6 +257,8 @@ def cosine_topk_vectorized(
     scored = embeddings.select("vec_id", "embedding").mapInPandas(
         score, "q_id long, c_id long, cosine double"
     )
+    if round_to is not None:
+        scored = scored.withColumn("cosine", F.round(F.col("cosine"), round_to))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
         scored.filter(F.col("q_id") != F.col("c_id"))

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .functions.skew import salted_join
 from .operators.anomaly import detect_anomalies
 from .operators.ctr import ctr_windows
 from .operators.engagement import engagement_windows
@@ -664,6 +665,56 @@ FROM orders
 GROUP BY 1, 2
 """
 
+def q_nation_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per supplier nation through an explicitly SALTED join
+    (functions/skew.py:salted_join): the large fact side scatters each
+    supplier key across 8 sub-keys, the supplier side is replicated 8x,
+    and the join key becomes (key, salt).
+
+    Results are identical to the unsalted join -- the oracle is the
+    plain SQL join -- which is exactly the property that makes salting
+    safe to reach for when one key is hot AND the small side is too
+    big to broadcast AND AQE's byte-based skew split can't see the
+    downstream compute fan-out. This entry keeps the engine's skew
+    path reachable and oracle-checked; at these SFs the unsalted
+    broadcast plan (local_supplier_volume) is what you'd actually run.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)")
+               - F.col("l_discount").cast("decimal(18,6)"))
+        ),
+        4,
+    ).cast("double")
+    return (
+        salted_join(li, supp, "l_suppkey", n_salts=8)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+    )
+
+
+NATION_REVENUE_SALTED_SQL = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(18,6))
+                         - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def q_urgent_undelivered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join (EXISTS): urgent orders that have at least one late
     line item. Executes as a LeftSemi join -- no fan-out, no distinct
@@ -776,6 +827,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
         TOP_ORDERS_PER_CUSTOMER_SQL,
     ),
     "nation_coverage": (q_nation_coverage, NATION_COVERAGE_SQL),
+    "nation_revenue_salted": (q_nation_revenue_salted, NATION_REVENUE_SALTED_SQL),
     "order_priority_pivot": (q_order_priority_pivot, ORDER_PRIORITY_PIVOT_SQL),
     "urgent_undelivered": (q_urgent_undelivered, URGENT_UNDELIVERED_SQL),
     "customers_without_orders": (

@@ -33,6 +33,7 @@ from .operators.similarity import (
     IVF_SIGN_DIMS,
     cosine_near_dup_pairs,
     cosine_topk,
+    cosine_topk_vectorized,
     ivf_topk,
 )
 from .operators.text import LANG_MARKERS, STOPWORDS, lang_id, text_features
@@ -227,6 +228,19 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
       FROM scored)
 WHERE rank <= 10
 """
+
+def q_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production brute-force path: Arrow ``mapInPandas`` + BLAS matmul
+    (operators/similarity.py:cosine_topk_vectorized). Ranks from
+    6dp-rounded cosines so the decimal-exact oracle (same SQL family
+    as ann_cosine_topk) compares value-exactly; agreement with the
+    decimal path is additionally asserted by
+    tests/test_skew_and_vectorized.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_vectorized(
+        emb, query_filter=F.col("vec_id") < 20, k=10, round_to=6
+    )
+
 
 _BUCKET_SQL = " + ".join(
     f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
@@ -455,6 +469,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         DEDUP_EMBEDDING_COSINE_SQL,
     ),
     "ann_cosine_topk": (q_ann_cosine_topk, ANN_COSINE_TOPK_SQL),
+    "ann_topk_vectorized": (q_ann_topk_vectorized, ANN_COSINE_TOPK_SQL),
     "ann_ivf_topk": (q_ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "lang_id_confusion": (q_lang_id_confusion, _lang_id_oracle()),

@@ -88,12 +88,40 @@ def file_event_stream(
     event_time_col: str = "event_time",
     watermark: str | None = "5 seconds",
     max_files_per_trigger: int | None = 1,
+    starting_position: str = "earliest",
 ) -> DataFrame:
     """Parquet-directory stream with the same typed output as the
     Kafka path (used by tests; also the shape of a data-lake tailing
-    job in production)."""
+    job in production).
+
+    ``starting_position`` mirrors Kafka ``startingOffsets`` (S3/T10):
+    ``"earliest"`` consumes the pre-existing backlog (the reference
+    main job, flink_job.sql:23); ``"latest"`` skips files last
+    modified before this stream was DEFINED, so a late subscriber sees
+    only post-subscription data -- the file-source analogue of the
+    anomaly job's ``scan.startup.mode = latest-offset``
+    (anomaly_job.sql:27). The cutoff is evaluated per-file from the
+    ``_metadata.file_modification_time`` column, i.e. distributed, no
+    driver-side listing.
+    """
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(path)
+    if starting_position == "latest":
+        import datetime as _dt
+
+        cutoff = _dt.datetime.now(_dt.timezone.utc)
+        df = (
+            df.select(
+                "*",
+                F.col("_metadata.file_modification_time").alias("_file_mtime"),
+            )
+            .filter(F.col("_file_mtime") >= F.lit(cutoff))
+            .drop("_file_mtime")
+        )
+    elif starting_position != "earliest":
+        raise ValueError(
+            f"starting_position must be 'earliest' or 'latest', got {starting_position!r}"
+        )
     return _with_event_time(df, ts_col, event_time_col, watermark)

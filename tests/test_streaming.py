@@ -467,3 +467,73 @@ def test_dual_sink(spark, stream_fixture, tmp_path):
     b = spark.read.parquet(out_b)
     assert a.count() == b.count() > 0
     assert set(b.columns) == {"campaign_id", "n"}
+
+
+def test_latest_offset_skips_backlog(spark, tmp_path):
+    """T10/S3: a latest-position subscriber must skip the pre-existing
+    backlog and emit only post-subscription data -- the file-source
+    analogue of the anomaly job's `scan.startup.mode = latest-offset`
+    (/root/reference/flink/anomaly_job.sql:27)."""
+    import time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def imp_rows(prefix, n, t0):
+        return pd.DataFrame(
+            [
+                {"impression_id": f"{prefix}-{i}", "user_id": "u1",
+                 "campaign_id": prefix, "ad_id": "a", "device_type": "d",
+                 "browser": "b", "event_timestamp": t0 + i * 1000,
+                 "cost": 0.1}
+                for i in range(n)
+            ]
+        )
+
+    backlog_path = f"{src}/part-backlog.parquet"
+    imp_rows("old", 5, VIRTUAL_START_MS).to_parquet(backlog_path, index=False)
+    # Backdate the backlog so its mtime is unambiguously before the
+    # subscription cutoff even on coarse-mtime filesystems.
+    past = time.time() - 3600
+    os.utime(backlog_path, (past, past))
+
+    schema = spark.read.parquet(src).schema
+    stream = file_event_stream(
+        spark, src, schema, watermark=None, max_files_per_trigger=None,
+        starting_position="latest",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("latest_sub")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_latest"))
+        .start()
+    )
+    q.processAllAvailable()
+    # new data lands after subscription
+    imp_rows("new", 3, VIRTUAL_START_MS + 10_000_000).to_parquet(
+        f"{src}/part-new.parquet", index=False
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("latest_sub").select("campaign_id").distinct().collect()
+    assert {r.campaign_id for r in got} == {"new"}, (
+        "latest-offset subscriber must see only post-subscription files"
+    )
+
+    # control: an earliest subscriber on the same directory sees both
+    stream_e = file_event_stream(
+        spark, src, schema, watermark=None, max_files_per_trigger=None,
+        starting_position="earliest",
+    )
+    qe = (
+        stream_e.writeStream.format("memory")
+        .queryName("earliest_sub")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_earliest"))
+        .start()
+    )
+    qe.processAllAvailable()
+    qe.stop()
+    got_e = spark.table("earliest_sub").select("campaign_id").distinct().collect()
+    assert {r.campaign_id for r in got_e} == {"old", "new"}
