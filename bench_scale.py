@@ -1,11 +1,18 @@
 #!/usr/bin/env python3
-"""Scale smoke: the dedup/text pipeline on a synthetic corpus 20x the
-sf0.1 bench (100k docs, ~5% planted near-duplicates), generated into a
-temp dir as multiple parquet files (multi-partition input, like a real
-lake layout). Prints one JSON line with per-op seconds and the LSH
-recall against the planted-pair count.
+"""Scale curve for the dedup family: runs exact dedup, text features,
+MinHash-LSH, and SimHash over synthetic corpora at a sweep of sizes
+(default 12.5k/25k/50k/100k docs, ~5% planted near-duplicates) and
+prints ONE JSON line with, per size: op runtimes, LSH/SimHash
+CANDIDATE-pair counts (the scale-defining intermediates), verified
+pair counts, and LSH recall against the planted pairs.
 
-Usage: python3 bench_scale.py [n_docs]
+The "survives 100x" claim rests on these measurements: doubling n
+must grow candidates and runtime ~linearly (background collisions are
+rare at realistic vocabulary sizes), far below the n^2/2 all-pairs
+curve, which is also printed for contrast.
+
+Usage: python3 bench_scale.py [n_docs ...]   (sizes override the sweep)
+Writes the same payload to .benchmarks/scale_curve.json.
 """
 
 from __future__ import annotations
@@ -32,7 +39,7 @@ from flink_ad_analytics_spark.session import build_session  # noqa: E402
 VOCAB = [f"w{i:04d}" for i in range(2000)]
 
 
-def make_corpus(n_docs: int, seed: int = 42) -> tuple[pd.DataFrame, int]:
+def make_corpus(n_docs: int, seed: int = 42) -> tuple[pd.DataFrame, set]:
     rng = np.random.default_rng(seed)
     texts = [
         " ".join(rng.choice(VOCAB, size=rng.integers(40, 120)))
@@ -41,39 +48,35 @@ def make_corpus(n_docs: int, seed: int = 42) -> tuple[pd.DataFrame, int]:
     # plant near-dups: ~5% of docs get a copy with a few token edits
     n_pairs = n_docs // 20
     rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    planted = set()
     for k in range(n_pairs):
         src = rows[k]["text"].split()
         for _ in range(2):  # two point edits -> jaccard stays high
             src[rng.integers(0, len(src))] = rng.choice(VOCAB)
         rows.append({"doc_id": n_docs + k, "text": " ".join(src)})
+        planted.add((k, n_docs + k))
     df = pd.DataFrame(rows)
-    return df.sample(frac=1.0, random_state=seed).reset_index(drop=True), n_pairs
+    return df.sample(frac=1.0, random_state=seed).reset_index(drop=True), planted
 
 
-def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = build_session(
-        app_name="fas-scale-smoke", cpus=cpus, shuffle_partitions=2 * cpus,
-        extra_conf={"spark.ui.enabled": "false"},
+def run_size(spark, n_docs: int) -> dict:
+    from flink_ad_analytics_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_candidates,
+        minhash_lsh_pairs,
+        simhash_pairs,
     )
-    spark.sparkContext.setLogLevel("ERROR")
+    from flink_ad_analytics_spark.operators.text import text_features
+
     tmp = tempfile.mkdtemp(prefix="fas_scale_")
     try:
-        corpus, n_planted = make_corpus(n_docs)
+        corpus, planted = make_corpus(n_docs)
         files = 16
         for i in range(files):
-            corpus.iloc[i * len(corpus) // files : (i + 1) * len(corpus) // files].to_parquet(
-                f"{tmp}/part-{i:02d}.parquet", index=False
-            )
+            corpus.iloc[
+                i * len(corpus) // files : (i + 1) * len(corpus) // files
+            ].to_parquet(f"{tmp}/part-{i:02d}.parquet", index=False)
         docs = spark.read.parquet(tmp)
-
-        from flink_ad_analytics_spark.operators.dedup import (
-            exact_dedup,
-            minhash_lsh_pairs,
-            simhash_pairs,
-        )
-        from flink_ad_analytics_spark.operators.text import text_features
 
         timings: dict[str, float] = {}
 
@@ -85,28 +88,85 @@ def main() -> None:
 
         run("exact_dedup", lambda: exact_dedup(docs).count())
         run("text_quality", lambda: text_features(docs).count())
-        lsh_pairs = run(
-            "minhash_lsh", lambda: minhash_lsh_pairs(docs, threshold=0.5).count()
+        lsh_cands = run(
+            "lsh_candidates", lambda: minhash_lsh_candidates(docs).count()
+        )
+        lsh_found = run(
+            "minhash_lsh",
+            lambda: {
+                (r.doc_id_1, r.doc_id_2)
+                for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+            },
+        )
+        # max_hamming=64 keeps every chunk-collision pair -> candidates
+        sim_cands = run(
+            "simhash_candidates", lambda: simhash_pairs(docs, max_hamming=64).count()
         )
         sim_pairs = run("simhash_pairs", lambda: simhash_pairs(docs).count())
 
-        print(
-            json.dumps(
-                {
-                    "metric": "scale_smoke",
-                    "value": round(sum(timings.values()), 2),
-                    "unit": "sec",
-                    "n_docs": len(corpus),
-                    "planted_pairs": n_planted,
-                    "lsh_pairs_found": lsh_pairs,
-                    "simhash_pairs_found": sim_pairs,
-                    "ops": timings,
-                }
-            )
-        )
+        n = len(corpus)
+        return {
+            "n_docs": n,
+            "all_pairs": n * (n - 1) // 2,
+            "planted_pairs": len(planted),
+            "lsh_candidates": lsh_cands,
+            "lsh_pairs_found": len(lsh_found),
+            "lsh_recall": round(
+                len(lsh_found & planted) / max(1, len(planted)), 4
+            ),
+            "simhash_candidates": sim_cands,
+            "simhash_pairs_found": sim_pairs,
+            "ops": timings,
+            "total_sec": round(sum(timings.values()), 2),
+        }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        spark.stop()
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [12_500, 25_000, 50_000, 100_000]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(
+        app_name="fas-scale-curve", cpus=cpus, shuffle_partitions=2 * cpus,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    points = []
+    for n in sizes:
+        pt = run_size(spark, n)
+        points.append(pt)
+        print(json.dumps(pt), file=sys.stderr)
+
+    # growth factors between consecutive points: sub-quadratic means
+    # candidate/runtime factors track the size factor (~2x), not its
+    # square (~4x)
+    growth = []
+    for a, b in zip(points, points[1:]):
+        growth.append(
+            {
+                "size_factor": round(b["n_docs"] / a["n_docs"], 2),
+                "lsh_candidate_factor": round(
+                    b["lsh_candidates"] / max(1, a["lsh_candidates"]), 2
+                ),
+                "simhash_candidate_factor": round(
+                    b["simhash_candidates"] / max(1, a["simhash_candidates"]), 2
+                ),
+                "runtime_factor": round(b["total_sec"] / a["total_sec"], 2),
+            }
+        )
+    payload = {
+        "metric": "dedup_scale_curve",
+        "value": points[-1]["total_sec"],
+        "unit": "sec",
+        "points": points,
+        "growth": growth,
+    }
+    out = json.dumps(payload)
+    print(out)
+    os.makedirs(".benchmarks", exist_ok=True)
+    with open(".benchmarks/scale_curve.json", "w") as f:
+        f.write(out + "\n")
+    spark.stop()
 
 
 if __name__ == "__main__":

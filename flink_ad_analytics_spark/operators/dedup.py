@@ -213,22 +213,18 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_candidates(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    threshold: float = 0.2,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs, exact-Jaccard verified.
+    """Banded-LSH candidate pairs (doc_id_1, doc_id_2), unverified.
 
-    Banded LSH: docs agreeing on all 4 minhashes of any band become
-    candidates; candidates are verified with exact shingle Jaccard and
-    filtered at ``threshold``. Output = (doc_id_1, doc_id_2, jaccard).
-
-    NOTE: recall is the LSH s-curve's, not 1.0 -- pairs no band
-    catches are absent (deterministically, in engine and oracle both).
-    ngram_jaccard_pairs is the exhaustive-exact reference.
+    The scale-defining intermediate of MinHash-LSH: candidate volume
+    grows with per-band bucket collisions, not n^2. Exposed separately
+    so scale runs (bench_scale.py) can measure the candidate curve
+    directly.
     """
     sig = minhash_signatures(docs, id_col, text_col)
     # One pass over the signatures: explode an array of (band, key)
@@ -252,12 +248,32 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc_id_1"), "band", "band_key"
     )
     right = bands.select(F.col(id_col).alias("doc_id_2"), "band", "band_key")
-    candidates = (
+    return (
         left.join(right, ["band", "band_key"])
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
         .select("doc_id_1", "doc_id_2")
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, exact-Jaccard verified.
+
+    Banded LSH: docs agreeing on all 4 minhashes of any band become
+    candidates; candidates are verified with exact shingle Jaccard and
+    filtered at ``threshold``. Output = (doc_id_1, doc_id_2, jaccard).
+
+    NOTE: recall is the LSH s-curve's, not 1.0 -- pairs no band
+    catches are absent (deterministically, in engine and oracle both).
+    ngram_jaccard_pairs is the exhaustive-exact reference.
+    """
+    candidates = minhash_lsh_candidates(docs, id_col=id_col, text_col=text_col)
     sh = doc_shingles(docs, id_col, text_col)
     s1 = sh.select(F.col(id_col).alias("doc_id_1"), F.col("shingles").alias("sh1"))
     s2 = sh.select(F.col(id_col).alias("doc_id_2"), F.col("shingles").alias("sh2"))
@@ -343,6 +359,11 @@ def simhash_signatures(
     )
 
 
+SIMHASH_BLOCKS = 12  # 12 x 5-bit blocks cover the 60 signature bits
+SIMHASH_BLOCK_BITS = 5
+SIMHASH_GROUPS = 4  # blocks {3g,3g+1,3g+2}; tables = pairs within a group
+
+
 def simhash_pairs(
     docs: DataFrame,
     *,
@@ -352,34 +373,58 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded for scale.
 
-    Candidate generation joins on 8-bit signature chunks (two docs
-    within hamming ``max_hamming`` <= 7 MUST agree on at least one of
-    the 8 chunks), then verifies with exact
-    ``bit_count(simhash1 ^ simhash2)``. The chunk join is the scale
-    lever: candidates scale with per-chunk collision rates, not n^2.
-    Output: (doc_id_1, doc_id_2, hamming).
+    Candidate generation is block-PAIR banding (the table scheme of
+    Manku et al., WWW'07 near-dup detection): the 60-bit signature
+    splits into 12 5-bit blocks, grouped 4x3; each of the 12 tables
+    keys on a PAIR of blocks within one group (10-bit key).
+
+    Recall guarantee (pigeonhole, for ``max_hamming`` <= 7): 7 flipped
+    bits touch <= 7 blocks, leaving >= 5 of 12 untouched; 5 untouched
+    blocks across 4 groups put >= 2 in one group, and every
+    within-group pair is a table key -- so some table key is intact on
+    both sides. The final output (ALL pairs with hamming <=
+    ``max_hamming``) is therefore complete and independent of the
+    banding, which is why the DuckDB oracle may use any
+    complete-recall scheme.
+
+    vs single-block banding (8-bit keys): measured ~8x fewer
+    candidates at 105k docs (bench_scale.py) -- 10-bit keys collide
+    ~2^10 less per table, with 12 tables instead of 8. Candidate
+    volume is the scale lever: verification cost follows collisions
+    per key, not n^2/2.
+
+    NOTE: for ``max_hamming`` > 7 the guarantee lapses; the result is
+    then "candidates within max_hamming", which bench_scale.py uses
+    (max_hamming=64) to measure raw candidate volume.
     """
     sig = simhash_signatures(docs, id_col, text_col)
-    chunk_structs = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("k"),
-                F.expr(f"shiftright(simhash, {k * 8}) & 255").alias("chunk"),
-            )
-            for k in range(SIMHASH_CHUNKS)
-        ]
-    )
+    tables = []
+    t = 0
+    for g in range(SIMHASH_GROUPS):
+        blocks = [3 * g, 3 * g + 1, 3 * g + 2]
+        for a in range(3):
+            for b in range(a + 1, 3):
+                i, j = blocks[a], blocks[b]
+                key = (
+                    f"(shiftleft(shiftright(simhash, {i * SIMHASH_BLOCK_BITS}) & 31, "
+                    f"{SIMHASH_BLOCK_BITS}) | "
+                    f"(shiftright(simhash, {j * SIMHASH_BLOCK_BITS}) & 31))"
+                )
+                tables.append(
+                    F.struct(F.lit(t).alias("t"), F.expr(key).alias("k"))
+                )
+                t += 1
     chunks = sig.select(
-        F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("c")
-    ).select(id_col, "simhash", "c.k", "c.chunk")
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*tables)).alias("c")
+    ).select(id_col, "simhash", "c.t", "c.k")
     left = chunks.select(
-        F.col(id_col).alias("doc_id_1"), F.col("simhash").alias("s1"), "k", "chunk"
+        F.col(id_col).alias("doc_id_1"), F.col("simhash").alias("s1"), "t", "k"
     )
     right = chunks.select(
-        F.col(id_col).alias("doc_id_2"), F.col("simhash").alias("s2"), "k", "chunk"
+        F.col(id_col).alias("doc_id_2"), F.col("simhash").alias("s2"), "t", "k"
     )
     return (
-        left.join(right, ["k", "chunk"])
+        left.join(right, ["t", "k"])
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
         .select(
             "doc_id_1",
