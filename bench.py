@@ -54,6 +54,7 @@ BENCH_QUERIES = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "simhash_signatures",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",

@@ -434,3 +434,98 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: each vertex is
+    labeled with the MINIMUM vertex id reachable from it (the
+    deterministic canonical-cluster id). The step after pair
+    generation in any dedup pipeline: pairs -> clusters -> keep one
+    doc per cluster.
+
+    Algorithm: iterative min-label propagation. Each round, every
+    vertex takes the min of its own label and its neighbors' labels;
+    convergence when no label changes (iterations ~ component
+    diameter). Near-dup graphs have tiny, dense components (dup pairs
+    and small clusters), so 2-4 rounds in practice.
+
+    Scale notes: each round is one shuffle (edges join labels on src)
+    + one groupBy(dst) min -- both on vertex-id keys that partition
+    evenly. Labels persist per round with the previous round
+    unpersisted, and lineage is truncated via localCheckpoint so the
+    plan does not grow with iterations (the classic iterative-Spark
+    trap). For adversarial diameters (long chains -- not a near-dup
+    shape), the documented upgrade is large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce"), same
+    primitive ops.
+
+    Output: (``id_col``, cluster_id) for EVERY vertex; singletons are
+    their own cluster.
+    """
+    e = edges.select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+    )
+    e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.persist()
+    labels = (
+        vertices.select(F.col(id_col))
+        .distinct()
+        .select(F.col(id_col).alias("v"), F.col(id_col).alias("label"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            msgs = e.join(
+                labels.select(F.col("v").alias("src"), "label"), "src"
+            ).select(F.col("dst").alias("v"), "label")
+            new_labels = (
+                labels.unionAll(msgs)
+                .groupBy("v")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=False)
+                .persist()
+            )
+            changed = (
+                new_labels.join(
+                    labels.select("v", F.col("label").alias("old")), "v"
+                )
+                .filter(F.col("label") != F.col("old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("v").alias(id_col), F.col("label").alias("cluster_id"))
+    finally:
+        e.unpersist()
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Full dedup materialization: near-dup pairs (exact n-gram
+    Jaccard) -> connected components -> per-doc cluster assignment
+    with the canonical keeper flagged (min doc_id in the component).
+
+    Output: (doc_id, cluster_id, is_keeper).
+    """
+    pairs = ngram_jaccard_pairs(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold
+    )
+    cc = connected_components(pairs, docs, id_col=id_col)
+    return cc.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_keeper"),
+    )

@@ -18,6 +18,7 @@ from .operators.dedup import (
     SIMHASH_BITS,
     SIMHASH_CHUNKS,
     SIMHASH_HAMMING,
+    dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -138,6 +139,36 @@ SELECT doc_id_1, doc_id_2,
        CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) AS jaccard
 FROM verified
 WHERE CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) >= 0.2
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> connected components -> canonical keeper per cluster
+    (operators/dedup.py:connected_components). Iterative min-label
+    propagation; the oracle computes the same fixpoint with a
+    recursive CTE (transitive closure is fine at oracle scale; the
+    engine path is the one that scales)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(docs, threshold=0.2)
+
+
+def _dedup_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs0 AS (
+  SELECT doc_id_1, doc_id_2 FROM ({DEDUP_NGRAM_JACCARD_SQL.strip()})),
+edges AS (
+  SELECT doc_id_1 AS u, doc_id_2 AS v FROM pairs0
+  UNION ALL
+  SELECT doc_id_2 AS u, doc_id_1 AS v FROM pairs0),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+lbl AS (SELECT u AS doc_id, MIN(v) AS min_reach FROM reach GROUP BY u)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(l.min_reach, d.doc_id)) AS cluster_id,
+       d.doc_id = LEAST(d.doc_id, COALESCE(l.min_reach, d.doc_id)) AS is_keeper
+FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
 """
 
 
@@ -462,6 +493,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_lsh_oracle()),
+    "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
     "simhash_signatures": (q_simhash, SIMHASH_SQL),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_oracle()),
     "dedup_embedding_cosine": (

@@ -64,3 +64,23 @@ def test_exact_dedup_identity(docs):
     res = exact_dedup(docs).collect()
     assert sum(r.n_docs for r in res) == docs.count()
     assert all(r.n_docs == 1 for r in res)
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation must traverse a multi-hop chain (label
+    travels one hop per iteration) and leave singletons alone."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_id_1 long, doc_id_2 long",
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]], "doc_id long"
+    )
+    from flink_ad_analytics_spark.operators.dedup import connected_components
+
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges, vertices).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 99: 99}
