@@ -51,6 +51,7 @@ BENCH_QUERIES = (
     "urgent_undelivered",
     "customers_without_orders",
     "above_average_orders",
+    "order_value_percentiles",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -62,6 +63,7 @@ BENCH_QUERIES = (
     "ann_topk_vectorized",
     "ann_ivf_topk",
     "text_quality",
+    "top_terms",
     "lang_id_confusion",
     "multimodal_meta",
     "multimodal_decode",

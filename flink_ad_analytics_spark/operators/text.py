@@ -138,3 +138,60 @@ def fingerprints(
         F.substring(fp, 1, 8).alias("shard_prefix"),
         F.octet_length(F.col(text_col)).alias("n_bytes"),
     )
+
+
+def top_terms(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k distinctive terms per group by TF-IDF.
+
+    tf   = total occurrences of term within the group
+    df   = number of DISTINCT docs (corpus-wide) containing the term
+    idf  = ln(N / df), N = total docs
+    score = round(tf * idf, 6); rank per group by (score desc, term)
+
+    Scale shape: one explode pass feeds BOTH aggregations -- tf is
+    groupBy(group, term) with map-side partial counts; df is a
+    distinct (doc, term) projection then groupBy(term). The tf<->df
+    join shuffles on term (high-cardinality, even); N is a broadcast
+    scalar via a literal from a separate count (tiny job, not a
+    driver-side loop over data). Determinism: tf/df/N are exact
+    integers; ln of an exact small-int ratio is identical across
+    engines (same libm double), and the single 6dp round happens after
+    the only float multiply.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col),
+        F.explode(F.expr(TOKENS.format(col=text_col))).alias("term"),
+    )
+    n_docs = docs.count()
+    tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        toks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+    scored = tf.join(df_, "term").select(
+        F.col("grp").alias(group_col),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round(F.col("tf").cast("double") * idf, 6).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

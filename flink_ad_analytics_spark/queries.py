@@ -741,6 +741,44 @@ WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (R-7 linear interpolation -- the
+    convention Spark ``percentile`` and DuckDB ``quantile_cont``
+    share) of order value per order status.
+
+    Scale: Spark's exact percentile is a sort-based aggregate per
+    group; groups here are tiny in count (3 statuses) but the sort is
+    distributed per-partition with a final merge. For billions of rows
+    use approx_percentile with a bounded error instead -- kept exact
+    here because the oracle gate demands value equality.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D))")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"), pct.alias("p")
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n_orders",
+        *[
+            F.round(F.element_at("p", i + 1), 4).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p95"])
+        ],
+    )
+
+
+ORDER_VALUE_PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join (NOT EXISTS): customers that never ordered."""
     cust = load_table(spark, sf_dir, "customer")
@@ -835,4 +873,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
         CUSTOMERS_WITHOUT_ORDERS_SQL,
     ),
     "above_average_orders": (q_above_average_orders, ABOVE_AVERAGE_ORDERS_SQL),
+    "order_value_percentiles": (
+        q_order_value_percentiles,
+        ORDER_VALUE_PERCENTILES_SQL,
+    ),
 }

@@ -37,7 +37,7 @@ from .operators.similarity import (
     cosine_topk_vectorized,
     ivf_topk,
 )
-from .operators.text import LANG_MARKERS, STOPWORDS, lang_id, text_features
+from .operators.text import LANG_MARKERS, STOPWORDS, lang_id, text_features, top_terms
 from .sources.batch import load_table
 
 # Shared DuckDB fragments -------------------------------------------------
@@ -153,10 +153,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_clusters_oracle() -> str:
+    # MATERIALIZED: edges is referenced twice (and recursively);
+    # without it DuckDB re-inlines pairs0 -- and with it the all-pairs
+    # ngram subquery -- once per reference (minutes-long at sf0.1).
     return f"""
-WITH RECURSIVE pairs0 AS (
+WITH RECURSIVE pairs0 AS MATERIALIZED (
   SELECT doc_id_1, doc_id_2 FROM ({DEDUP_NGRAM_JACCARD_SQL.strip()})),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_id_1 AS u, doc_id_2 AS v FROM pairs0
   UNION ALL
   SELECT doc_id_2 AS u, doc_id_1 AS v FROM pairs0),
@@ -441,6 +444,38 @@ FROM pred GROUP BY 1, 2
 """
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-10 terms per language (operators/text.py:top_terms):
+    one explode pass feeding tf and df aggregations, term-keyed join,
+    per-group rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    return top_terms(docs, k=10)
+
+
+TOP_TERMS_SQL = """
+WITH tt AS (
+  SELECT lang AS grp, doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT grp, term, COUNT(*) AS tf FROM tt GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df
+       FROM (SELECT DISTINCT doc_id, term FROM tt) GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.grp AS lang, tf.term,
+         CAST(tf.tf AS BIGINT) AS tf,
+         CAST(df.df AS BIGINT) AS df,
+         ROUND(CAST(tf.tf AS DOUBLE)
+               * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT lang, term, tf, df, tfidf, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
+
 # Multimodal --------------------------------------------------------------
 
 
@@ -504,6 +539,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "ann_topk_vectorized": (q_ann_topk_vectorized, ANN_COSINE_TOPK_SQL),
     "ann_ivf_topk": (q_ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
+    "top_terms": (q_top_terms, TOP_TERMS_SQL),
     "lang_id_confusion": (q_lang_id_confusion, _lang_id_oracle()),
     "multimodal_meta": (q_multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_decode": (q_multimodal_decode, MULTIMODAL_DECODE_SQL),

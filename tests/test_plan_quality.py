@@ -109,3 +109,45 @@ def test_rollup_single_expand_single_shuffle(spark):
     assert plan.count("FileScan") == 1  # one scan serves all 3 levels
     # exactly one exchange between partial and final aggregates
     assert plan.count("Exchange") == 1
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count
+    must join with NO exchange on either side (the one-time write-side
+    shuffle replaces the per-query shuffle -- the repeated-join lever
+    at 100 TB)."""
+    from flink_ad_analytics_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+    from flink_ad_analytics_spark.sources.batch import load_table
+
+    orders = load_table(spark, SF_CORRECT, "orders")
+    li = load_table(spark, SF_CORRECT, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "t_orders_b", bucket_col="o_orderkey",
+                   n_buckets=8, sort_col="o_orderkey")
+    write_bucketed(li, "t_lineitem_b", bucket_col="o_orderkey",
+                   n_buckets=8, sort_col="o_orderkey")
+    try:
+        # merge hint: at toy SF Catalyst would broadcast the small side
+        # (a BroadcastExchange); force SMJ so the assertion isolates
+        # the bucket-co-location property (at real scale SMJ is what
+        # Catalyst picks anyway for large-x-large)
+        j = read_bucketed(spark, "t_orders_b").hint("merge").join(
+            read_bucketed(spark, "t_lineitem_b"), "o_orderkey"
+        )
+        plan = plan_of(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # same row count as the shuffled join: bucketing is a layout
+        # change, not a semantic one
+        plain = load_table(spark, SF_CORRECT, "orders").join(
+            load_table(spark, SF_CORRECT, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert j.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
