@@ -155,12 +155,16 @@ def top_terms(
     idf  = ln(N / df), N = total docs
     score = round(tf * idf, 6); rank per group by (score desc, term)
 
-    Scale shape: one explode pass feeds BOTH aggregations -- tf is
-    groupBy(group, term) with map-side partial counts; df is a
-    distinct (doc, term) projection then groupBy(term). The tf<->df
-    join shuffles on term (high-cardinality, even); N is a broadcast
-    scalar via a literal from a separate count (tiny job, not a
-    driver-side loop over data). Determinism: tf/df/N are exact
+    Scale shape: ONE pass over the corpus. The explode feeds a
+    per-(doc, group, term) count whose exchange is consumed by both
+    downstream aggregations -- Catalyst's ReuseExchange dedupes the
+    identical subplans, so the corpus is scanned, split, and exploded
+    once (asserted by test_plan_quality.py), and everything after the
+    first exchange operates on the much smaller per-doc term counts.
+    tf re-aggregates on (group, term); df counts rows per term (the
+    base is already distinct per (doc, term)); the tf<->df join
+    shuffles on term (high-cardinality, even). N is a scalar from a
+    separate column-pruned count. Determinism: tf/df/N are exact
     integers; ln of an exact small-int ratio is identical across
     engines (same libm double), and the single 6dp round happens after
     the only float multiply.
@@ -171,13 +175,19 @@ def top_terms(
         F.explode(F.expr(TOKENS.format(col=text_col))).alias("term"),
     )
     n_docs = docs.count()
-    tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = (
-        toks.select(id_col, "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+    base = toks.groupBy(id_col, "grp", "term").agg(
+        F.count(F.lit(1)).alias("n")
     )
+    tf = base.groupBy("grp", "term").agg(F.sum("n").alias("tf"))
+    # df as sum(least(n, 1)): one per doc containing the term -- the
+    # document-frequency formula over term-count data. Deliberately
+    # NOT count(1): Catalyst would prune n out of this branch's copy
+    # of base (and it normalizes count(<non-null col>) to count(1)
+    # too), the two base subplans stop being identical, and
+    # ReuseExchange can no longer dedupe them -- i.e. the corpus would
+    # be scanned and exploded twice. Gated by
+    # test_top_terms_single_corpus_pass.
+    df_ = base.groupBy("term").agg(F.sum(F.least(F.col("n"), F.lit(1))).alias("df"))
     idf = F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
     scored = tf.join(df_, "term").select(
         F.col("grp").alias(group_col),

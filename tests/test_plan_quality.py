@@ -151,3 +151,26 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_top_terms_single_corpus_pass(spark):
+    """top_terms must scan/explode the corpus once: the per-doc term
+    count exchange is consumed by both the tf and df branches via
+    ReusedExchange."""
+    from flink_ad_analytics_spark.operators.text import top_terms
+    from flink_ad_analytics_spark.sources.batch import load_table
+
+    # AQE reuses identical exchange stages at RUNTIME; the static plan
+    # only shows ReusedExchange with AQE off (execution behavior is
+    # the same -- this is an inspection-only toggle, as in the codegen
+    # gate above).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(top_terms(load_table(spark, SF_CORRECT, "documents")))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in plan, plan
+    # exactly one scan of documents feeds the explode pipeline (the
+    # separate count() for N runs as its own job, not in this plan).
+    # formatted mode prints each node twice: tree line + detail block.
+    assert plan.count("Scan parquet") == 2, plan
