@@ -64,6 +64,7 @@ BENCH_QUERIES = (
     "ann_ivf_topk",
     "text_quality",
     "top_terms",
+    "char_stats",
     "lang_id_confusion",
     "multimodal_meta",
     "multimodal_decode",

@@ -205,3 +205,48 @@ def top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def char_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-distribution features: codepoint entropy + composition
+    ratios -- the classic gibberish/binary-noise signal for corpus
+    quality filtering.
+
+    n_chars          character count
+    n_distinct_chars distinct codepoints
+    mean_codepoint   exact int-sum ratio
+    entropy          Shannon entropy over the codepoint distribution,
+                     computed as ln(n) - sum(c*ln(c))/n (one float sum,
+                     rounded 6dp at the end)
+
+    All codegen (explode over a sequence of codepoints, two-level
+    aggregation); the per-(doc, codepoint) exchange is the only
+    shuffle, keyed on the doc id so the final per-doc aggregation
+    reuses the partitioning.
+    """
+    cps = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN char_length({text_col}) >= 1 THEN "
+                f"transform(sequence(1, char_length({text_col})), "
+                f"i -> ascii(substring({text_col}, i, 1))) "
+                "ELSE array() END"
+            )
+        ).alias("cp"),
+    )
+    per_cp = cps.groupBy(id_col, "cp").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    c_ln_c = F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+    return per_cp.groupBy(id_col).agg(
+        n.cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        (F.sum(F.col("cp") * F.col("c")).cast("double") / n.cast("double")).alias(
+            "mean_codepoint"
+        ),
+        F.round(
+            F.log(n.cast("double")) - c_ln_c / n.cast("double"), 6
+        ).alias("entropy"),
+    )

@@ -37,7 +37,14 @@ from .operators.similarity import (
     cosine_topk_vectorized,
     ivf_topk,
 )
-from .operators.text import LANG_MARKERS, STOPWORDS, lang_id, text_features, top_terms
+from .operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    char_stats,
+    lang_id,
+    text_features,
+    top_terms,
+)
 from .sources.batch import load_table
 
 # Shared DuckDB fragments -------------------------------------------------
@@ -401,6 +408,30 @@ FROM feat
 """
 
 
+def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codepoint-distribution features incl. Shannon entropy
+    (operators/text.py:char_stats) -- gibberish/noise signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    return char_stats(docs)
+
+
+CHAR_STATS_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p FROM documents),
+cps AS (
+  SELECT doc_id, unicode(substr(text, CAST(p AS INTEGER), 1)) AS cp FROM pos),
+per_cp AS (SELECT doc_id, cp, COUNT(*) AS c FROM cps GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       CAST(SUM(cp * c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS mean_codepoint,
+       ROUND(ln(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+FROM per_cp GROUP BY doc_id
+"""
+
+
 def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pred = lang_id(docs)
@@ -540,6 +571,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "ann_ivf_topk": (q_ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "top_terms": (q_top_terms, TOP_TERMS_SQL),
+    "char_stats": (q_char_stats, CHAR_STATS_SQL),
     "lang_id_confusion": (q_lang_id_confusion, _lang_id_oracle()),
     "multimodal_meta": (q_multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_decode": (q_multimodal_decode, MULTIMODAL_DECODE_SQL),

@@ -537,3 +537,103 @@ def test_latest_offset_skips_backlog(spark, tmp_path):
     qe.stop()
     got_e = spark.table("earliest_sub").select("campaign_id").distinct().collect()
     assert {r.campaign_id for r in got_e} == {"old", "new"}
+
+
+def test_stream_static_enrichment_join(spark, stream_fixture):
+    """Stream-static join (beyond the reference, standard Spark
+    surface): the impression stream enriched with a static campaign
+    dimension must equal the batch join. The static side re-plans per
+    micro-batch, no watermark needed on it."""
+    sf = stream_fixture
+    dim = spark.createDataFrame(
+        [(f"camp-{i}", f"advertiser-{i % 3}", i % 2 == 0) for i in range(1, 11)]
+        + [("camp-sentinel", "advertiser-x", False)],
+        "campaign_id string, advertiser string, premium boolean",
+    )
+    imp, _clk = _streams(spark, sf)
+    enriched = (
+        imp.join(F.broadcast(dim), "campaign_id", "left")
+        .groupBy(
+            F.window("event_time", "1 minute").alias("w"),
+            "advertiser",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "advertiser", "n")
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{sf['base']}/ckpt_enrich")
+        .start()
+    )
+    _drive(q, sf, sf["imp_dir"], sf["clk_dir"])
+    streamed = (
+        spark.table("enriched_stream")
+        .filter(F.col("advertiser") != "advertiser-x")
+        .toPandas()
+        .sort_values(["window_start", "advertiser"])
+        .reset_index(drop=True)
+    )
+    imp_b = spark.createDataFrame(sf["fx"].impressions).withColumn(
+        "event_time", F.timestamp_millis(F.col("event_timestamp"))
+    )
+    batch = (
+        imp_b.join(F.broadcast(dim), "campaign_id", "left")
+        .groupBy(F.window("event_time", "1 minute").alias("w"), "advertiser")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "advertiser", "n")
+        .toPandas()
+        .sort_values(["window_start", "advertiser"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
+
+
+def test_streaming_session_windows_equal_batch(spark, stream_fixture, tmp_path):
+    """Session windows (T4 family) in streaming mode: 2-minute-gap
+    sessions per user over the impression stream must equal the batch
+    session_window aggregation."""
+    sf = stream_fixture
+    imp, _clk = _streams(spark, sf)
+    sess = (
+        imp.groupBy(F.col("user_id"), F.session_window("event_time", "2 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("session_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    _drive(q, sf, sf["imp_dir"], sf["clk_dir"])
+    streamed = (
+        spark.table("session_stream")
+        .filter(F.col("user_id") != "user-0")  # sentinel user
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    imp_b = spark.createDataFrame(sf["fx"].impressions).withColumn(
+        "event_time", F.timestamp_millis(F.col("event_timestamp"))
+    )
+    batch = (
+        imp_b.filter(F.col("user_id") != "user-0")
+        .groupBy(F.col("user_id"), F.session_window("event_time", "2 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
