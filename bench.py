@@ -68,6 +68,8 @@ BENCH_QUERIES = (
     "lang_id_confusion",
     "multimodal_meta",
     "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frames",
 )
 
 

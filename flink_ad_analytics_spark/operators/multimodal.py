@@ -120,3 +120,113 @@ def asset_metadata_stats(docs: DataFrame) -> DataFrame:
             F.max("n_bytes").alias("max_bytes"),
         )
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_assets(
+    assets: DataFrame, *, max_side: int = 64, fake: bool = False
+) -> DataFrame:
+    """Resize pipeline: decode -> scale so max(w, h) == ``max_side``
+    (aspect preserved, never upscaled) -> re-encode.
+
+    Same Arrow-batched ``mapInPandas`` shape as ``decode_assets``; the
+    pixel work is stubbed (no media libs): ``fake=True`` derives
+    source dims from the payload digest (as the fake decoder does),
+    applies the REAL scaling arithmetic, and emits a deterministic
+    payload digest-tagged with the target dims -- so dimension math,
+    schema, and batch plumbing are all exercised and oracle-checkable.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resizing requires media libraries not available "
+                    "in this container; use fake=True for the stub"
+                )
+            dims = pdf["payload"].map(_fake_decode)
+            w = dims.map(lambda t: t[0]).astype("int64")
+            h = dims.map(lambda t: t[1]).astype("int64")
+            # floor-scale the longer side to max_side, keep aspect;
+            # round-half-down via integer arithmetic: new = old*max//m
+            m = pd.concat([w, h], axis=1).max(axis=1)
+            scale_needed = m > max_side
+            new_w = w.where(~scale_needed, (w * max_side) // m).astype("int32")
+            new_h = h.where(~scale_needed, (h * max_side) // m).astype("int32")
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime": pdf["mime"],
+                    "width": new_w,
+                    "height": new_h,
+                    "payload": [
+                        hashlib.md5(p).hexdigest().encode("ascii")
+                        + f":{nw}x{nh}".encode("ascii")
+                        for p, nw, nh in zip(pdf["payload"], new_w, new_h)
+                    ],
+                }
+            )
+            yield out
+
+    return assets.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame_digest", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame, *, every_ms: int = 1000, fake: bool = False
+) -> DataFrame:
+    """Frame sampling: one row per sampled frame (a 1->N expanding
+    ``mapInPandas``, the video analogue of explode).
+
+    The stub derives a deterministic duration from the payload digest
+    (1..30 s) and emits one frame per ``every_ms`` with a
+    digest-derived frame id. A real implementation swaps the inner
+    loop for a container demuxer; partitioning, schema, and the
+    expanding batch shape stay identical. Output rows are small
+    (metadata + digest), so the expansion is shuffle-friendly --
+    payloads do NOT fan out.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame sampling requires a video demuxer not available "
+                    "in this container; use fake=True for the stub"
+                )
+            rows = {"asset_id": [], "frame_no": [], "ts_ms": [], "frame_digest": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                digest = hashlib.md5(payload).hexdigest()
+                duration_ms = (1 + int(digest[:4], 16) % 30) * 1000
+                for i, ts in enumerate(range(0, duration_ms, every_ms)):
+                    rows["asset_id"].append(aid)
+                    rows["frame_no"].append(i)
+                    rows["ts_ms"].append(ts)
+                    rows["frame_digest"].append(
+                        hashlib.md5(f"{digest}:{i}".encode()).hexdigest()
+                    )
+            out = pd.DataFrame(rows)
+            out["frame_no"] = out["frame_no"].astype("int32")
+            out["ts_ms"] = out["ts_ms"].astype("int64")
+            yield out
+
+    return assets.mapInPandas(sample, schema=FRAME_SCHEMA)

@@ -29,6 +29,8 @@ from .operators.multimodal import (
     asset_metadata_stats,
     assets_from_documents,
     decode_assets,
+    resize_assets,
+    sample_frames,
 )
 from .operators.similarity import (
     IVF_SIGN_DIMS,
@@ -555,6 +557,67 @@ FROM documents
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline over binary payloads (decode dims -> aspect-
+    preserving floor-scale to max side 64 -> re-encode). Stubbed pixel
+    work, real scaling arithmetic + Arrow plumbing; the oracle
+    re-derives everything from md5 bytes in SQL. The binary payload is
+    surfaced as a string for the compare (BLOBs fetch as unhashable
+    bytearray through the pandas bridge; the operator itself keeps
+    binary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_assets(assets_from_documents(docs), max_side=64, fake=True)
+    return out.withColumn("payload", F.col("payload").cast("string"))
+
+
+def _resize_oracle() -> str:
+    w = f"(16 + ({_hexval('substr(md5(text), 1, 1)')} * 16 + {_hexval('substr(md5(text), 2, 1)')}) % 240)"
+    h = f"(16 + ({_hexval('substr(md5(text), 3, 1)')} * 16 + {_hexval('substr(md5(text), 4, 1)')}) % 240)"
+    return f"""
+WITH d AS (
+  SELECT doc_id AS asset_id, 'text/plain' AS mime, md5(text) AS dg,
+         {w} AS w, {h} AS h
+  FROM documents),
+r AS (
+  SELECT asset_id, mime, dg,
+         CAST(CASE WHEN greatest(w, h) > 64
+                   THEN (w * 64) // greatest(w, h) ELSE w END AS INTEGER) AS width,
+         CAST(CASE WHEN greatest(w, h) > 64
+                   THEN (h * 64) // greatest(w, h) ELSE h END AS INTEGER) AS height
+  FROM d)
+SELECT asset_id, mime, width, height,
+       dg || ':' || width || 'x' || height AS payload
+FROM r
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: 1->N expanding mapInPandas (video explode
+    analogue); one metadata row per sampled frame, payloads never fan
+    out. Stub duration derived from the payload digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(assets_from_documents(docs), every_ms=1000, fake=True)
+
+
+def _frames_oracle() -> str:
+    hex4 = " + ".join(
+        f"{_hexval(f'substr(md5(text), {i + 1}, 1)')} * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id AS asset_id, md5(text) AS dg,
+         1 + ({hex4}) % 30 AS n_frames
+  FROM documents),
+f AS (SELECT asset_id, dg, unnest(range(0, n_frames)) AS i FROM d)
+SELECT asset_id,
+       CAST(i AS INTEGER) AS frame_no,
+       CAST(i * 1000 AS BIGINT) AS ts_ms,
+       md5(dg || ':' || i) AS frame_digest
+FROM f
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
@@ -575,4 +638,6 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "lang_id_confusion": (q_lang_id_confusion, _lang_id_oracle()),
     "multimodal_meta": (q_multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_decode": (q_multimodal_decode, MULTIMODAL_DECODE_SQL),
+    "multimodal_resize": (q_multimodal_resize, _resize_oracle()),
+    "multimodal_frames": (q_multimodal_frames, _frames_oracle()),
 }
