@@ -480,6 +480,11 @@ def connected_components(
         .persist()
     )
     try:
+        # convergence via sum(label): labels only ever DECREASE, so the
+        # sum is strictly monotone until the fixpoint -- an unchanged
+        # sum means no label moved. One scalar aggregate per round
+        # instead of an old-vs-new join.
+        prev_sum = None
         for _ in range(max_iter):
             msgs = e.join(
                 labels.select(F.col("v").alias("src"), "label"), "src"
@@ -491,17 +496,12 @@ def connected_components(
                 .localCheckpoint(eager=False)
                 .persist()
             )
-            changed = (
-                new_labels.join(
-                    labels.select("v", F.col("label").alias("old")), "v"
-                )
-                .filter(F.col("label") != F.col("old"))
-                .count()
-            )
+            cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
         return labels.select(F.col("v").alias(id_col), F.col("label").alias("cluster_id"))
     finally:
         e.unpersist()
