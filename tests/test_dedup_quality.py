@@ -84,3 +84,40 @@ def test_connected_components_chain_and_singletons(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 99: 99}
+
+
+def test_stop_shingle_pruning_only_shrinks_scores(spark):
+    """With max_shingle_df set, |A| and |B| come from the UNPRUNED
+    sets, so pruning can only under-count the intersection: every
+    surviving pair's jaccard must be <= its exact score and no pair
+    absent from the exact result may appear (no false positives).
+    The hot shingle here appears in every doc and is pruned."""
+    from flink_ad_analytics_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "the quick fox"  # one shared 3-shingle across all docs
+    docs = spark.createDataFrame(
+        [
+            (1, f"{hot} alpha beta gamma delta epsilon"),
+            (2, f"{hot} alpha beta gamma delta zeta"),
+            (3, f"{hot} one two three four five"),
+            (4, f"{hot} uno dos tres cuatro cinco"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    pruned = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.01, max_shingle_df=3
+        ).collect()
+    }
+    assert set(pruned) <= set(exact), "pruning must not create pairs"
+    for pair, j in pruned.items():
+        assert j <= exact[pair] + 1e-12, (pair, j, exact[pair])
+    # the near-dup pair (1,2) shares real non-hot shingles and survives
+    assert (1, 2) in pruned
+    # pairs whose ONLY overlap was the pruned hot shingle disappear
+    assert (3, 4) not in pruned and (3, 4) in exact

@@ -637,3 +637,51 @@ def test_streaming_session_windows_equal_batch(spark, stream_fixture, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
+
+
+def test_streaming_sliding_windows_equal_batch(spark, stream_fixture, tmp_path):
+    """Sliding (hopping) windows in streaming mode: 2-minute windows
+    hopping every 30s over the impression stream must equal the batch
+    window() aggregation -- each event lands in 4 overlapping windows."""
+    sf = stream_fixture
+    imp, _clk = _streams(spark, sf)
+
+    def slide_agg(df):
+        return (
+            df.groupBy(
+                F.window("event_time", "2 minutes", "30 seconds").alias("w"),
+                "campaign_id",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "campaign_id",
+                "n",
+            )
+        )
+
+    q = (
+        slide_agg(imp).writeStream.format("memory")
+        .queryName("sliding_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .start()
+    )
+    _drive(q, sf, sf["imp_dir"], sf["clk_dir"])
+    streamed = (
+        spark.table("sliding_stream")
+        .filter(F.col("campaign_id") != "camp-sentinel")
+        .toPandas()
+        .sort_values(["window_start", "campaign_id"])
+        .reset_index(drop=True)
+    )
+    imp_b = spark.createDataFrame(sf["fx"].impressions).withColumn(
+        "event_time", F.timestamp_millis(F.col("event_timestamp"))
+    )
+    batch = (
+        slide_agg(imp_b)
+        .toPandas()
+        .sort_values(["window_start", "campaign_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
