@@ -202,13 +202,16 @@ def minhash_signatures(
             for j in range(N_MINHASHES)
         ],
     )
-    # shuffle-hash, never broadcast: the posting side's size estimate
-    # is bogus (generate output), which can make Catalyst broadcast
-    # MILLIONS of posting rows and OOM the driver; and the vocabulary
-    # side, while smaller, is unbounded at corpus scale. Building the
-    # hash table from the (hinted) vocabulary side is right at every
-    # scale.
-    hashed = posting.join(uniq.hint("shuffle_hash"), "shingle")
+    # merge (SMJ), never broadcast and never hash-build: the posting
+    # side's size estimate is bogus (generate output), which can make
+    # Catalyst broadcast MILLIONS of posting rows and OOM the driver.
+    # A forced shuffle-hash build of the vocabulary side OOMs too once
+    # the vocabulary outgrows per-task memory (hit at 210k docs in
+    # bench_scale.py: "not enough memory to build hash map" -- hash
+    # builds cannot spill). Sort-merge spills to disk on both sides,
+    # costs nothing measurable at bench scale, and is the only
+    # strategy that is safe at every corpus size.
+    hashed = posting.join(uniq.hint("merge"), "shingle")
     aggs = [F.min(F.col(f"h_{j}")).alias(f"mh_{j}") for j in range(N_MINHASHES)]
     return hashed.groupBy(id_col).agg(*aggs)
 

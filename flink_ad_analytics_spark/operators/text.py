@@ -226,14 +226,19 @@ def char_stats(
     shuffle, keyed on the doc id so the final per-doc aggregation
     reuses the partitioning.
     """
+    # split on the empty pattern: one linear pass per document.
+    # (per-position substring(text, i, 1) would re-scan the string to
+    # byte-offset position i each time -- O(len^2) per doc, measured
+    # ~2x the whole query's runtime at sf0.1)
     cps = docs.select(
         F.col(id_col),
+        # the empty-string filter covers empty documents, where Spark's
+        # split('', '') yields [''] but the oracle's range(1, 0+1)
+        # yields no rows
         F.explode(
             F.expr(
-                f"CASE WHEN char_length({text_col}) >= 1 THEN "
-                f"transform(sequence(1, char_length({text_col})), "
-                f"i -> ascii(substring({text_col}, i, 1))) "
-                "ELSE array() END"
+                f"transform(filter(split({text_col}, ''), ch -> ch <> ''), "
+                "ch -> ascii(ch))"
             )
         ).alias("cp"),
     )
