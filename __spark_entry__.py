@@ -19,7 +19,12 @@ try:  # extension operators land incrementally; keep entry importable
 except ImportError:  # pragma: no cover
     EXTENSION_QUERIES: dict[str, tuple] = {}
 
-_ALL = {**RELATIONAL_QUERIES, **EXTENSION_QUERIES}
+try:
+    from flink_ad_analytics_spark.queries_pipeline import PIPELINE_QUERIES
+except ImportError:  # pragma: no cover
+    PIPELINE_QUERIES: dict[str, tuple] = {}
+
+_ALL = {**RELATIONAL_QUERIES, **EXTENSION_QUERIES, **PIPELINE_QUERIES}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -70,6 +70,9 @@ BENCH_QUERIES = (
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
+    "dataset_splits",
+    "stratified_sample",
+    "kfold_balance",
 )
 
 

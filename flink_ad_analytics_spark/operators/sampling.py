@@ -1,0 +1,182 @@
+"""Deterministic sampling & dataset-split operators.
+
+Training pipelines need reproducible row-level decisions (train/val/
+test assignment, per-stratum downsampling) that hold across reruns,
+engines, and cluster sizes. Random() is none of those; hashing is all
+of them: a row's fate is a pure function of (seed, id).
+
+Portability trick (shared with operators/dedup.py): md5 hex strings
+compare identically in every engine, so instead of converting the hash
+to an integer (engine-specific), thresholds are precomputed IN PYTHON
+as 8-hex-char lowercase strings and compared lexicographically. A
+fixed-width lowercase hex comparison is exactly an unsigned integer
+comparison, and both Spark and DuckDB emit md5 as fixed-width
+lowercase hex.
+
+Scale: both operators are pure per-row projections/filters -- no
+shuffle, no state, embarrassingly parallel, and the predicate pushes
+down to the scan when the id column is all they need. This is the
+only split/sample design that stays correct when the table is
+re-partitioned, re-ordered, or incrementally extended (new rows get
+stable assignments; old rows never flip).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Width of the hash prefix used for bucketing decisions. 8 hex chars
+#: = 32 bits: collision-free bucketing down to fractions of ~1e-9.
+_PREFIX = 8
+_SPACE = 16**_PREFIX
+
+
+def _hex_threshold(fraction: float) -> str:
+    """Largest 8-hex prefix p such that P(hash < p) == fraction.
+
+    floor(fraction * 16^8) formatted as fixed-width lowercase hex --
+    the exact same literal is spliced into the Spark plan and the
+    DuckDB oracle, so both engines make identical decisions.
+    """
+    n = min(int(fraction * _SPACE), _SPACE)
+    return format(n, f"0{_PREFIX}x") if n < _SPACE else "g" * _PREFIX  # 'g' > 'f'
+
+
+def _bucket_hash(id_col: str, seed: int) -> Column:
+    """md5('<seed>:' || id) prefix: the per-row decision variable."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, _PREFIX
+    )
+
+
+def bucket_hash_sql(id_col: str, seed: int) -> str:
+    """DuckDB fragment computing the identical decision variable."""
+    return f"substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, {_PREFIX})"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: Mapping[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign every row to a named split, deterministically by id hash.
+
+    weights: ordered {split_name: fraction}; fractions must sum to 1.
+    The split column is a CASE over cumulative hex thresholds, so each
+    row hashes once. Assignment is independent of row order,
+    partitioning, and corpus growth -- the properties that make
+    hash-splits the standard for training-data pipelines (a new dump
+    appended to the corpus cannot leak val rows into train).
+    """
+    weights = dict(weights or {"train": 0.8, "val": 0.1, "test": 0.1})
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = _bucket_hash(id_col, seed)
+    cum = 0.0
+    expr: Column | None = None
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = h < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1]))
+    return df.withColumn("split", split)
+
+
+def hash_split_case_sql(
+    id_col: str, weights: Mapping[str, float], seed: int
+) -> str:
+    """The DuckDB CASE expression mirroring hash_split's assignment."""
+    h = bucket_hash_sql(id_col, seed)
+    cum = 0.0
+    arms = []
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        arms.append(f"WHEN {h} < '{_hex_threshold(cum)}' THEN '{name}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    id_col: str = "doc_id",
+    seed: int = 7,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows.
+
+    Per-stratum rates are how pipelines rebalance skewed corpora
+    (e.g. downsample the 90%-English web crawl, keep all low-resource
+    languages). Each row is kept iff hash(seed, id) falls below its
+    stratum's threshold: reproducible, order-independent, and a plain
+    filter -- no sort, no shuffle, no count-first pass.
+
+    Unlisted strata get default_fraction (0 -> dropped).
+    """
+    h = _bucket_hash(id_col, seed)
+    expr: Column | None = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        thr = h < F.lit(_hex_threshold(frac))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    keep = (
+        expr.otherwise(h < F.lit(_hex_threshold(default_fraction)))
+        if expr is not None
+        else h < F.lit(_hex_threshold(default_fraction))
+    )
+    return df.filter(keep)
+
+
+def stratified_keep_sql(
+    strata_col: str,
+    fractions: Mapping[str, float],
+    id_col: str,
+    seed: int,
+    default_fraction: float = 0.0,
+) -> str:
+    """DuckDB predicate mirroring stratified_sample's keep decision."""
+    h = bucket_hash_sql(id_col, seed)
+    arms = [
+        f"WHEN {strata_col} = '{s}' THEN {h} < '{_hex_threshold(f)}'"
+        for s, f in fractions.items()
+    ]
+    return (
+        "CASE "
+        + " ".join(arms)
+        + f" ELSE {h} < '{_hex_threshold(default_fraction)}' END"
+    )
+
+
+def kfold_assign(
+    df: DataFrame, id_col: str = "doc_id", k: int = 5, seed: int = 13
+) -> DataFrame:
+    """Assign a fold in [0, k) by equal-width hex ranges of the hash.
+
+    Equal-width ranges on the 32-bit prefix (not modulo) so the same
+    lexicographic-compare trick stays portable; each fold's width is
+    floor-divided and the last fold absorbs the remainder (at most
+    k-1 parts in 2^32 -- immeasurable).
+    """
+    h = _bucket_hash(id_col, seed)
+    expr: Column | None = None
+    for fold in range(k - 1):
+        thr = _hex_threshold((fold + 1) / k)
+        cond = h < F.lit(thr)
+        expr = F.when(cond, fold) if expr is None else expr.when(cond, fold)
+    fold_col = expr.otherwise(k - 1) if expr is not None else F.lit(0)
+    return df.withColumn("fold", fold_col.cast("long"))
+
+
+def kfold_case_sql(id_col: str, k: int, seed: int) -> str:
+    h = bucket_hash_sql(id_col, seed)
+    arms = [
+        f"WHEN {h} < '{_hex_threshold((fold + 1) / k)}' THEN {fold}"
+        for fold in range(k - 1)
+    ]
+    return "CAST(CASE " + " ".join(arms) + f" ELSE {k - 1} END AS BIGINT)"
