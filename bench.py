@@ -73,6 +73,10 @@ BENCH_QUERIES = (
     "dataset_splits",
     "stratified_sample",
     "kfold_balance",
+    "repetition_quality",
+    "decontaminated",
+    "pii_redaction",
+    "embedding_quantization",
 )
 
 

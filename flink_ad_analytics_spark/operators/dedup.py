@@ -532,3 +532,76 @@ def dedup_clusters(
         "cluster_id",
         (F.col(id_col) == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+def ngram_set(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, gram) rows: each doc's distinct n-word-gram set, exploded.
+
+    Same plan barriers as doc_shingles (tokens projection separated
+    from the gram lambda by a doc-id exchange pinned to cluster
+    parallelism), generalized to any n -- decontamination wants long
+    grams (8-13 words, the PaLM/GPT-3 convention) where an overlap is
+    near-certain evidence of contamination rather than chance.
+    """
+    ws = _TOKENIZE.format(col=text_col)
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.select(F.col(id_col), F.expr(ws).alias("ws")).repartition(
+        n_part, F.col(id_col)
+    )
+    parts = ", ".join(f"element_at(ws, i + {j})" for j in range(n))
+    grams = (
+        f"CASE WHEN size(ws) >= {n} THEN "
+        f"transform(sequence(1, size(ws) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        "ELSE array() END"
+    )
+    return toks.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.expr(grams))).alias("gram"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    contam: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_contam: bool = True,
+) -> DataFrame:
+    """Drop training docs sharing any n-word-gram with a held-out set.
+
+    Benchmark decontamination: `contam` is the eval/benchmark corpus
+    (same schema as docs); any training document containing one of its
+    n-grams verbatim is removed, so eval scores measure generalization
+    rather than memorization.
+
+    Plan, sized for a 100 TB training side vs a small benchmark side:
+    the benchmark's distinct gram set is aggregated then BROADCAST to
+    the semi-join (explicitly -- its size estimate after an explode is
+    bogus, so Catalyst cannot be trusted to choose). The 100 TB side
+    then never shuffles: grams stream through the broadcast hash
+    semi-join and contaminated ids aggregate (a shuffle on ids, tiny).
+    Benchmarks are small by nature; if contam is NOT small, pass
+    broadcast_contam=False to fall back to sort-merge.
+
+    The final anti-join's strategy is deliberately left to AQE: the
+    dirty-id list is usually broadcast-tiny, but it is unbounded in
+    principle (a fully-contaminated corpus), and AQE's runtime size
+    check picks broadcast-vs-SMJ correctly where a hard-coded hint
+    would gamble.
+    """
+    doc_grams = ngram_set(docs, n, id_col, text_col)
+    contam_grams = ngram_set(contam, n, id_col, text_col).select("gram").distinct()
+    if broadcast_contam:
+        contam_grams = F.broadcast(contam_grams)
+    else:
+        contam_grams = contam_grams.hint("merge")
+    dirty = (
+        doc_grams.join(contam_grams, "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(dirty, id_col, "left_anti")

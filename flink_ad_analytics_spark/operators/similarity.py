@@ -333,3 +333,54 @@ def cosine_near_dup_pairs(
             "cosine",
         )
     )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization.
+
+    scale = max(|x_i|); q_i = floor(x_i / scale * 127 + 0.5). The
+    form every vector store ships for 4x footprint reduction before
+    ANN search. floor(x + 0.5) rather than round(): half-up floor is
+    bit-identical across engines, while round() ties-to-even vs
+    half-away differs between them.
+
+    Returns (id, n_dims, scale, l1_q, q_csv): l1_q is the exact
+    integer L1 norm of the quantized vector (pins every component
+    into the oracle hash without float summation), q_csv the
+    comma-joined components (arrays surface as strings -- list
+    results reach pandas as unhashable arrays and break the driver's
+    sort/hash gate).
+
+    Pure per-row projection: no shuffle, no UDF; the float32->double
+    casts are exact, / and * are IEEE-identical in both engines, and
+    all outputs are integers except scale (an exactly-converted
+    float32).
+
+    Zero vectors (scale = 0) keep NULL q/l1 rather than dividing.
+    """
+    ax = F.expr(f"transform({vec_col}, x -> abs(CAST(x AS DOUBLE)))")
+    base = emb.select(
+        F.col(id_col),
+        F.size(vec_col).cast("long").alias("n_dims"),
+        F.array_max(ax).alias("scale"),
+        F.col(vec_col),
+    )
+    q = (
+        "transform({v}, x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0D"
+        " + 0.5D) AS BIGINT))"
+    ).format(v=vec_col)
+    quant = base.select(
+        id_col,
+        "n_dims",
+        "scale",
+        F.when(F.col("scale") > 0, F.expr(q)).alias("q"),
+    )
+    return quant.select(
+        id_col,
+        "n_dims",
+        "scale",
+        F.expr("aggregate(q, 0L, (acc, x) -> acc + abs(x))").alias("l1_q"),
+        F.array_join(F.col("q"), ",").alias("q_csv"),
+    )

@@ -255,3 +255,116 @@ def char_stats(
             F.log(n.cast("double")) - c_ln_c / n.cast("double"), 6
         ).alias("entropy"),
     )
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style quality rules:
+    Rae et al. 2021, arXiv:2112.11446 §A1.1 "repetitious text").
+
+    Templated/spammy documents repeat the same word n-grams; natural
+    prose mostly does not. Per document, over whitespace tokens:
+
+    n_bigrams         total bigram occurrences (n_tokens - 1)
+    top_bigram_frac   occurrences of the most frequent bigram / total
+    dup_trigram_frac  fraction of trigram occurrences whose trigram
+                      appears more than once
+
+    Plan: one projection builds both gram arrays from a single
+    tokenization (repartition barrier on the doc id keeps Catalyst
+    from re-inlining the split into each gram lambda -- see
+    doc_shingles), explode to (doc, n, gram) grain tagged by gram
+    size, then two aggregation levels. The explicit doc-id
+    partitioning satisfies BOTH groupBys' clustering (hash(doc_id)
+    co-locates every (doc_id, n, gram) and every doc_id), so the
+    whole thing is a single exchange regardless of corpus size --
+    per-doc work is bounded by document length, and skew equals
+    document-length skew, which the upstream maxPartitionBytes
+    split already bounds.
+    """
+    ws = TOKENS.format(col=text_col)
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.select(F.col(id_col), F.expr(ws).alias("ws")).repartition(
+        n_part, F.col(id_col)
+    )
+    bigrams = (
+        "CASE WHEN size(ws) >= 2 THEN "
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1))) "
+        "ELSE array() END"
+    )
+    trigrams = (
+        "CASE WHEN size(ws) >= 3 THEN "
+        "transform(sequence(1, size(ws) - 2), "
+        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), "
+        "element_at(ws, i + 2))) "
+        "ELSE array() END"
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"concat(transform({bigrams}, g -> struct(2 AS n, g AS gram)), "
+                f"transform({trigrams}, g -> struct(3 AS n, g AS gram)))"
+            )
+        ).alias("t"),
+    ).select(id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    per_gram = grams.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bi = F.col("n") == 2
+    tri = F.col("n") == 3
+    n_bi = F.sum(F.when(bi, F.col("c")).otherwise(0))
+    top_bi = F.max(F.when(bi, F.col("c")))
+    n_tri = F.sum(F.when(tri, F.col("c")).otherwise(0))
+    dup_tri = F.sum(F.when(tri & (F.col("c") > 1), F.col("c")).otherwise(0))
+    # NULL (not NaN) on zero denominators: a 2-token doc has bigrams
+    # but no trigrams, and Spark's 0.0/0.0 NaN would diverge from the
+    # oracle's NULLIF idiom.
+    return per_gram.groupBy(id_col).agg(
+        n_bi.cast("long").alias("n_bigrams"),
+        F.when(n_bi > 0, top_bi.cast("double") / n_bi.cast("double")).alias(
+            "top_bigram_frac"
+        ),
+        F.when(n_tri > 0, dup_tri.cast("double") / n_tri.cast("double")).alias(
+            "dup_trigram_frac"
+        ),
+    )
+
+
+#: PII patterns, written in the common subset of Java regex (Spark) and
+#: RE2 (DuckDB/Go) so one literal drives both engines: ASCII classes,
+#: bounded repetition, \b word boundaries -- no lookarounds or
+#: backreferences (RE2 has neither).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Count and mask PII-shaped spans (emails, phone numbers, IPs).
+
+    Returns (id, n_email, n_phone, n_ipv4, redacted) where redacted
+    has each match replaced by its <TYPE> tag. Counts are taken on the
+    original text per pattern (independent), replacements applied
+    sequentially in PII_PATTERNS order -- the oracle mirrors both
+    choices exactly.
+
+    Pure per-row regexp projection: no shuffle, no UDF, codegen
+    end-to-end, trivially parallel at any corpus size.
+    """
+    cols = [F.col(id_col)]
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        cols.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(
+                f"n_{name}"
+            )
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return docs.select(*cols, red.alias("redacted"))

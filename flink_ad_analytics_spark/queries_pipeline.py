@@ -13,6 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .operators.dedup import decontaminate
+from .operators.similarity import quantize_int8
+from .operators.text import redact_pii, repetition_features
 from .operators.sampling import (
     hash_split,
     hash_split_case_sql,
@@ -126,8 +129,192 @@ GROUP BY 1
 """
 
 
+# -- within-doc repetition (Gopher rules) ---------------------------------
+
+
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram repetition metrics, the Gopher repetition rules."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_features(docs)
+
+
+REPETITION_QUALITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, n, unnest(grams) AS gram FROM (
+    SELECT doc_id, 2 AS n,
+           CASE WHEN len(ws) >= 2 THEN
+             list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+           ELSE [] END AS grams
+    FROM toks
+    UNION ALL
+    SELECT doc_id, 3 AS n,
+           CASE WHEN len(ws) >= 3 THEN
+             list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [] END AS grams
+    FROM toks)
+),
+pg AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN n = 2 THEN c ELSE 0 END) AS BIGINT) AS n_bigrams,
+  CAST(MAX(CASE WHEN n = 2 THEN c END) AS DOUBLE)
+    / CAST(NULLIF(SUM(CASE WHEN n = 2 THEN c ELSE 0 END), 0) AS DOUBLE)
+    AS top_bigram_frac,
+  CAST(SUM(CASE WHEN n = 3 AND c > 1 THEN c ELSE 0 END) AS DOUBLE)
+    / CAST(NULLIF(SUM(CASE WHEN n = 3 THEN c ELSE 0 END), 0) AS DOUBLE)
+    AS dup_trigram_frac
+FROM pg
+GROUP BY doc_id
+"""
+
+
+# -- benchmark decontamination --------------------------------------------
+
+#: The held-out "benchmark" is a deterministic 1/16 hash slice of the
+#: corpus (first md5 nibble == '0'); the training candidates are the
+#: other 15/16. Planted near-duplicates in the fixtures guarantee real
+#: cross-set 8-gram overlaps to remove.
+_CONTAM_SEED = "bench"
+_CONTAM_N = 8
+
+
+def _bench_pred(str_type: str = "VARCHAR") -> str:
+    """Membership predicate; str_type is VARCHAR (DuckDB) / STRING (Spark)."""
+    return (
+        f"substr(md5('{_CONTAM_SEED}:' || CAST(doc_id AS {str_type})), 1, 1) = '0'"
+    )
+
+
+def q_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang audit of training docs surviving benchmark decontamination."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.expr(_bench_pred("STRING"))
+    bench, cand = docs.filter(is_bench), docs.filter(~is_bench)
+    clean = decontaminate(cand, bench, n=_CONTAM_N)
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _grams_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(ws) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(ws) - {n - 2}), "
+        f"i -> {parts})) ELSE [] END"
+    )
+
+
+DECONTAMINATED_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest({_grams_sql(_CONTAM_N)}) AS gram FROM toks
+),
+bench_grams AS MATERIALIZED (
+  SELECT DISTINCT gram FROM grams WHERE {_bench_pred().replace('doc_id', 'grams.doc_id')}
+),
+dirty AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench_grams USING (gram)
+)
+SELECT lang,
+       COUNT(*) AS n_clean,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents d
+WHERE NOT ({_bench_pred()})
+  AND NOT EXISTS (SELECT 1 FROM dirty WHERE dirty.doc_id = d.doc_id)
+GROUP BY lang
+"""
+
+
+# -- PII redaction --------------------------------------------------------
+
+#: The fixture corpus carries no PII, so the query plants it
+#: deterministically (varying by doc id) before redacting -- the
+#: operator itself is generic; this exercises count + mask + fp parity.
+_PII_INJECT = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || "
+    "CAST(doc_id AS {s}) || '@example.com now' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 1 THEN ' call 555-867-5309 ok' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 2 THEN ' host 10.0.0.1 up' ELSE '' END"
+)
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id", F.expr(_PII_INJECT.format(s="STRING")).alias("text")
+    )
+    out = redact_pii(planted)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("redacted").alias("redacted_fp"),
+    )
+
+
+PII_REDACTION_SQL = rf"""
+WITH planted AS (
+  SELECT doc_id, {_PII_INJECT.format(s='VARCHAR')} AS text FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\+?\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS BIGINT) AS n_ipv4,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+      '\+?\d{{3}}[-. ]\d{{3}}[-. ]\d{{4}}', '<PHONE>', 'g'),
+      '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IPV4>', 'g')) AS redacted_fp
+FROM planted
+"""
+
+# -- embedding quantization ----------------------------------------------
+
+
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb)
+
+
+EMBEDDING_QUANTIZATION_SQL = """
+WITH base AS (
+  SELECT vec_id,
+         CAST(len(embedding) AS BIGINT) AS n_dims,
+         list_aggregate(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE))), 'max') AS scale,
+         embedding
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, n_dims, scale,
+         CASE WHEN scale > 0 THEN
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT))
+         END AS q
+  FROM base
+)
+SELECT vec_id, n_dims, scale,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS l1_q,
+       array_to_string(q, ',') AS q_csv
+FROM quant
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "dataset_splits": (q_dataset_splits, DATASET_SPLITS_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "kfold_balance": (q_kfold_balance, KFOLD_BALANCE_SQL),
+    "repetition_quality": (q_repetition_quality, REPETITION_QUALITY_SQL),
+    "decontaminated": (q_decontaminated, DECONTAMINATED_SQL),
+    "pii_redaction": (q_pii_redaction, PII_REDACTION_SQL),
+    "embedding_quantization": (q_embedding_quantization, EMBEDDING_QUANTIZATION_SQL),
 }

@@ -1,0 +1,99 @@
+"""Behavioral tests for the corpus-curation operators (decontamination,
+PII redaction, quantization) -- properties the oracle-parity hash gate
+can't express, like "the planted contamination is actually gone"."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_ad_analytics_spark.operators.dedup import decontaminate, ngram_set
+from flink_ad_analytics_spark.operators.similarity import quantize_int8
+from flink_ad_analytics_spark.operators.text import PII_PATTERNS, redact_pii
+from flink_ad_analytics_spark.sources.batch import load_table
+from tests.conftest import SF_CORRECT
+
+
+def test_decontaminate_removes_exact_overlap(spark):
+    """A doc sharing an 8-gram with the benchmark must be dropped; a
+    doc sharing nothing must survive."""
+    docs = load_table(spark, SF_CORRECT, "documents").limit(50)
+    # benchmark = doc 0's text verbatim under a new id
+    bench = docs.filter("doc_id = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source",
+        "n_chars",
+    )
+    clean = decontaminate(docs, bench, n=8)
+    ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    assert 0 not in ids, "verbatim-contaminated doc survived"
+    # docs sharing no 8-gram with doc 0 must all survive
+    g0 = {
+        r.gram
+        for r in ngram_set(docs.filter("doc_id = 0"), 8).collect()
+    }
+    overlapping = {
+        r.doc_id
+        for r in ngram_set(docs, 8).filter(F.col("gram").isin(g0)).collect()
+    }
+    expected = {r.doc_id for r in docs.collect()} - overlapping
+    assert ids == expected
+
+
+def test_decontaminate_no_false_positives_on_disjoint_corpora(spark):
+    docs = load_table(spark, SF_CORRECT, "documents").limit(30)
+    bench = spark.createDataFrame(
+        [(999999, "completely unrelated zzz qqq " + "xyzzy " * 10, "en", "x", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert decontaminate(docs, bench, n=8).count() == 30
+
+
+def test_redacted_text_has_no_remaining_matches(spark):
+    docs = load_table(spark, SF_CORRECT, "documents").limit(40)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" a@b.io 555-123-4567 10.0.0.255 c.d@e.org end"),
+        ).alias("text"),
+    )
+    red = redact_pii(planted)
+    for name, pat in PII_PATTERNS.items():
+        leftover = red.filter(
+            F.regexp_count("redacted", F.lit(pat)) > 0
+        ).count()
+        assert leftover == 0, f"{name} spans survived redaction"
+    counts = red.agg(
+        F.min("n_email"), F.min("n_phone"), F.min("n_ipv4")
+    ).first()
+    assert counts[0] >= 2 and counts[1] >= 1 and counts[2] >= 1
+
+
+def test_quantization_roundtrip_error_bound(spark):
+    """Dequantized values must sit within half a quantization step."""
+    emb = load_table(spark, SF_CORRECT, "embeddings").limit(100)
+    q = quantize_int8(emb)
+    joined = emb.join(q, "vec_id").select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(embedding, split(q_csv, ','), "
+            "(x, qi) -> abs(CAST(x AS DOUBLE) - CAST(qi AS DOUBLE) "
+            "* scale / 127.0D)), CAST(0.0 AS DOUBLE), "
+            "(acc, e) -> greatest(acc, e))"
+        ).alias("max_err"),
+        (F.col("scale") / 127.0 * 0.5 + 1e-12).alias("bound"),
+    )
+    assert joined.filter(F.col("max_err") > F.col("bound")).count() == 0
+
+
+def test_quantization_saturates_at_127(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings").limit(100)
+    q = quantize_int8(emb)
+    mx = q.select(
+        F.max(
+            F.expr(
+                "array_max(transform(split(q_csv, ','), "
+                "x -> abs(CAST(x AS BIGINT))))"
+            )
+        )
+    ).first()[0]
+    assert mx == 127  # the max-|x| component maps exactly to +/-127
