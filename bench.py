@@ -77,6 +77,9 @@ BENCH_QUERIES = (
     "decontaminated",
     "pii_redaction",
     "embedding_quantization",
+    "kmeans_step",
+    "kmeans_clusters",
+    "ann_ivf_kmeans",
 )
 
 

@@ -1,0 +1,306 @@
+"""K-means clustering over embedding columns, and the IVF-kmeans ANN
+index it trains.
+
+Distributed Lloyd's, Spark-shaped:
+
+* **Init** is a deterministic hash-ordered sample: the k vectors with
+  the smallest md5(seed:vec_id) -- reproducible across partitioning,
+  re-runs, and engines (same trick as operators/sampling.py).
+* **Assignment + partial aggregation happen in one Arrow pass.**
+  ``mapInPandas`` scores each Arrow batch against the broadcast
+  centroid matrix with a single BLAS matmul (argmin of squared
+  distance via the ||x||^2 - 2 x.c + ||c||^2 expansion) and emits
+  ONE row per (batch, cluster): count + component-sum vector. The
+  shuffle that follows moves only n_batches x k tiny rows -- the
+  classic mini-batch-sum shape that keeps a 100 TB iteration's
+  exchange in kilobytes.
+* **Update** reduces those partials per cluster on the driver (k x d
+  doubles -- bounded by design, like any k-means implementation's
+  centroid state) and re-broadcasts.
+
+Iterations stop at ``max_iter`` or when no assignment changes the
+centroids beyond ``tol``. Total cost: one corpus pass per iteration,
+no corpus-sized shuffle ever.
+
+Determinism: float64 BLAS matmuls are deterministic for a fixed
+reduction order (NumPy's is), init is hash-pinned, and ties in argmin
+break to the lowest cluster id (np.argmin). Two runs on the same data
+produce identical centroids; tests assert it.
+
+``kmeans_step_stats`` is the oracle bridge: ONE Lloyd assignment step
+from the hash-sampled init, computed with exact DECIMAL distance folds
+(the operators/similarity.py recipe), so the core of the iteration is
+value-provable against DuckDB even though the full iterative fit is
+not SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: Exact decimal squared-distance fold between an array<float> column
+#: and a double array column: each (x-c)^2 is an exact-then-rounded
+#: DECIMAL(20,16) term, accumulated exactly in DECIMAL(38,16) --
+#: order-independent, hence engine-independent. The result STAYS
+#: decimal (rounded to 12dp): downstream per-cluster sums must also be
+#: exact, and a double SUM's value depends on summation order.
+_DIST2_FOLD = (
+    "CAST(round(aggregate("
+    "zip_with({v}, {c}, (x, y) -> "
+    "CAST((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) "
+    "AS DECIMAL(20,16))), "
+    "CAST(0 AS DECIMAL(38,16)), "
+    "(acc, t) -> CAST(acc + t AS DECIMAL(38,16))), 12) AS DECIMAL(38,12))"
+)
+
+
+def hash_sampled_centroids(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """The k vectors with the smallest md5(seed:id): a deterministic,
+    partitioning-independent init sample (k-means++ would inject
+    sequential dependence; a hash sample is the scalable standard)."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k + driver merge of k rows) -- no global sort. The window
+    # numbering then runs over just those k rows.
+    top = (
+        emb.select(F.col(id_col), F.col(vec_col), h.alias("__h"))
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return top.select(
+        (F.row_number().over(w) - 1).cast("int").alias("centroid_id"),
+        F.col(vec_col).alias("centroid"),
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 10,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    tol: float = 1e-6,
+):
+    """Lloyd's k-means; returns (centroids ndarray [k, d], inertia
+    history list[float]).
+
+    Each iteration is one Arrow-batched corpus pass emitting per-batch
+    per-cluster (count, sum-vector, inertia) partials; the driver
+    reduces k x d state. See module docstring for the scale argument.
+    """
+    import numpy as np
+
+    init = hash_sampled_centroids(emb, k, id_col, vec_col, seed).collect()
+    cents = np.array(
+        [r.centroid for r in sorted(init, key=lambda r: r.centroid_id)],
+        dtype=np.float64,
+    )
+    spark = emb.sparkSession
+    data = emb.select(F.col(id_col), F.col(vec_col).alias("vec"))
+    history: list[float] = []
+    for _ in range(max_iter):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            c = bc.value
+            c_sq = (c * c).sum(axis=1)
+            for pdf in batches:
+                x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ c.T)
+                    + c_sq[None, :]
+                )
+                a = d2.argmin(axis=1)
+                rows = []
+                for cl in np.unique(a):
+                    m = a == cl
+                    rows.append(
+                        {
+                            "cluster": int(cl),
+                            "n": int(m.sum()),
+                            "s": x[m].sum(axis=0).tolist(),
+                            "inertia": float(d2[m, cl].sum()),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        agg = data.mapInPandas(
+            partials, "cluster int, n long, s array<double>, inertia double"
+        ).collect()
+        counts = np.zeros(k)
+        sums = np.zeros_like(cents)
+        inertia = 0.0
+        for r in agg:
+            counts[r.cluster] += r.n
+            sums[r.cluster] += np.array(r.s)
+            inertia += r.inertia
+        history.append(inertia)
+        new = cents.copy()  # empty clusters keep their old centroid
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        shift = float(np.abs(new - cents).max())
+        cents = new
+        bc.destroy()
+        if shift < tol:
+            break
+    return cents, history
+
+
+def kmeans_predict(
+    emb: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """(id, cluster): argmin-distance assignment, one Arrow pass."""
+    import numpy as np
+
+    bc = emb.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64)
+    )
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        c = bc.value
+        c_sq = (c * c).sum(axis=1)
+        for pdf in batches:
+            x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c_sq[None, :]
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], out_col: d2.argmin(axis=1)}
+            )
+
+    out = emb.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(assign, f"__id long, {out_col} int")
+    return out.select(F.col("__id").alias(id_col), out_col)
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    centroids,
+    *,
+    query_filter,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over learned (k-means) coarse centroids.
+
+    Candidates are inverted-listed by nearest centroid; each query
+    probes its ``nprobe`` nearest lists. Versus the sign-bucket IVF,
+    the lists are data-adaptive (balanced for clustered corpora) and
+    recall is tunable via nprobe. The bucket id is the shuffle key;
+    per-list work is bounded by list size, and the query side is
+    broadcast -- the standard serving shape.
+
+    Scores are float64 cosines rounded to 6dp with id tiebreaks
+    (same comparability recipe as cosine_topk_vectorized).
+    """
+    import numpy as np
+
+    assigned = kmeans_predict(emb, centroids, id_col, vec_col, "bucket")
+    cands = emb.join(assigned, id_col).select(
+        F.col(id_col).alias("c_id"),
+        F.col("bucket"),
+        F.col(vec_col).alias("c_emb"),
+    )
+    c = np.asarray(centroids, dtype=np.float64)
+    q_rows = emb.filter(query_filter).select(id_col, vec_col).collect()
+    if not q_rows:
+        return emb.sparkSession.createDataFrame(
+            [], "q_id long, c_id long, cosine double, rank long"
+        )
+    probes = []
+    for r in q_rows:
+        x = np.asarray(r[1], dtype=np.float64)
+        d2 = ((c - x) ** 2).sum(axis=1)
+        for b in np.argsort(d2, kind="stable")[:nprobe]:
+            probes.append((int(r[0]), list(map(float, x)), int(b)))
+    spark = emb.sparkSession
+    queries = F.broadcast(
+        spark.createDataFrame(
+            probes, "q_id long, q_emb array<double>, bucket int"
+        )
+    )
+    dot = (
+        "aggregate(zip_with(q_emb, c_emb, (x, y) -> x * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (a, t) -> a + t)"
+    )
+    nq = (
+        "sqrt(aggregate(zip_with(q_emb, q_emb, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (a, t) -> a + t))"
+    )
+    nc = (
+        "sqrt(aggregate(zip_with(c_emb, c_emb, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (a, t) -> a + t))"
+    )
+    scored = (
+        cands.join(queries, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", F.round(F.expr(f"{dot} / ({nq} * {nc})"), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+def kmeans_step_stats(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """One exact Lloyd assignment step, oracle-provable.
+
+    Assigns every vector to its nearest hash-sampled init centroid
+    using the exact DECIMAL distance fold (ties broken by centroid
+    id), then reports per-cluster membership stats. This is the
+    SQL-expressible core of the k-means iteration: the driver's
+    DuckDB gate proves the engine's distances, argmin, and
+    aggregation bit-match an independent implementation.
+    """
+    cents = hash_sampled_centroids(emb, k, id_col, vec_col, seed).select(
+        "centroid_id",
+        F.expr("transform(centroid, x -> CAST(x AS DOUBLE))").alias("centroid"),
+    )
+    dist2 = _DIST2_FOLD.format(v=vec_col, c="centroid")
+    pairs = emb.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.expr(dist2).alias("d2"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("d2").asc(), F.col("centroid_id").asc()
+    )
+    best = pairs.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") == 1
+    )
+    return best.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(id_col).alias("sum_ids"),
+        # d2 is DECIMAL: the group sum is exact, so one terminal
+        # round + double cast is engine-independent
+        F.round(F.sum("d2"), 6).cast("double").alias("sum_d2"),
+    )

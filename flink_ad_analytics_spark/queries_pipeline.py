@@ -11,8 +11,14 @@ ratios, md5-hex portable hashing, single terminal ROUND).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from .operators.clustering import (
+    ivf_kmeans_topk,
+    kmeans_fit,
+    kmeans_predict,
+    kmeans_step_stats,
+)
 from .operators.dedup import decontaminate
 from .operators.similarity import quantize_int8
 from .operators.text import redact_pii, repetition_features
@@ -309,6 +315,123 @@ FROM quant
 """
 
 
+# -- k-means clustering ---------------------------------------------------
+
+_KM_K = 10
+_KM_SEED = 11
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd assignment step (SQL-expressible core of k-means)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_step_stats(emb, k=_KM_K, seed=_KM_SEED)
+    return out.select(
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        "n_vecs",
+        "sum_ids",
+        "sum_d2",
+    )
+
+
+KMEANS_STEP_SQL = f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY md5('{_KM_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id
+         ) AS r
+  FROM embeddings
+),
+cents AS (
+  SELECT r - 1 AS centroid_id, embedding AS centroid
+  FROM ranked WHERE r <= {_KM_K}
+),
+v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+cv AS (
+  SELECT centroid_id, generate_subscripts(centroid, 1) AS pos,
+         CAST(unnest(centroid) AS DOUBLE) AS c
+  FROM cents
+),
+d AS (
+  SELECT vec_id, centroid_id,
+         CAST(round(SUM(CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
+                             AS DECIMAL(20,16))), 12) AS DECIMAL(38,12)) AS d2
+  FROM v JOIN cv USING (pos)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT vec_id, centroid_id, d2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, centroid_id ASC) AS rr
+  FROM d
+)
+SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+       CAST(round(SUM(d2), 6) AS DOUBLE) AS sum_d2
+FROM best
+WHERE rr = 1
+GROUP BY 1
+"""
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative k-means fit + assignment audit.
+
+    Genuinely non-SQL-expressible (iterative algorithm) -- no oracle
+    entry by design; correctness is carried by the oracle-exact
+    q_kmeans_step (the per-iteration math) plus test_clustering.py
+    (monotone inertia, determinism, planted-label purity).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _hist = kmeans_fit(emb, k=_KM_K, max_iter=6, seed=_KM_SEED)
+    assigned = kmeans_predict(emb, cents)
+    per = (
+        emb.join(assigned, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    return (
+        per.withColumn("__r", F.row_number().over(w))
+        .groupBy("cluster")
+        .agg(
+            F.sum("n").alias("n_vecs"),
+            F.max(F.when(F.col("__r") == 1, F.col("label"))).alias(
+                "majority_label"
+            ),
+            F.max(F.when(F.col("__r") == 1, F.col("n"))).alias("n_majority"),
+        )
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_vecs",
+            F.col("majority_label").cast("long").alias("majority_label"),
+            (
+                F.col("n_majority").cast("double")
+                / F.col("n_vecs").cast("double")
+            ).alias("purity"),
+        )
+    )
+
+
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the learned IVF index (fit at query time).
+
+    Rows-only gate (the index depends on the iterative fit); recall
+    vs the exact brute-force path is asserted in test_clustering.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(emb, k=_KM_K, max_iter=6, seed=_KM_SEED)
+    return ivf_kmeans_topk(
+        emb, cents, query_filter=F.col("vec_id") < 20, k=5, nprobe=2
+    )
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "dataset_splits": (q_dataset_splits, DATASET_SPLITS_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
@@ -317,4 +440,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "decontaminated": (q_decontaminated, DECONTAMINATED_SQL),
     "pii_redaction": (q_pii_redaction, PII_REDACTION_SQL),
     "embedding_quantization": (q_embedding_quantization, EMBEDDING_QUANTIZATION_SQL),
+    "kmeans_step": (q_kmeans_step, KMEANS_STEP_SQL),
+    "kmeans_clusters": (q_kmeans_clusters, None),
+    "ann_ivf_kmeans": (q_ann_ivf_kmeans, None),
 }

@@ -1,0 +1,100 @@
+"""K-means family: convergence, determinism, planted-cluster recovery,
+and IVF-kmeans recall.
+
+The fixture embeddings are isotropic (labels carry no geometric
+signal -- measured: same-label mean cosine 0.0016 vs 0.0003 across),
+so recovery/recall properties are asserted on PLANTED Gaussian
+clusters built in-test; the fixture table exercises convergence and
+determinism on realistic data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ad_analytics_spark.operators.clustering import (
+    hash_sampled_centroids,
+    ivf_kmeans_topk,
+    kmeans_fit,
+    kmeans_predict,
+)
+from flink_ad_analytics_spark.operators.similarity import cosine_topk
+from flink_ad_analytics_spark.sources.batch import load_table
+from tests.conftest import SF_CORRECT
+
+
+def _planted(spark, n_per=40, k=5, d=16, spread=0.05, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in range(k):
+        pts = centers[c] + spread * rng.normal(size=(n_per, d))
+        for i, p in enumerate(pts):
+            rows.append((c * n_per + i, [float(x) for x in p], c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_inertia_monotone_nonincreasing(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    _, hist = kmeans_fit(emb, k=8, max_iter=6)
+    assert len(hist) >= 2
+    assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:]))
+
+
+def test_fit_deterministic(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings").limit(300)
+    c1, h1 = kmeans_fit(emb, k=6, max_iter=4)
+    c2, h2 = kmeans_fit(emb, k=6, max_iter=4)
+    assert np.array_equal(c1, c2)
+    assert h1 == h2
+
+
+def test_recovers_planted_clusters(spark):
+    df = _planted(spark)
+    cents, hist = kmeans_fit(df, k=5, max_iter=10, seed=11)
+    pred = kmeans_predict(df, cents)
+    joined = df.join(pred, "vec_id").groupBy("label", "cluster").count()
+    per_label = {}
+    for r in joined.collect():
+        per_label.setdefault(r.label, []).append(r["count"])
+    # each planted cluster maps overwhelmingly to one k-means cluster.
+    # Lloyd's from a hash sample can land in a local optimum where one
+    # planted cluster hosts two seeds (measured 0.945 here) -- the
+    # bound asserts recovery, not global optimality.
+    purity = sum(max(v) for v in per_label.values()) / 200
+    assert purity >= 0.9, f"purity {purity}"
+
+
+def test_ivf_kmeans_recall_on_clustered_data(spark):
+    df = _planted(spark)
+    cents, _ = kmeans_fit(df, k=5, max_iter=10, seed=11)
+    qf = F.col("vec_id") % 40 == 0  # one query per planted cluster
+    exact = cosine_topk(df, query_filter=qf, k=5)
+    approx = ivf_kmeans_topk(df, cents, query_filter=qf, k=5, nprobe=1)
+    truth = {(r.q_id, r.c_id) for r in exact.collect()}
+    got = {(r.q_id, r.c_id) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_hash_sampled_centroids_shape_and_determinism(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    a = hash_sampled_centroids(emb, 7).collect()
+    b = hash_sampled_centroids(emb, 7).collect()
+    assert [r.centroid_id for r in a] == list(range(7))
+    assert [r.centroid for r in a] == [r.centroid for r in b]
+
+
+def test_empty_cluster_keeps_old_centroid(spark):
+    # k larger than distinct points: some clusters must go empty and
+    # the fit must not NaN out
+    rows = [(i, [float(i % 3), 0.0], 0) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cents, hist = kmeans_fit(df, k=8, max_iter=4)
+    assert not np.isnan(cents).any()
+    assert hist[-1] <= hist[0] + 1e-12
