@@ -52,6 +52,7 @@ BENCH_QUERIES = (
     "customers_without_orders",
     "above_average_orders",
     "order_value_percentiles",
+    "volume_shipping",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -80,6 +81,7 @@ BENCH_QUERIES = (
     "kmeans_step",
     "kmeans_clusters",
     "ann_ivf_kmeans",
+    "ann_quantized_topk",
 )
 
 

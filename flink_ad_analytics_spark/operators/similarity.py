@@ -384,3 +384,84 @@ def quantize_int8(
         F.expr("aggregate(q, 0L, (acc, x) -> acc + abs(x))").alias("l1_q"),
         F.array_join(F.col("q"), ",").alias("q_csv"),
     )
+
+
+def quantized_vecs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, scale, q array<bigint>): int8-quantized vectors (see
+    quantize_int8) kept as arrays for search-side use."""
+    ax = F.expr(f"transform({vec_col}, x -> abs(CAST(x AS DOUBLE)))")
+    base = emb.select(
+        F.col(id_col),
+        F.array_max(ax).alias("scale"),
+        F.col(vec_col),
+    )
+    q = (
+        "transform({v}, x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0D"
+        " + 0.5D) AS BIGINT))"
+    ).format(v=vec_col)
+    return base.select(
+        id_col, "scale", F.when(F.col("scale") > 0, F.expr(q)).alias("q")
+    )
+
+
+#: Integer dot product: every term and the fold are exact BIGINT math,
+#: so the result is engine-independent by construction -- no decimal
+#: tricks needed. (127*127*dims*|values| stays far inside int64.)
+_IDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, t) -> acc + t)"
+)
+
+
+def quantized_topk(
+    emb: DataFrame,
+    *,
+    query_filter,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors.
+
+    The production memory/IO shape: candidates are scored in their 4x
+    smaller quantized form; cosine = int_dot / sqrt(int_norm_q *
+    int_norm_c), exact integer arithmetic up to the final IEEE
+    sqrt/divide -- deterministic across engines WITHOUT decimal folds,
+    which is the whole trick: quantization buys both the bandwidth
+    savings and cheap provability. Scores approximate the float
+    cosine (recall vs the exact path asserted in tests), ranking by
+    (rounded score desc, c_id).
+    """
+    qv = quantized_vecs(emb, id_col, vec_col)
+    queries = F.broadcast(
+        qv.filter(query_filter).select(
+            F.col(id_col).alias("q_id"), F.col("q").alias("qq")
+        )
+    )
+    cands = qv.select(F.col(id_col).alias("c_id"), F.col("q").alias("cq"))
+    idot = _IDOT.format(a="qq", b="cq")
+    nq = _IDOT.format(a="qq", b="qq")
+    nc = _IDOT.format(a="cq", b="cq")
+    scored = (
+        cands.crossJoin(queries)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "qcosine",
+            F.round(
+                F.expr(
+                    f"CAST({idot} AS DOUBLE) / "
+                    f"(sqrt(CAST({nq} AS DOUBLE)) * sqrt(CAST({nc} AS DOUBLE)))"
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("qcosine").desc(), F.col("c_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "qcosine", "rank")
+    )

@@ -847,6 +847,86 @@ GROUP BY 1
 """
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: bidirectional trade volume between two nations
+    by shipment year.
+
+    The deepest join tree in the relational surface: lineitem joins
+    orders (the one big shuffle, on orderkey), then supplier/customer/
+    nation x2 as broadcast dims; the two-nation restriction is an OR
+    over the (supplier-nation, customer-nation) pair, applied to the
+    join output before aggregation. Catalyst plans all four dim joins
+    as BroadcastHashJoin under the same shuffle -- a 100 TB lineitem
+    still only shuffles once.
+    """
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)")
+               - F.col("l_discount").cast("decimal(18,6)"))
+        ),
+        4,
+    ).cast("double")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            volume.alias("revenue"),
+        )
+    )
+
+
+VOLUME_SHIPPING_SQL = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(18,6))
+                         - CAST(l_discount AS DECIMAL(18,6)))), 4)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -877,4 +957,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
         q_order_value_percentiles,
         ORDER_VALUE_PERCENTILES_SQL,
     ),
+    "volume_shipping": (q_volume_shipping, VOLUME_SHIPPING_SQL),
 }

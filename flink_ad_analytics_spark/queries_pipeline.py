@@ -20,7 +20,7 @@ from .operators.clustering import (
     kmeans_step_stats,
 )
 from .operators.dedup import decontaminate
-from .operators.similarity import quantize_int8
+from .operators.similarity import quantize_int8, quantized_topk
 from .operators.text import redact_pii, repetition_features
 from .operators.sampling import (
     hash_split,
@@ -315,6 +315,56 @@ FROM quant
 """
 
 
+# -- quantized ANN --------------------------------------------------------
+
+
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, query_filter=F.col("vec_id") < 20, k=10)
+
+
+ANN_QUANTIZED_TOPK_SQL = """
+WITH qv AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE))), 'max') AS scale,
+         embedding
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0 THEN
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT))
+         END AS q
+  FROM qv
+),
+p AS (
+  SELECT vec_id, generate_subscripts(q, 1) AS pos, unnest(q) AS v FROM quant
+),
+norms AS (SELECT vec_id, SUM(v * v) AS n2 FROM p GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id, SUM(a.v * b.v) AS dot
+  FROM p a JOIN p b USING (pos)
+  WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT q_id, c_id,
+         ROUND(CAST(dot AS DOUBLE) /
+               (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))),
+               6) AS qcosine
+  FROM dots
+  JOIN norms qn ON q_id = qn.vec_id
+  JOIN norms cn ON c_id = cn.vec_id
+)
+SELECT q_id, c_id, qcosine, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY qcosine DESC, c_id) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
 # -- k-means clustering ---------------------------------------------------
 
 _KM_K = 10
@@ -440,6 +490,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "decontaminated": (q_decontaminated, DECONTAMINATED_SQL),
     "pii_redaction": (q_pii_redaction, PII_REDACTION_SQL),
     "embedding_quantization": (q_embedding_quantization, EMBEDDING_QUANTIZATION_SQL),
+    "ann_quantized_topk": (q_ann_quantized_topk, ANN_QUANTIZED_TOPK_SQL),
     "kmeans_step": (q_kmeans_step, KMEANS_STEP_SQL),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, None),

@@ -97,3 +97,23 @@ def test_quantization_saturates_at_127(spark):
         )
     ).first()[0]
     assert mx == 127  # the max-|x| component maps exactly to +/-127
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    from flink_ad_analytics_spark.operators.similarity import (
+        cosine_topk,
+        quantized_topk,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qf = F.col("vec_id") < 20
+    exact = {
+        (r.q_id, r.c_id)
+        for r in cosine_topk(emb, query_filter=qf, k=10).collect()
+    }
+    quant = {
+        (r.q_id, r.c_id)
+        for r in quantized_topk(emb, query_filter=qf, k=10).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.95, f"int8 recall {recall}"

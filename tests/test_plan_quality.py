@@ -174,3 +174,49 @@ def test_top_terms_single_corpus_pass(spark):
     # separate count() for N runs as its own job, not in this plan).
     # formatted mode prints each node twice: tree line + detail block.
     assert plan.count("Scan parquet") == 2, plan
+
+
+def test_volume_shipping_single_fact_shuffle(spark):
+    """Q7-style 6-way join: all four dim joins broadcast; lineitem's
+    shipdate range filter reaches the scan. The fact table must not
+    shuffle for any dim join (the one exchange pair feeds
+    lineitem<->orders)."""
+    from flink_ad_analytics_spark.queries import q_volume_shipping
+
+    df = q_volume_shipping(spark, SF_CORRECT)
+    # simple mode prints each node once (formatted prints tree+detail);
+    # >= 4: the four dims always broadcast, and at toy SF the pruned
+    # orders side may legitimately broadcast too
+    assert plan_of(df, "simple").count("BroadcastHashJoin") >= 4
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    # the nation pair OR-filter must not force a post-join sort
+    assert "GlobalSort" not in plan
+
+
+def test_repetition_quality_single_exchange(spark):
+    """Both aggregation levels must reuse the explicit doc-id
+    partitioning: exactly one exchange in the whole plan."""
+    from flink_ad_analytics_spark.operators.text import repetition_features
+    from flink_ad_analytics_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    plan = plan_of(repetition_features(docs), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_sampling_ops_no_shuffle(spark):
+    """Split/sample assignment is a pure projection/filter: zero
+    exchanges before any user-added aggregation."""
+    from flink_ad_analytics_spark.operators.sampling import (
+        hash_split,
+        stratified_sample,
+    )
+    from flink_ad_analytics_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    for df in (
+        hash_split(docs),
+        stratified_sample(docs, "lang", {"en": 0.5}),
+    ):
+        assert plan_of(df, "simple").count("Exchange") == 0
