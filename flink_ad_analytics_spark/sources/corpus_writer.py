@@ -1,0 +1,74 @@
+"""Partitioned corpus writes: the layout half of a 100 TB pipeline.
+
+A curation pipeline's output is read hundreds of times by downstream
+training jobs; the write is the one chance to buy every later scan
+partition pruning, row-group min/max pruning, and sane file sizes.
+Three levers, all encoded here:
+
+* **Hive partitioning** (``partitionBy``): coarse, low-cardinality
+  columns (lang, source, split) become directories; a reader filtering
+  on them never opens the other directories (PartitionFilters in the
+  scan, proven by test).
+* **File count control**: Spark writes one file per task per output
+  partition, so an unplanned write produces tasks x partitions small
+  files. Repartitioning by (partition cols [+ salt]) first puts each
+  output partition's rows in exactly ``files_per_partition`` tasks.
+* **Sort within files** (``sortWithinPartitions``): an in-task sort
+  (no exchange) that turns the sort column's parquet row-group min/max
+  stats into a range index -- point/range reads on that column skip
+  row groups. Sorting by a content key (e.g. fingerprint) also
+  clusters duplicates for downstream dedup locality.
+
+Salting note: the salt is hash(id) % files_per_partition -- pure,
+deterministic, and evenly spread; using rand() would break task retry
+idempotency (a retried task would re-deal rows differently).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_partitioned_corpus(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Sequence[str] = ("lang",),
+    sort_within: Sequence[str] = ("doc_id",),
+    files_per_partition: int = 1,
+    id_col: str = "doc_id",
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a partitioned, sorted, file-count-controlled
+    parquet corpus under ``path``."""
+    parts = [F.col(c) for c in partition_by]
+    if files_per_partition > 1:
+        # pmod, not %: xxhash64 is signed and Spark's % keeps the
+        # sign, which would silently double the salt space
+        salt = F.pmod(
+            F.xxhash64(F.col(id_col)), F.lit(files_per_partition)
+        ).alias("__salt")
+        out = df.repartition(*(parts + [salt]))
+    elif parts:
+        out = df.repartition(*parts)
+    else:
+        # unpartitioned layout: keep the incoming task parallelism
+        # (files = tasks, each capped by max_records_per_file)
+        out = df
+    if sort_within:
+        out = out.sortWithinPartitions(
+            *[F.col(c) for c in (list(partition_by) + list(sort_within))]
+        )
+    writer = out.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_by).parquet(path)
+
+
+def read_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned corpus (partition columns come back typed as
+    written by partition discovery)."""
+    return spark.read.parquet(path)
