@@ -685,3 +685,58 @@ def test_streaming_sliding_windows_equal_batch(spark, stream_fixture, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
+
+
+def test_streaming_exact_dedup_equals_batch(spark, stream_fixture, tmp_path):
+    """At-least-once delivery repair: every impression arrives TWICE
+    (duplicated bus), dropDuplicatesWithinWatermark restores
+    exactly-once per-campaign counts == batch COUNT(DISTINCT) over the
+    deduped feed. This is the streaming face of exact_dedup: state is
+    one id per watermark span, evicted as the watermark passes."""
+    sf = stream_fixture
+    dup_dir = str(tmp_path / "dup_imp")
+    os.makedirs(dup_dir)
+    full = pd.concat(
+        [sf["fx"].impressions, sf["fx"].impressions], ignore_index=True
+    ).sort_values("event_timestamp", kind="stable")
+    half = len(full) // 2
+    full.iloc[:half].to_parquet(f"{dup_dir}/part-0.parquet", index=False)
+    schema = spark.read.parquet(dup_dir).schema
+    imp = file_event_stream(
+        spark, dup_dir, schema, watermark="5 seconds",
+        max_files_per_trigger=None,
+    )
+    deduped = imp.dropDuplicatesWithinWatermark(["impression_id"])
+    counts = deduped.groupBy(
+        F.window("event_time", "1 minute"), "campaign_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = str(tmp_path / "out")
+    q = to_parquet_dir(counts, path=out, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    full.iloc[half:].to_parquet(f"{dup_dir}/part-1.parquet", index=False)
+    q.processAllAvailable()
+    _sentinel_imp().to_parquet(f"{dup_dir}/part-2-sentinel.parquet", index=False)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["window"]["start"], r.campaign_id): r.n
+        for r in spark.read.parquet(out).collect()
+        if r.campaign_id != "camp-sentinel"
+    }
+    batch = spark.createDataFrame(sf["fx"].impressions)
+    expect = {
+        ((r["wstart"]), r.campaign_id): r.n
+        for r in batch.select(
+            F.timestamp_millis(F.col("event_timestamp")).alias("event_time"),
+            "campaign_id",
+            "impression_id",
+        )
+        .groupBy(
+            F.window("event_time", "1 minute").start.alias("wstart"),
+            "campaign_id",
+        )
+        .agg(F.countDistinct("impression_id").alias("n"))
+        .collect()
+    }
+    assert got == expect
