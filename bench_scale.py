@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Scale curve for the dedup family: runs exact dedup, text features,
+"""Scale curve for the dedup/curation family: exact dedup, text features,
 MinHash-LSH, and SimHash over synthetic corpora at a sweep of sizes
 (default 12.5k/25k/50k/100k docs, ~5% planted near-duplicates) and
 prints ONE JSON line with, per size: op runtimes, LSH/SimHash
@@ -104,6 +104,23 @@ def run_size(spark, n_docs: int) -> dict:
         )
         sim_pairs = run("simhash_pairs", lambda: simhash_pairs(docs).count())
 
+        # round-2 curation ops on the same sweep
+        from pyspark.sql import functions as F
+
+        from flink_ad_analytics_spark.operators.dedup import decontaminate
+        from flink_ad_analytics_spark.operators.text import repetition_features
+
+        run("repetition", lambda: repetition_features(docs).count())
+        is_bench = F.expr(
+            "substr(md5('bench:' || CAST(doc_id AS STRING)), 1, 1) = '0'"
+        )
+        n_clean = run(
+            "decontaminate",
+            lambda: decontaminate(
+                docs.filter(~is_bench), docs.filter(is_bench), n=8
+            ).count(),
+        )
+
         n = len(corpus)
         return {
             "n_docs": n,
@@ -116,6 +133,7 @@ def run_size(spark, n_docs: int) -> dict:
             ),
             "simhash_candidates": sim_cands,
             "simhash_pairs_found": sim_pairs,
+            "n_clean": n_clean,
             "ops": timings,
             "total_sec": round(sum(timings.values()), 2),
         }
