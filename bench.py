@@ -53,6 +53,7 @@ BENCH_QUERIES = (
     "above_average_orders",
     "order_value_percentiles",
     "volume_shipping",
+    "click_attribution_asof",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions.skew import salted_join
 from .operators.anomaly import detect_anomalies
+from .operators.asof import asof_join
 from .operators.ctr import ctr_windows
 from .operators.engagement import engagement_windows
 from .sources.batch import load_events, load_table
@@ -927,6 +928,54 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_click_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each click joined to the LATEST
+    impression by the same user at-or-before the click (as-of join --
+    the temporal-join direction Flink spells FOR SYSTEM_TIME AS OF and
+    Spark lacks natively; see operators/asof.py for the union +
+    carry-forward plan that avoids join fan-out).
+
+    Impressions are pre-aggregated to one row per (user_id,
+    event_time) so "the latest" is well-defined on every engine.
+    """
+    imp, clk = _impressions_clicks(spark, sf_dir)
+    imp_u = (
+        imp.groupBy("user_id", F.col("event_time").alias("impression_time"))
+        .agg(F.max("impression_id").alias("impression_id"))
+    )
+    att = asof_join(
+        clk,
+        imp_u,
+        on=["user_id"],
+        left_time="click_time",
+        right_time="impression_time",
+    )
+    return att.select(
+        "click_id",
+        "user_id",
+        "click_time",
+        "impression_id",
+        "impression_time",
+        (F.unix_millis("click_time") - F.unix_millis("impression_time")).alias(
+            "latency_ms"
+        ),
+    )
+
+
+CLICK_ATTRIBUTION_ASOF_SQL = f"""
+WITH {_IMP_CLK_SQL},
+imp_u AS (
+  SELECT user_id, event_time AS impression_time,
+         MAX(impression_id) AS impression_id
+  FROM imp GROUP BY user_id, event_time)
+SELECT c.click_id, c.user_id, c.click_time,
+       i.impression_id, i.impression_time,
+       epoch_ms(c.click_time) - epoch_ms(i.impression_time) AS latency_ms
+FROM clk c ASOF LEFT JOIN imp_u i
+  ON c.user_id = i.user_id AND c.click_time >= i.impression_time
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -958,4 +1007,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
         ORDER_VALUE_PERCENTILES_SQL,
     ),
     "volume_shipping": (q_volume_shipping, VOLUME_SHIPPING_SQL),
+    "click_attribution_asof": (
+        q_click_attribution_asof,
+        CLICK_ATTRIBUTION_ASOF_SQL,
+    ),
 }
