@@ -83,6 +83,9 @@ BENCH_QUERIES = (
     "kmeans_clusters",
     "ann_ivf_kmeans",
     "ann_quantized_topk",
+    "doc_chunks",
+    "sequence_packing",
+    "packing_offset",
 )
 
 

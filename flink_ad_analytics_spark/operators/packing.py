@@ -1,0 +1,154 @@
+"""Context-window operators: document chunking and sequence packing.
+
+The step between a curated corpus and a training run: split long
+documents into model-context-sized token windows (chunking, 1->N),
+then pack short sequences into fixed-capacity bins so batches waste no
+padding (packing, N->bins). Both are deterministic corpus transforms,
+so they get full DuckDB oracles like every other operator here.
+
+Scale design:
+
+* chunking is embarrassingly parallel -- one generator expression per
+  row, no shuffle at all; the explode multiplies rows ~n_tokens/stride
+  so downstream partition sizing must account for the fan-out (same
+  consideration as dedup.doc_shingles).
+* packing is sequential WITHIN a shard but parallel ACROSS shards --
+  the shard column (source / path / date) is the unit of
+  distribution, exactly how a 100 TB corpus is packed in practice
+  (each worker packs its own file group; no global order exists).
+  One shuffle on the shard key; greedy state never leaves a shard.
+  Shards are assumed executor-sized (documents of one source file
+  group); a pathologically hot shard is split upstream by the corpus
+  writer's file-count control (sources/corpus_writer.py).
+
+Greedy packing (next-fit) is inherently iterative; the Spark side
+runs it as an Arrow-batched applyInPandas per shard, and the oracle
+reproduces it with a per-shard-parallel recursive CTE -- see
+NEXT_FIT_RECURSIVE_SQL.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .text import TOKENS
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 32,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's whitespace-token stream into windows of
+    `chunk_tokens` tokens starting every `stride` tokens (default:
+    non-overlapping, stride = chunk_tokens).
+
+    Output: id, chunk_idx, chunk_start (token offset), n_chunk_tokens,
+    chunk_md5 (portable hash of the re-joined window text -- the
+    cross-engine fingerprint idiom used throughout this repo).
+    """
+    stride = stride or chunk_tokens
+    toks = docs.select(
+        F.col(id_col), F.expr(TOKENS.format(col=text_col)).alias("ws")
+    )
+    # one start offset per window: 0, stride, 2*stride, ... < n_tokens
+    starts = F.expr("sequence(0, size(ws) - 1, {s})".format(s=stride))
+    exploded = toks.select(
+        id_col, "ws", F.explode(starts).alias("chunk_start")
+    )
+    chunk = F.expr(f"slice(ws, chunk_start + 1, {chunk_tokens})")
+    return exploded.select(
+        F.col(id_col),
+        (F.col("chunk_start") / stride).cast("bigint").alias("chunk_idx"),
+        F.col("chunk_start").cast("bigint"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+def pack_sequences_offset(
+    docs: DataFrame,
+    *,
+    capacity: int,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Offset packing: bin = (tokens before this doc in shard order)
+    DIV capacity. Docs straddle bin boundaries (the reader skips the
+    tail at training time) -- the streaming-friendly packing that
+    needs only a running sum, no greedy state.
+
+    Output: one row per doc with shard, id, n_tokens, bin_id.
+    """
+    toks = docs.select(
+        F.col(shard_col),
+        F.col(id_col),
+        F.expr(f"size({TOKENS.format(col=text_col)})").cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.withColumn(
+        "bin_id", F.floor(cum_before / capacity).cast("bigint")
+    )
+
+
+def pack_sequences_greedy(
+    docs: DataFrame,
+    *,
+    capacity: int,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy next-fit packing per shard: walk docs in (shard,
+    order_col) order; a doc that would overflow the current bin opens
+    the next one. A doc longer than capacity gets a bin to itself
+    (bins never split documents).
+
+    Sequential state per shard, parallel across shards
+    (applyInPandas). Output: shard, id, n_tokens, bin_id.
+    """
+    toks = docs.select(
+        F.col(shard_col).alias("__shard"),
+        F.col(order_col).alias("__ord"),
+        F.col(id_col).alias("__id"),
+        F.expr(f"size({TOKENS.format(col=text_col)})").cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__ord", kind="mergesort").reset_index(drop=True)
+        bins, bin_id, fill = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if fill and fill + n > capacity:
+                bin_id, fill = bin_id + 1, 0
+            fill += n
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    out_schema = (
+        "__shard string, __ord bigint, __id bigint, "
+        "n_tokens bigint, bin_id bigint"
+    )
+    packed = toks.groupBy("__shard").applyInPandas(pack, schema=out_schema)
+    return packed.select(
+        F.col("__shard").alias(shard_col),
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "bin_id",
+    )

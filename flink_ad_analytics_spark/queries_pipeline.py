@@ -20,6 +20,11 @@ from .operators.clustering import (
     kmeans_step_stats,
 )
 from .operators.dedup import decontaminate
+from .operators.packing import (
+    chunk_documents,
+    pack_sequences_greedy,
+    pack_sequences_offset,
+)
 from .operators.similarity import quantize_int8, quantized_topk
 from .operators.text import redact_pii, repetition_features
 from .operators.sampling import (
@@ -482,6 +487,102 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- context-window ops: chunking + packing ------------------------------
+
+_CHUNK, _STRIDE, _CAPACITY = 32, 16, 512
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping 32-token windows every 16
+    tokens (1->N explode, zero shuffle; operators/packing.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=_CHUNK, stride=_STRIDE)
+
+
+DOC_CHUNKS_SQL = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)
+SELECT doc_id,
+       CAST(start // {_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS chunk_start,
+       CAST(len(list_slice(ws, start + 1, start + {_CHUNK})) AS BIGINT)
+         AS n_chunk_tokens,
+       md5(array_to_string(list_slice(ws, start + 1, start + {_CHUNK}), ' '))
+         AS chunk_md5
+FROM t, UNNEST(range(0, len(ws), {_STRIDE})) AS u(start)
+"""
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing per source shard (sequential
+    within shard via applyInPandas, parallel across shards); audited
+    per (shard, bin): doc count + token fill.
+
+    The oracle reproduces the greedy walk with a per-shard-parallel
+    recursive CTE -- full value gate on an iterative operator.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences_greedy(docs, capacity=_CAPACITY)
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH RECURSIVE toks AS MATERIALIZED (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+state AS (
+  SELECT source, rn, n_tokens, CAST(0 AS BIGINT) AS bin_id,
+         n_tokens AS fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.n_tokens,
+         CASE WHEN s.fill + t.n_tokens <= {_CAPACITY}
+              THEN s.bin_id ELSE s.bin_id + 1 END,
+         CASE WHEN s.fill + t.n_tokens <= {_CAPACITY}
+              THEN s.fill + t.n_tokens ELSE t.n_tokens END
+  FROM state s JOIN toks t ON t.source = s.source AND t.rn = s.rn + 1)
+SELECT source, bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM state GROUP BY 1, 2
+"""
+
+
+def q_packing_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset (cumsum) packing: bin = tokens-before DIV capacity; the
+    shuffle-light window variant that lets docs straddle bins."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences_offset(docs, capacity=_CAPACITY)
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+PACKING_OFFSET_SQL = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+binned AS (
+  SELECT source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_CAPACITY} AS bin_id
+  FROM toks)
+SELECT source, CAST(bin_id AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM binned GROUP BY 1, 2
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "dataset_splits": (q_dataset_splits, DATASET_SPLITS_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
@@ -494,4 +595,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "kmeans_step": (q_kmeans_step, KMEANS_STEP_SQL),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, None),
+    "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
+    "sequence_packing": (q_sequence_packing, SEQUENCE_PACKING_SQL),
+    "packing_offset": (q_packing_offset, PACKING_OFFSET_SQL),
 }
