@@ -54,6 +54,9 @@ BENCH_QUERIES = (
     "order_value_percentiles",
     "volume_shipping",
     "click_attribution_asof",
+    "min_cost_supplier",
+    "large_volume_customers",
+    "sole_late_suppliers",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

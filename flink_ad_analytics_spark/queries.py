@@ -976,6 +976,197 @@ FROM clk c ASOF LEFT JOIN imp_u i
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated MIN subquery) on the driver schema:
+    for each STANDARD small part, the EUROPE supplier(s) observed at
+    the minimum lineitem unit price.
+
+    Spark side decorrelates to groupBy-min + equality join-back (the
+    rewrite Catalyst itself applies to correlated scalar subqueries);
+    the oracle keeps the classic correlated form, so the gate proves
+    the rewrite. nation/region broadcast (fixed 25/5 rows); the
+    offers->mins join shuffles on p_partkey, high-cardinality and
+    even at any SF. unit_price is an IEEE double op identical across
+    engines, so MIN and the equality match are portable.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    snr = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(snr, li.l_suppkey == snr.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+    )
+    # window-min instead of agg + join-back: the offers subplan (a
+    # fact-table scan + 2 joins) is computed ONCE and shuffled once on
+    # p_partkey; the agg+join-back form re-evaluates it per branch
+    # (Catalyst gives no exchange reuse across differently-pruned
+    # branches -- measured 8 exchanges vs 3 here).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("min_price", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("min_price"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_price")
+        .distinct()
+    )
+
+
+MIN_COST_SUPPLIER_SQL = """
+WITH offers AS MATERIALIZED (
+  SELECT p_partkey, p_name, s_name, n_name,
+         l_extendedprice / l_quantity AS unit_price
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'STANDARD' AND p_size <= 15 AND r_name = 'EUROPE')
+SELECT DISTINCT o.p_partkey, o.p_name, o.s_name, o.n_name, o.unit_price
+FROM offers o
+WHERE o.unit_price = (SELECT MIN(unit_price) FROM offers i
+                      WHERE i.p_partkey = o.p_partkey)
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders whose total quantity
+    exceeds a threshold (GROUP BY + HAVING driving a semi-join into
+    the orders/customer join).
+
+    The heavy aggregation runs FIRST on lineitem alone (map-side
+    partial sums), and only the tiny surviving orderkey set joins
+    outward -- the plan a 100 TB run needs (never join then filter).
+    Quantity sums use the exact-decimal idiom for the threshold and
+    the output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sq")
+    )
+    big = qty.filter(F.col("sq") > 250)
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("sq"), 4).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(ROUND(sq, 4) AS DOUBLE) AS sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier finished order ("late" adapted to the driver
+    schema: shipped >60 days after order date -- lineitem carries no
+    receipt/commit dates).
+
+    The reference formulation is EXISTS + NOT EXISTS (kept verbatim in
+    the oracle); the Spark plan decorrelates both to one aggregation
+    over (orderkey, suppkey) -- n_suppliers>1 replaces EXISTS,
+    n_late==1 replaces NOT EXISTS -- turning two correlated self-joins
+    into a single shuffle on l_orderkey. At 100 TB that is the
+    difference between one exchange and three self-join passes over
+    the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    lo = li.join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).cast("int").alias("late"),
+    )
+    # pin ONE exchange on l_orderkey: HashPartitioning(l_orderkey)
+    # satisfies the clustering of both the (orderkey, suppkey) agg,
+    # the orderkey agg, and the sole-join below, so every downstream
+    # step runs shuffle-free on the same partitioning.
+    lo = lo.repartition("l_orderkey")
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("is_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    sole = per_o.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)).select(
+        "l_orderkey"
+    )
+    return (
+        per_os.filter(F.col("is_late") == 1)
+        .join(sole, "l_orderkey")
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+SOLE_LATE_SUPPLIERS_SQL = """
+WITH lo AS MATERIALIZED (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey)
+SELECT s_name, COUNT(*) AS numwait
+FROM lo l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.is_late = 1
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.is_late = 1)
+GROUP BY s_name
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -1011,4 +1202,10 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
         q_click_attribution_asof,
         CLICK_ATTRIBUTION_ASOF_SQL,
     ),
+    "min_cost_supplier": (q_min_cost_supplier, MIN_COST_SUPPLIER_SQL),
+    "large_volume_customers": (
+        q_large_volume_customers,
+        LARGE_VOLUME_CUSTOMERS_SQL,
+    ),
+    "sole_late_suppliers": (q_sole_late_suppliers, SOLE_LATE_SUPPLIERS_SQL),
 }
