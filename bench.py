@@ -57,6 +57,8 @@ BENCH_QUERIES = (
     "min_cost_supplier",
     "large_volume_customers",
     "sole_late_suppliers",
+    "rolling_user_value",
+    "lineitem_cube",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -1167,6 +1167,71 @@ GROUP BY s_name
 """
 
 
+_ROLL_FRAME = (
+    "PARTITION BY user_id ORDER BY event_time "
+    "RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW"
+)
+
+
+def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per user, the rolling 24-hour sum and
+    count of event values at every event (sliding by VALUE, not by
+    row -- the frame the reference's tumbling/sliding windows can't
+    express; Flink spells it an OVER window with RANGE, flink docs'
+    `RANGE BETWEEN INTERVAL '24' HOUR PRECEDING`).
+
+    One shuffle + sort on user_id; the range frame is evaluated with
+    a sliding two-pointer over the sorted run. RANGE (not ROWS)
+    includes all timestamp ties deterministically. Decimal sums keep
+    the moving aggregation exact cross-engine.
+    """
+    ev = load_events(spark, sf_dir)
+    return ev.selectExpr(
+        "event_id",
+        "user_id",
+        "event_time",
+        "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER "
+        f"({_ROLL_FRAME}), 4) AS DOUBLE) AS rolling_value_24h",
+        f"COUNT(*) OVER ({_ROLL_FRAME}) AS n_events_24h",
+    )
+
+
+ROLLING_USER_VALUE_SQL = f"""
+WITH ev AS ({EV_SQL})
+SELECT event_id, user_id, event_time,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE)
+         AS rolling_value_24h,
+       COUNT(*) OVER w AS n_events_24h
+FROM ev
+WINDOW w AS ({_ROLL_FRAME})
+"""
+
+
+def q_lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping levels in
+    one Expand + single-shuffle hash aggregate, with GROUPING flags
+    distinguishing NULL-as-subtotal from NULL data (the companion to
+    order_rollup's ROLLUP; together they cover the grouping-sets
+    surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum("l_extendedprice").alias("sum_price"),
+        F.grouping_id().cast("long").alias("lvl"),
+    )
+
+
+LINEITEM_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS sum_price,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -1208,4 +1273,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
         LARGE_VOLUME_CUSTOMERS_SQL,
     ),
     "sole_late_suppliers": (q_sole_late_suppliers, SOLE_LATE_SUPPLIERS_SQL),
+    "rolling_user_value": (q_rolling_user_value, ROLLING_USER_VALUE_SQL),
+    "lineitem_cube": (q_lineitem_cube, LINEITEM_CUBE_SQL),
 }
