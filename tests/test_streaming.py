@@ -740,3 +740,78 @@ def test_streaming_exact_dedup_equals_batch(spark, stream_fixture, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_streaming_asof_attribution_equals_batch(spark, stream_fixture, tmp_path):
+    """Streaming as-of join (last-touch attribution) must equal the
+    batch asof_join window-for-window: per click, the latest
+    at-or-before impression by the same user, max-id on timestamp
+    ties, NULLs for unmatched -- proven on the reference fixture with
+    out-of-order micro-batches and a watermark."""
+    from flink_ad_analytics_spark.operators.asof import asof_join
+    from flink_ad_analytics_spark.streaming.asof import (
+        streaming_click_attribution,
+    )
+    from flink_ad_analytics_spark.streaming.sources import file_event_stream
+
+    sf = stream_fixture
+    imp_schema = spark.read.parquet(sf["imp_dir"]).schema
+    clk_schema = spark.read.parquet(sf["clk_dir"]).schema
+    # un-watermarked inputs: the operator applies ONE watermark on the
+    # unioned event time
+    imp = file_event_stream(
+        spark, sf["imp_dir"], imp_schema, watermark=None,
+        max_files_per_trigger=None,
+    )
+    clk = file_event_stream(
+        spark, sf["clk_dir"], clk_schema, watermark=None,
+        max_files_per_trigger=None, event_time_col="click_time",
+    )
+    att = streaming_click_attribution(imp, clk)
+    q = (
+        att.writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_asof"))
+        .start()
+    )
+    _drive(q, sf, sf["imp_dir"], sf["clk_dir"])
+
+    cols = ["click_id", "user_id", "click_time", "impression_id",
+            "impression_time", "latency_ms"]
+
+    def norm(pdf):
+        pdf = pdf[cols].sort_values(cols[:3]).reset_index(drop=True)
+        pdf["latency_ms"] = pdf["latency_ms"].astype("float64")
+        return pdf
+
+    streamed = norm(
+        spark.table("asof_stream").filter(F.col("user_id") != "user-0").toPandas()
+    )
+
+    imp_b = spark.createDataFrame(sf["fx"].impressions).withColumn(
+        "event_time", F.timestamp_millis(F.col("event_timestamp"))
+    )
+    clk_b = spark.createDataFrame(sf["fx"].clicks).withColumn(
+        "click_time", F.timestamp_millis(F.col("event_timestamp"))
+    )
+    imp_u = imp_b.groupBy(
+        "user_id", F.col("event_time").alias("impression_time")
+    ).agg(F.max("impression_id").alias("impression_id"))
+    batch = norm(
+        asof_join(
+            clk_b.select("click_id", "user_id", "click_time"),
+            imp_u,
+            on=["user_id"],
+            left_time="click_time",
+            right_time="impression_time",
+        )
+        .withColumn(
+            "latency_ms",
+            F.unix_millis("click_time") - F.unix_millis("impression_time"),
+        )
+        .filter(F.col("user_id") != "user-0")
+        .toPandas()
+    )
+    assert len(streamed) == len(batch) > 0
+    pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
