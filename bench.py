@@ -59,6 +59,9 @@ BENCH_QUERIES = (
     "sole_late_suppliers",
     "rolling_user_value",
     "lineitem_cube",
+    "lineitem_unpivot",
+    "daily_funnel_fullouter",
+    "priority_history_scd2",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -1232,6 +1232,130 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long melt) of the lineitem measures, then a
+    per-metric aggregate. Executes as a single Expand (same physical
+    op as rollup/cube) -- one scan, rows x 3, one shuffle on the tiny
+    metric key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return melted.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        _dsum("val").alias("total"),
+    )
+
+
+LINEITEM_UNPIVOT_SQL = """
+SELECT metric, COUNT(*) AS n_values,
+       CAST(ROUND(SUM(CAST(val AS DECIMAL(18,6))), 4) AS DOUBLE) AS total
+FROM (
+  SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+GROUP BY metric
+"""
+
+
+def q_daily_funnel_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: daily per-campaign impression vs click counts,
+    keeping days where either side is absent (the join type the rest
+    of the surface doesn't exercise). Both sides aggregate BEFORE the
+    join -- the outer join runs on day x campaign grain, thousands of
+    rows at any SF, never on raw events."""
+    imp, clk = _impressions_clicks(spark, sf_dir)
+    di = imp.groupBy(
+        F.date_trunc("DAY", "event_time").alias("day"), "campaign_id"
+    ).agg(F.count(F.lit(1)).alias("n_imps"))
+    dc = clk.groupBy(
+        F.date_trunc("DAY", "click_time").alias("day"),
+        F.concat(F.lit("camp-"), (F.col("user_id") % 10).cast("string")).alias(
+            "campaign_id"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n_clicks"))
+    j = di.join(dc, ["day", "campaign_id"], "full_outer")
+    return j.select(
+        "day",
+        "campaign_id",
+        F.coalesce("n_imps", F.lit(0)).alias("n_imps"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+    )
+
+
+DAILY_FUNNEL_FULLOUTER_SQL = f"""
+WITH {_IMP_CLK_SQL},
+di AS (
+  SELECT date_trunc('day', event_time) AS day, campaign_id,
+         COUNT(*) AS n_imps
+  FROM imp GROUP BY 1, 2),
+dc AS (
+  SELECT date_trunc('day', click_time) AS day,
+         'camp-' || CAST(user_id % 10 AS VARCHAR) AS campaign_id,
+         COUNT(*) AS n_clicks
+  FROM clk GROUP BY 1, 2)
+SELECT COALESCE(di.day, dc.day) AS day,
+       COALESCE(di.campaign_id, dc.campaign_id) AS campaign_id,
+       COALESCE(n_imps, 0) AS n_imps,
+       COALESCE(n_clicks, 0) AS n_clicks
+FROM di FULL OUTER JOIN dc
+  ON di.day = dc.day AND di.campaign_id = dc.campaign_id
+"""
+
+
+def q_priority_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build: each customer's order-priority history as
+    effective-dated rows -- change detection via LAG, validity ranges
+    via LEAD, open-ended current row (NULL valid_to). The standard
+    warehouse merge the reference has no operator for; one shuffle on
+    custkey serves both window passes (same partitioning, second sort
+    reuses the run). Ties broken by orderkey so the history is
+    deterministic on every engine.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changed = (
+        o.withColumn("prev_prio", F.lag("o_orderpriority").over(w))
+        .filter(
+            F.col("prev_prio").isNull()
+            | (F.col("prev_prio") != F.col("o_orderpriority"))
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return changed.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w2).alias("valid_to"),
+    )
+
+
+PRIORITY_HISTORY_SCD2_SQL = """
+WITH changed AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+  FROM (
+    SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+           LAG(o_orderpriority) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS prev_prio
+    FROM orders)
+  WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority)
+SELECT o_custkey AS custkey, o_orderpriority AS priority,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey) AS valid_to
+FROM changed
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -1275,4 +1399,13 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "sole_late_suppliers": (q_sole_late_suppliers, SOLE_LATE_SUPPLIERS_SQL),
     "rolling_user_value": (q_rolling_user_value, ROLLING_USER_VALUE_SQL),
     "lineitem_cube": (q_lineitem_cube, LINEITEM_CUBE_SQL),
+    "lineitem_unpivot": (q_lineitem_unpivot, LINEITEM_UNPIVOT_SQL),
+    "daily_funnel_fullouter": (
+        q_daily_funnel_fullouter,
+        DAILY_FUNNEL_FULLOUTER_SQL,
+    ),
+    "priority_history_scd2": (
+        q_priority_history_scd2,
+        PRIORITY_HISTORY_SCD2_SQL,
+    ),
 }
