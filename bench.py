@@ -62,6 +62,8 @@ BENCH_QUERIES = (
     "lineitem_unpivot",
     "daily_funnel_fullouter",
     "priority_history_scd2",
+    "campaign_reach",
+    "heavy_hitter_users",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -1356,6 +1356,46 @@ FROM changed
 """
 
 
+def q_campaign_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-campaign reach (COUNT DISTINCT users) -- the
+    ground-truth companion of the HLL sketch path
+    (operators/sketches.py::reach_approx, agreement-tested in
+    test_sketches.py; at 100 TB the sketch replaces this exact
+    distinct's expand shuffle with fixed-size mergeable registers)."""
+    imp, _ = _impressions_clicks(spark, sf_dir)
+    return imp.groupBy("campaign_id").agg(
+        F.countDistinct("user_id").alias("reach"),
+        F.count(F.lit(1)).alias("n_imps"),
+    )
+
+
+CAMPAIGN_REACH_SQL = f"""
+WITH {_IMP_CLK_SQL}
+SELECT campaign_id, COUNT(DISTINCT user_id) AS reach,
+       COUNT(*) AS n_imps
+FROM imp GROUP BY campaign_id
+"""
+
+
+def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: users with >= 80 events -- ground truth
+    for the count-min sketch path (sketches.py::cms_build/estimate;
+    CMS estimates are proven upper bounds in test_sketches.py)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= 80)
+    )
+
+
+HEAVY_HITTER_USERS_SQL = f"""
+WITH ev AS ({EV_SQL})
+SELECT user_id, COUNT(*) AS n_events
+FROM ev GROUP BY user_id HAVING COUNT(*) >= 80
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -1408,4 +1448,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
         q_priority_history_scd2,
         PRIORITY_HISTORY_SCD2_SQL,
     ),
+    "campaign_reach": (q_campaign_reach, CAMPAIGN_REACH_SQL),
+    "heavy_hitter_users": (q_heavy_hitter_users, HEAVY_HITTER_USERS_SQL),
 }
