@@ -220,3 +220,45 @@ def test_sampling_ops_no_shuffle(spark):
         stratified_sample(docs, "lang", {"en": 0.5}),
     ):
         assert plan_of(df, "simple").count("Exchange") == 0
+
+
+def test_asof_join_plan_has_no_join(spark):
+    """The as-of query must run as union + ONE window pass -- zero
+    join operators, zero fan-out. An equi-join formulation would
+    materialize |imps_per_user| x |clicks_per_user| rows per user."""
+    from flink_ad_analytics_spark.queries import q_click_attribution_asof
+
+    plan = plan_of(q_click_attribution_asof(spark, SF_CORRECT))
+    assert "Join" not in plan
+    assert plan.count("(1) Scan parquet") <= 1  # events scanned per side
+    assert "Window" in plan and "Union" in plan
+    # both scans prune to the 4 referenced columns and push the
+    # event_type filter
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)" in plan
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)" in plan
+
+
+def test_min_cost_supplier_single_fact_pass(spark):
+    """Q2 shape: the window-min decorrelation must evaluate the
+    offers subplan ONCE -- lineitem appears in exactly one scan (the
+    agg+join-back form scans it twice and re-runs the dim joins)."""
+    from flink_ad_analytics_spark.queries import q_min_cost_supplier
+
+    plan = plan_of(q_min_cost_supplier(spark, SF_CORRECT))
+    # formatted mode prints each node twice (tree + detail)
+    li_scans = plan.count("file:" + SF_CORRECT + "/lineitem.parquet")
+    assert li_scans <= 2, f"lineitem scanned {li_scans} times (want 1 node)"
+    assert "BroadcastHashJoin" in plan  # nation/region dims broadcast
+
+
+def test_sole_late_suppliers_single_orderkey_exchange(spark):
+    """Q21 shape: the decorrelated plan shuffles the fact rows ONCE
+    (the pinned l_orderkey repartition); both aggregation grains and
+    the sole-order join reuse that partitioning."""
+    from flink_ad_analytics_spark.queries import q_sole_late_suppliers
+
+    plan = plan_of(q_sole_late_suppliers(spark, SF_CORRECT))
+    # partitioning expressions: exactly one hashpartitioning on
+    # l_orderkey alone (tree+detail print it; REPARTITION_BY_COL tags it)
+    assert plan.count("REPARTITION_BY_COL") <= 2
+    assert "hashpartitioning(l_orderkey" in plan
