@@ -64,6 +64,7 @@ BENCH_QUERIES = (
     "priority_history_scd2",
     "campaign_reach",
     "heavy_hitter_users",
+    "order_seasonality",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -96,6 +97,7 @@ BENCH_QUERIES = (
     "doc_chunks",
     "sequence_packing",
     "packing_offset",
+    "dedup_verify_editdist",
 )
 
 

@@ -1396,6 +1396,34 @@ FROM ev GROUP BY user_id HAVING COUNT(*) >= 80
 """
 
 
+def q_order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function surface: orders by (year, quarter,
+    day-of-week) with exact-decimal revenue. Day-of-week numbering is
+    normalized to Spark's 1=Sunday..7=Saturday (DuckDB's dayofweek is
+    0=Sunday..6 -- the oracle adds 1)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        F.quarter("o_orderdate").cast("bigint").alias("o_quarter"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("revenue"),
+    )
+
+
+ORDER_SEASONALITY_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS revenue
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -1450,4 +1478,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     ),
     "campaign_reach": (q_campaign_reach, CAMPAIGN_REACH_SQL),
     "heavy_hitter_users": (q_heavy_hitter_users, HEAVY_HITTER_USERS_SQL),
+    "order_seasonality": (q_order_seasonality, ORDER_SEASONALITY_SQL),
 }

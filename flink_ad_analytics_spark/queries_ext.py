@@ -618,6 +618,55 @@ FROM f
 """
 
 
+def q_dedup_verify_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification pass over the LSH candidate pairs:
+    the final pipeline stage that confirms character-level similarity
+    before a merge decision. Levenshtein is O(len^2) PER PAIR, so it
+    must only ever run on the banded candidate set (tiny vs corpus),
+    never all-pairs -- the join shape here: candidate ids shuffle-join
+    back to texts, then the quadratic kernel on survivors only.
+    edit_similarity = 1 - dist/max(len) (exact int/int double)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, threshold=0.2).select(
+        "doc_id_1", "doc_id_2"
+    )
+    d1 = docs.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("text").alias("t1")
+    )
+    d2 = docs.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("text").alias("t2")
+    )
+    dist = F.levenshtein("t1", "t2").cast("bigint")
+    sim = F.lit(1.0) - dist.cast("double") / F.greatest(
+        F.length("t1"), F.length("t2")
+    ).cast("double")
+    return (
+        pairs.join(d1, "doc_id_1")
+        .join(d2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            dist.alias("edit_distance"),
+            sim.alias("edit_similarity"),
+        )
+    )
+
+
+def _editdist_oracle() -> str:
+    return f"""
+WITH pairs AS MATERIALIZED ({_minhash_lsh_oracle()}),
+d AS (SELECT doc_id, text FROM documents)
+SELECT p.doc_id_1, p.doc_id_2,
+       CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS edit_distance,
+       1.0 - CAST(levenshtein(d1.text, d2.text) AS DOUBLE)
+             / CAST(GREATEST(LENGTH(d1.text), LENGTH(d2.text)) AS DOUBLE)
+         AS edit_similarity
+FROM pairs p
+JOIN d d1 ON p.doc_id_1 = d1.doc_id
+JOIN d d2 ON p.doc_id_2 = d2.doc_id
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
@@ -640,4 +689,5 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "multimodal_decode": (q_multimodal_decode, MULTIMODAL_DECODE_SQL),
     "multimodal_resize": (q_multimodal_resize, _resize_oracle()),
     "multimodal_frames": (q_multimodal_frames, _frames_oracle()),
+    "dedup_verify_editdist": (q_dedup_verify_editdist, _editdist_oracle()),
 }
