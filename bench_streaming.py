@@ -89,6 +89,35 @@ def main() -> None:
         elapsed = time.perf_counter() - t0
         q.stop()
         out_rows = spark.table("bench_stream").count()
+
+        # second stage: stateful as-of attribution over the same feed
+        from flink_ad_analytics_spark.streaming.asof import (
+            streaming_click_attribution,
+        )
+
+        imp_s2 = file_event_stream(
+            spark, imp_dir, spark.read.parquet(imp_dir).schema,
+            watermark=None, max_files_per_trigger=1,
+        )
+        clk_s2 = file_event_stream(
+            spark, clk_dir, spark.read.parquet(clk_dir).schema,
+            watermark=None, max_files_per_trigger=1,
+            event_time_col="click_time",
+        )
+        att = streaming_click_attribution(imp_s2, clk_s2)
+        t1 = time.perf_counter()
+        q2 = (
+            att.writeStream.format("memory")
+            .queryName("bench_asof")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt_asof")
+            .start()
+        )
+        q2.processAllAvailable()
+        asof_elapsed = time.perf_counter() - t1
+        q2.stop()
+        asof_rows = spark.table("bench_asof").count()
+
         print(
             json.dumps(
                 {
@@ -100,6 +129,9 @@ def main() -> None:
                     "result_rows": out_rows,
                     "state_store": store,
                     "virtual_duration_sec": duration,
+                    "asof_throughput": round(n_events / asof_elapsed, 1),
+                    "asof_elapsed_sec": round(asof_elapsed, 2),
+                    "asof_rows": asof_rows,
                 }
             )
         )
