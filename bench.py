@@ -65,6 +65,7 @@ BENCH_QUERIES = (
     "campaign_reach",
     "heavy_hitter_users",
     "order_seasonality",
+    "latest_user_event",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

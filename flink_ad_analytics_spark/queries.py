@@ -1396,6 +1396,38 @@ FROM ev GROUP BY user_id HAVING COUNT(*) >= 80
 """
 
 
+def q_latest_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot read: the latest event per user from an
+    append-only change feed (row_number()==1 per key, event_id
+    tie-break) -- the batch face of the streaming upsert sink
+    (streaming/sinks.py::upsert_sink maintains exactly this table
+    incrementally; test_streaming_recovery proves sink == this
+    query)."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("event_time").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "event_time", "value")
+    )
+
+
+LATEST_USER_EVENT_SQL = f"""
+WITH ev AS ({EV_SQL})
+SELECT user_id, event_id, event_type, event_time, value
+FROM (
+  SELECT user_id, event_id, event_type, event_time, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY event_time DESC, event_id DESC) AS rn
+  FROM ev)
+WHERE rn = 1
+"""
+
+
 def q_order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-function surface: orders by (year, quarter,
     day-of-week) with exact-decimal revenue. Day-of-week numbering is
@@ -1479,4 +1511,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "campaign_reach": (q_campaign_reach, CAMPAIGN_REACH_SQL),
     "heavy_hitter_users": (q_heavy_hitter_users, HEAVY_HITTER_USERS_SQL),
     "order_seasonality": (q_order_seasonality, ORDER_SEASONALITY_SQL),
+    "latest_user_event": (q_latest_user_event, LATEST_USER_EVENT_SQL),
 }

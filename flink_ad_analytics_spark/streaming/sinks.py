@@ -84,3 +84,86 @@ def dual_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def upsert_sink(
+    df: DataFrame,
+    *,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    order_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """Keyed upsert (MERGE) sink: maintains a parquet table holding
+    the LATEST row per key -- the warehouse primitive Flink spells as
+    an upsert connector and lakehouses spell MERGE INTO.
+
+    Incremental merge-on-write, bucket-partitioned so a micro-batch
+    only rewrites the key ranges it touches:
+
+    * the table is hive-partitioned on __bucket =
+      pmod(xxhash64(keys), n_buckets);
+    * each batch computes the bucket set it touches, reads ONLY those
+      partitions back (partition pruning on the scan), unions the
+      batch, keeps row_number()==1 per key ordered by (order_col,
+      tiebreak_col) DESC, and dynamic-partition-overwrites just those
+      buckets. Untouched buckets are never read or written.
+    * exactly-once: batch replay recomputes the same buckets from the
+      same inputs -- idempotent by construction. The merged frame is
+      localCheckpoint'ed before the write so the scan of the old
+      partition data completes before the overwrite clobbers it.
+
+    At 100 TB, n_buckets scales with the table (thousands), and a
+    micro-batch touching k keys rewrites O(k/n_buckets of the table),
+    not all of it. Determinism: (order_col, tiebreak_col) must be
+    unique per key -- ties would make "latest" engine-dependent.
+    """
+    # cast to int: the value read back from the hive partition path is
+    # int32, and unionByName must see one type
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+    ).cast("int")
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        from pyspark.sql import Window
+
+        spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        tagged = batch.withColumn("__bucket", bucket)
+        touched = [r[0] for r in tagged.select("__bucket").distinct().collect()]
+        if not touched:
+            return
+        if os.path.isdir(path) and any(
+            e.startswith("__bucket=") for e in os.listdir(path)
+        ):
+            cur = spark.read.parquet(path).filter(F.col("__bucket").isin(touched))
+            unioned = cur.unionByName(tagged)
+        else:
+            unioned = tagged
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(), F.col(tiebreak_col).desc()
+        )
+        latest = (
+            unioned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint()  # materialize BEFORE overwriting the source partitions
+        )
+        latest.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+
+    return (
+        df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def read_upsert_table(spark, path: str) -> DataFrame:
+    """Current snapshot of an upsert_sink table (drops the bucket
+    column)."""
+    return spark.read.parquet(path).drop("__bucket")
