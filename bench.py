@@ -66,6 +66,7 @@ BENCH_QUERIES = (
     "heavy_hitter_users",
     "order_seasonality",
     "latest_user_event",
+    "zorder_buckets",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -1456,6 +1456,39 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering-key distribution over events:
+    interleave (user, minute) bits and histogram the top key byte --
+    the layout key behind two-dimensional data skipping
+    (functions/layout.py; pruning measured from real parquet footers
+    in test_zorder.py). Pure BIGINT bit arithmetic, dialect-common, so
+    the key itself is oracle-checkable."""
+    from .functions.layout import zorder_key_sql
+
+    ev = load_events(spark, sf_dir)
+    z = zorder_key_sql(
+        "(user_id & 65535)", "((unix_millis(event_time) DIV 60000) & 65535)"
+    )
+    return (
+        ev.selectExpr(f"CAST({z} DIV 67108864 AS BIGINT) AS z_bucket")
+        .groupBy("z_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _zorder_buckets_oracle() -> str:
+    from .functions.layout import zorder_key_sql
+
+    z = zorder_key_sql(
+        "(user_id & 65535)", "((epoch_ms(event_time) // 60000) & 65535)"
+    )
+    return f"""
+WITH ev AS ({EV_SQL})
+SELECT CAST({z} // 67108864 AS BIGINT) AS z_bucket, COUNT(*) AS n
+FROM ev GROUP BY 1
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -1512,4 +1545,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "heavy_hitter_users": (q_heavy_hitter_users, HEAVY_HITTER_USERS_SQL),
     "order_seasonality": (q_order_seasonality, ORDER_SEASONALITY_SQL),
     "latest_user_event": (q_latest_user_event, LATEST_USER_EVENT_SQL),
+    "zorder_buckets": (q_zorder_buckets, _zorder_buckets_oracle()),
 }
