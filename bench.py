@@ -67,6 +67,8 @@ BENCH_QUERIES = (
     "order_seasonality",
     "latest_user_event",
     "zorder_buckets",
+    "campaign_spend_gapfill",
+    "user_funnel_cep",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

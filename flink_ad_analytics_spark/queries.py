@@ -1489,6 +1489,132 @@ FROM ev GROUP BY 1
 """
 
 
+def q_campaign_spend_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: daily per-campaign spend on a
+    COMPLETE calendar spine (timeseries-DB gapfill), zero-filled
+    counts and last-observation-carried-forward spend (LOCF = the
+    same carry-forward window the as-of join uses).
+
+    Spine = sequence(min day, max day) x distinct campaigns -- built
+    declaratively (scalar agg -> sequence -> explode -> cross join of
+    two tiny sides), no driver collect; actuals aggregate to day x
+    campaign grain BEFORE the left join, so the outer join never
+    touches raw events.
+    """
+    from pyspark.sql import Window
+
+    imp, _ = _impressions_clicks(spark, sf_dir)
+    bounds = imp.agg(
+        F.date_trunc("DAY", F.min("event_time")).alias("lo"),
+        F.date_trunc("DAY", F.max("event_time")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    camps = imp.select("campaign_id").distinct()
+    spine = days.crossJoin(camps)
+    actual = imp.groupBy(
+        F.date_trunc("DAY", "event_time").alias("day"), "campaign_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("cost").alias("spend"),
+    )
+    w = Window.partitionBy("campaign_id").orderBy("day")
+    return (
+        spine.join(actual, ["day", "campaign_id"], "left")
+        .select(
+            "day",
+            "campaign_id",
+            F.coalesce("n", F.lit(0)).alias("n_imps"),
+            F.coalesce("spend", F.lit(0.0)).alias("spend"),
+            F.coalesce(F.last("spend", ignorenulls=True).over(w), F.lit(0.0)).alias(
+                "locf_spend"
+            ),
+        )
+    )
+
+
+CAMPAIGN_SPEND_GAPFILL_SQL = f"""
+WITH {_IMP_CLK_SQL},
+bounds AS (
+  SELECT date_trunc('day', MIN(event_time)) AS lo,
+         date_trunc('day', MAX(event_time)) AS hi
+  FROM imp),
+days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds),
+camps AS (SELECT DISTINCT campaign_id FROM imp),
+actual AS (
+  SELECT date_trunc('day', event_time) AS day, campaign_id,
+         COUNT(*) AS n,
+         CAST(ROUND(SUM(CAST(cost AS DECIMAL(18,6))), 4) AS DOUBLE) AS spend
+  FROM imp GROUP BY 1, 2),
+spine AS (SELECT day, campaign_id FROM days, camps)
+SELECT s.day, s.campaign_id,
+       COALESCE(n, 0) AS n_imps,
+       COALESCE(spend, 0.0) AS spend,
+       COALESCE(LAST_VALUE(spend IGNORE NULLS) OVER (
+           PARTITION BY s.campaign_id ORDER BY s.day), 0.0) AS locf_spend
+FROM spine s LEFT JOIN actual a
+  ON s.day = a.day AND s.campaign_id = a.campaign_id
+"""
+
+
+def q_user_funnel_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite funnel detection (Flink MATCH_RECOGNIZE analogue):
+    per user, the event-type sequence in strict (event_time, event_id)
+    order, pattern-matched for view ->...-> click ->...-> purchase.
+    Sequence building is one ordered aggregation (array_sort over
+    (time, id, initial) structs -- deterministic, no second shuffle);
+    the regex runs once per user on a short string. Output: users per
+    deepest funnel stage reached."""
+    ev = load_events(spark, sf_dir)
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("event_time").alias("t"),
+                        F.col("event_id").alias("i"),
+                        F.substring("event_type", 1, 1).alias("c"),
+                    )
+                )
+            ),
+            lambda x: x["c"],
+        ),
+        "",
+    )
+    per_user = ev.groupBy(
+        "user_id", F.date_trunc("DAY", "event_time").alias("day")
+    ).agg(seq.alias("seq"))
+    stage = (
+        F.when(F.col("seq").rlike("v.*c.*p"), F.lit(3))
+        .when(F.col("seq").rlike("v.*c"), F.lit(2))
+        .when(F.col("seq").rlike("v"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        per_user.select(stage.cast("bigint").alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+USER_FUNNEL_CEP_SQL = f"""
+WITH ev AS ({EV_SQL}),
+per_user AS (
+  SELECT user_id, date_trunc('day', event_time) AS day,
+         string_agg(substr(event_type, 1, 1), ''
+                    ORDER BY event_time, event_id) AS seq
+  FROM ev GROUP BY user_id, day)
+SELECT CAST(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 3
+            WHEN regexp_matches(seq, 'v.*c') THEN 2
+            WHEN regexp_matches(seq, 'v') THEN 1
+            ELSE 0 END AS BIGINT) AS funnel_stage,
+       COUNT(*) AS n_users
+FROM per_user GROUP BY 1
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -1546,4 +1672,9 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "order_seasonality": (q_order_seasonality, ORDER_SEASONALITY_SQL),
     "latest_user_event": (q_latest_user_event, LATEST_USER_EVENT_SQL),
     "zorder_buckets": (q_zorder_buckets, _zorder_buckets_oracle()),
+    "campaign_spend_gapfill": (
+        q_campaign_spend_gapfill,
+        CAMPAIGN_SPEND_GAPFILL_SQL,
+    ),
+    "user_funnel_cep": (q_user_funnel_cep, USER_FUNNEL_CEP_SQL),
 }
