@@ -32,16 +32,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load ``events`` with a proper event-time column.
 
-    The parquet stores ``ts`` as INT64 TIMESTAMP(NANOS); with
-    ``nanosAsLong`` it arrives as nanosecond BIGINT. We derive
-    ``event_time`` as a microsecond timestamp via integer floor
-    division (``DIV`` -- exact on int64, unlike float division which
-    loses precision above 2^53). This is the analogue of the
-    reference's computed column ``event_time AS
+    Adapts to the physical type of ``ts`` (driver regenerations have
+    shipped both): INT64 TIMESTAMP(NANOS) arrives as nanosecond BIGINT
+    under ``nanosAsLong`` and is floor-divided to microseconds
+    (``DIV`` -- exact on int64, unlike float division which loses
+    precision above 2^53); TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ
+    and is cast to session-time (UTC) TIMESTAMP, preserving wall-clock
+    values. Either way ``event_time`` is a microsecond TIMESTAMP --
+    the analogue of the reference's computed column ``event_time AS
     TO_TIMESTAMP_LTZ(event_timestamp, 3)`` (flink_job.sql:14).
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn("event_time", epoch_nanos_to_ts("ts"))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        return ev.withColumn("event_time", epoch_nanos_to_ts("ts"))
+    return ev.withColumn("event_time", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
