@@ -31,78 +31,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flink_ad_analytics_spark.session import build_session  # noqa: E402
 
-#: Headline set: every declared query (reference surface + extensions).
-BENCH_QUERIES = (
-    "ctr_hourly",
-    "engagement_hourly",
-    "anomaly_alerts",
-    "events_json_stats",
-    "user_sessions",
-    "sliding_event_counts",
-    "campaign_spend",
-    "order_rollup",
-    "pricing_summary",
-    "shipping_priority",
-    "local_supplier_volume",
-    "top_orders_per_customer",
-    "nation_coverage",
-    "nation_revenue_salted",
-    "order_priority_pivot",
-    "urgent_undelivered",
-    "customers_without_orders",
-    "above_average_orders",
-    "order_value_percentiles",
-    "volume_shipping",
-    "click_attribution_asof",
-    "min_cost_supplier",
-    "large_volume_customers",
-    "sole_late_suppliers",
-    "rolling_user_value",
-    "lineitem_cube",
-    "lineitem_unpivot",
-    "daily_funnel_fullouter",
-    "priority_history_scd2",
-    "campaign_reach",
-    "heavy_hitter_users",
-    "order_seasonality",
-    "latest_user_event",
-    "zorder_buckets",
-    "campaign_spend_gapfill",
-    "user_funnel_cep",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "simhash_signatures",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "ann_topk_vectorized",
-    "ann_ivf_topk",
-    "text_quality",
-    "top_terms",
-    "char_stats",
-    "lang_id_confusion",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frames",
-    "dataset_splits",
-    "stratified_sample",
-    "kfold_balance",
-    "repetition_quality",
-    "decontaminated",
-    "pii_redaction",
-    "embedding_quantization",
-    "kmeans_step",
-    "kmeans_clusters",
-    "ann_ivf_kmeans",
-    "ann_quantized_topk",
-    "doc_chunks",
-    "sequence_packing",
-    "packing_offset",
-    "dedup_verify_editdist",
-)
+def bench_queries() -> tuple[str, ...]:
+    """Headline set = EVERY declared query, enumerated from the driver
+    contract itself so the bench can never drift out of sync with
+    `__spark_entry__.queries()` (a round-1 finding: four queries were
+    silently absent from a hand-maintained list). Declaration order is
+    preserved (dict order), so per-query timings stay comparable
+    across rounds as new queries append."""
+    import __spark_entry__ as entrymod
+
+    return tuple(entrymod.queries())
 
 
 def materialize(df) -> None:
@@ -132,13 +70,14 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
+    names = bench_queries()
 
     # Warmup: JVM + codegen + parquet footer caches on the tiny SF.
-    for name in BENCH_QUERIES:
+    for name in names:
         materialize(queries[name](spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in names:
         t0 = time.perf_counter()
         materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

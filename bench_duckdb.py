@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import duckdb  # noqa: E402
 
-from bench import BENCH_QUERIES  # noqa: E402
+from bench import bench_queries  # noqa: E402
 from flink_ad_analytics_spark.schemas import DRIVER_TABLES  # noqa: E402
 
 
@@ -45,7 +45,7 @@ def main() -> None:
     # refresh is how new queries get baselined without an ~15 min
     # full pass.
     subset = os.environ.get("SPARK_GRAFT_QUERIES")
-    names = subset.split(",") if subset else list(BENCH_QUERIES)
+    names = subset.split(",") if subset else list(bench_queries())
 
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks")
     os.makedirs(out_dir, exist_ok=True)
@@ -64,7 +64,7 @@ def main() -> None:
         con.execute(sql).fetchall()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"{name}: {timings[name]}s", file=sys.stderr)
-    timings = {n: timings[n] for n in BENCH_QUERIES if n in timings}
+    timings = {n: timings[n] for n in bench_queries() if n in timings}
     payload = {
         "engine": "duckdb",
         "duckdb_version": duckdb.__version__,

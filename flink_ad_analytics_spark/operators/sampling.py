@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: Width of the hash prefix used for bucketing decisions. 8 hex chars
 #: = 32 bits: collision-free bucketing down to fractions of ~1e-9.
@@ -180,3 +180,47 @@ def kfold_case_sql(id_col: str, k: int, seed: int) -> str:
         for fold in range(k - 1)
     ]
     return "CAST(CASE " + " ".join(arms) + f" ELSE {k - 1} END AS BIGINT)"
+
+
+def shuffle_shards(
+    df: DataFrame, id_col: str = "doc_id", n_shards: int = 16, seed: int = 99
+) -> DataFrame:
+    """Deterministic global corpus shuffle for training export.
+
+    Training runs need the corpus in pseudorandom order, but an actual
+    ORDER BY random() is non-reproducible AND a full global sort. This
+    is the standard distributed alternative: hash every row's id into
+    a shuffle key, route it to one of ``n_shards`` output shards by
+    equal-width key ranges, and order rows *within* each shard by the
+    key. The concatenation of shards in shard order IS a uniform
+    pseudorandom permutation of the corpus, yet no global sort ever
+    runs: one hash-partition exchange on ``shard`` plus a per-shard
+    local sort (each shard ~corpus/n_shards rows). At 100 TB this is
+    ``df.repartition(n_shards, "shard").sortWithinPartitions(...)``
+    writing one file per shard; the window form here expresses the
+    same plan shape queryably (Catalyst plans it as exactly that
+    exchange + per-partition sort).
+
+    Adds ``shuffle_key`` (full md5 hex -- tie-free for distinct ids),
+    ``shard`` (long) and ``pos`` (1-based long within shard).
+    Assignment is independent of input order/partitioning, and stable
+    under corpus growth: appending new docs never moves an old doc to
+    a different shard (its key is fixed), only interleaves positions.
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    prefix = F.substring(h, 1, _PREFIX)
+    expr: Column | None = None
+    for s in range(n_shards - 1):
+        cond = prefix < F.lit(_hex_threshold((s + 1) / n_shards))
+        expr = F.when(cond, s) if expr is None else expr.when(cond, s)
+    shard = (expr.otherwise(n_shards - 1) if expr is not None else F.lit(0)).cast(
+        "long"
+    )
+    out = df.withColumn("shuffle_key", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return out.withColumn("pos", F.row_number().over(w).cast("long"))
+
+
+def shuffle_key_sql(id_col: str, seed: int) -> str:
+    """DuckDB fragment computing the identical full shuffle key."""
+    return f"md5('{seed}:' || CAST({id_col} AS VARCHAR))"

@@ -1615,6 +1615,128 @@ FROM per_user GROUP BY 1
 """
 
 
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top customers by revenue lost to returned items
+    in a quarter.
+
+    Scale design: revenue is aggregated down to o_custkey BEFORE any
+    customer attribute joins -- the lineitem||orders shuffle (the only
+    big one, on orderkey) feeds a partial-aggregated groupBy on
+    custkey, and only the ~|customers-with-returns| aggregate rows join
+    the customer table (shuffle or broadcast, AQE's call), with nation
+    broadcast. Joining customer first and aggregating after would drag
+    c_name/n_name through the whole fact shuffle. Top-20 is a
+    TakeOrderedAndProject (per-partition heap + driver merge), not a
+    global sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    lost = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+        ),
+        4,
+    ).cast("double")
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), lost.alias("revenue_lost"))
+    )
+    return (
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "n_items", "revenue_lost")
+        .orderBy(F.col("revenue_lost").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+RETURNED_ITEMS_SQL = """
+SELECT c_custkey, c_name, n_name,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(18,6))
+                         - CAST(l_discount AS DECIMAL(18,6)))), 4)
+            AS DOUBLE) AS revenue_lost
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_lost DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: share of a month's revenue from PROMO parts.
+
+    Scale design: lineitem is date-filtered at the scan (pushed
+    predicate), part is a broadcast dim carrying only (p_partkey,
+    p_type), and the conditional sums fold into ONE partial-aggregated
+    pass -- a single scan, one broadcast join, a one-row result. Both
+    sums are exact decimals; the percentage is the only double op
+    (identical IEEE division in both engines).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    promo_rev = F.round(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)"))),
+        4,
+    ).cast("double")
+    total_rev = F.round(F.sum(rev), 4).cast("double")
+    return li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        promo_rev.alias("promo_revenue"),
+        total_rev.alias("total_revenue"),
+        (F.lit(100.0) * promo_rev / total_rev).alias("promo_pct"),
+    )
+
+
+PROMO_REVENUE_SQL = """
+SELECT COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                                * (CAST(1 AS DECIMAL(18,6))
+                                   - CAST(l_discount AS DECIMAL(18,6)))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END), 4)
+            AS DOUBLE) AS promo_revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (CAST(1 AS DECIMAL(18,6))
+                         - CAST(l_discount AS DECIMAL(18,6)))), 4)
+            AS DOUBLE) AS total_revenue,
+       100.0 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                                        * (CAST(1 AS DECIMAL(18,6))
+                                           - CAST(l_discount AS DECIMAL(18,6)))
+                                   ELSE CAST(0 AS DECIMAL(18,6)) END), 4) AS DOUBLE)
+             / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                              * (CAST(1 AS DECIMAL(18,6))
+                                 - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE)
+         AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -1677,4 +1799,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
         CAMPAIGN_SPEND_GAPFILL_SQL,
     ),
     "user_funnel_cep": (q_user_funnel_cep, USER_FUNNEL_CEP_SQL),
+    "returned_items": (q_returned_items, RETURNED_ITEMS_SQL),
+    "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),
 }

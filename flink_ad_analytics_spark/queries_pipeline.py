@@ -32,6 +32,8 @@ from .operators.sampling import (
     hash_split_case_sql,
     kfold_assign,
     kfold_case_sql,
+    shuffle_key_sql,
+    shuffle_shards,
     stratified_keep_sql,
     stratified_sample,
 )
@@ -583,6 +585,148 @@ FROM binned GROUP BY 1, 2
 """
 
 
+# -- corpus shuffle for training export -----------------------------------
+
+_SHUFFLE_SHARDS = 16
+_SHUFFLE_SEED = 99
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudorandom corpus permutation, audited per shard.
+
+    `perm_checksum` = SUM(pos * doc_id) pins the exact within-shard
+    ordering (not just membership) into the hash gate: any engine that
+    shuffles differently produces a different checksum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = shuffle_shards(
+        docs, "doc_id", n_shards=_SHUFFLE_SHARDS, seed=_SHUFFLE_SEED
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.col("pos") * F.col("doc_id")).alias("perm_checksum"),
+        F.min("shuffle_key").alias("first_key"),
+    )
+
+
+# The shard CASE is byte-identical to the k-fold assignment (same hash,
+# same equal-width hex ranges), so the oracle reuses kfold_case_sql.
+CORPUS_SHUFFLE_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, n_chars,
+         {shuffle_key_sql('doc_id', _SHUFFLE_SEED)} AS shuffle_key,
+         {kfold_case_sql('doc_id', _SHUFFLE_SHARDS, _SHUFFLE_SEED)} AS shard
+  FROM documents),
+pos AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY shuffle_key, doc_id) AS pos
+  FROM sh)
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(pos * doc_id) AS BIGINT) AS perm_checksum,
+       MIN(shuffle_key) AS first_key
+FROM pos GROUP BY shard
+"""
+
+# -- source mix rebalancing weights ---------------------------------------
+
+_MIX_SOURCES = 20  # documents.source cardinality (src0..src19)
+
+
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sampling weights that rebalance the corpus to a uniform
+    source mix -- the planning step before a weighted-sampling pass.
+
+    weight = min(1, target_share / actual_share) (downsample-only: a
+    source below target keeps everything; upsampling is a training-time
+    repeat, not a data op). n_keep = floor(weight * n). All ratios are
+    exact int->double divisions, identical IEEE results in both
+    engines; no double rounding anywhere.
+
+    Scale: one partial-aggregated groupBy on source (low cardinality)
+    plus a scalar total broadcast back -- no row-level shuffle of the
+    corpus itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    tot = per_src.agg(F.sum("n_docs").alias("total"))
+    share = F.col("n_docs").cast("double") / F.col("total").cast("double")
+    target = F.col("total").cast("double") / F.lit(float(_MIX_SOURCES)) / F.col(
+        "n_docs"
+    ).cast("double")
+    weight = F.least(F.lit(1.0), target)
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "sum_chars",
+            share.alias("share"),
+            weight.alias("mix_weight"),
+            F.floor(weight * F.col("n_docs").cast("double"))
+            .cast("long")
+            .alias("n_keep"),
+        )
+    )
+
+
+SOURCE_MIX_WEIGHTS_SQL = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per_src)
+SELECT source, n_docs, sum_chars,
+       CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       LEAST(1.0, CAST(total AS DOUBLE) / {float(_MIX_SOURCES)}
+                    / CAST(n_docs AS DOUBLE)) AS mix_weight,
+       CAST(FLOOR(LEAST(1.0, CAST(total AS DOUBLE) / {float(_MIX_SOURCES)}
+                              / CAST(n_docs AS DOUBLE))
+                  * CAST(n_docs AS DOUBLE)) AS BIGINT) AS n_keep
+FROM per_src CROSS JOIN tot
+"""
+
+# -- embedding coverage audit ---------------------------------------------
+
+
+def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs still needing (re)embedding: LEFT ANTI join documents
+    against the embedding table, per-lang audit.
+
+    The embedded set is restricted to vec_id % 7 != 3, simulating the
+    partial coverage a real pipeline has mid-backfill (the driver
+    corpus is fully covered, which would make the anti-join trivially
+    empty). Scale: anti join on the id -- broadcast when the embedded
+    id set is small, shuffle-hash otherwise; either way no fan-out, and
+    only (vec_id) is read from the embedding table (column pruning).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 7 != 3)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    missing = docs.join(emb, "doc_id", "left_anti")
+    return missing.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_missing"),
+        F.sum("n_chars").alias("missing_chars"),
+        F.min("doc_id").alias("min_missing"),
+        F.max("doc_id").alias("max_missing"),
+    )
+
+
+EMBEDDING_COVERAGE_SQL = """
+SELECT lang, COUNT(*) AS n_missing,
+       CAST(SUM(n_chars) AS BIGINT) AS missing_chars,
+       MIN(doc_id) AS min_missing, MAX(doc_id) AS max_missing
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                  WHERE e.vec_id % 7 != 3 AND e.vec_id = d.doc_id)
+GROUP BY lang
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "dataset_splits": (q_dataset_splits, DATASET_SPLITS_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
@@ -598,4 +742,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
     "sequence_packing": (q_sequence_packing, SEQUENCE_PACKING_SQL),
     "packing_offset": (q_packing_offset, PACKING_OFFSET_SQL),
+    "corpus_shuffle": (q_corpus_shuffle, CORPUS_SHUFFLE_SQL),
+    "source_mix_weights": (q_source_mix_weights, SOURCE_MIX_WEIGHTS_SQL),
+    "embedding_coverage": (q_embedding_coverage, EMBEDDING_COVERAGE_SQL),
 }
