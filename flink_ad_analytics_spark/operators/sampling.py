@@ -224,3 +224,34 @@ def shuffle_shards(
 def shuffle_key_sql(id_col: str, seed: int) -> str:
     """DuckDB fragment computing the identical full shuffle key."""
     return f"md5('{seed}:' || CAST({id_col} AS VARCHAR))"
+
+
+def group_sample_fixed(
+    df: DataFrame,
+    group_col: str,
+    m: int,
+    id_col: str = "doc_id",
+    seed: int = 23,
+) -> DataFrame:
+    """Deterministic fixed-SIZE sample of m rows per group -- the
+    distributed, reproducible equivalent of per-group reservoir
+    sampling (stratified_sample fixes a RATE; this fixes a COUNT,
+    e.g. "1000 eval docs per language" regardless of group skew).
+
+    Rank rows within each group by their id hash and keep the first m:
+    hash order is a uniform random order, so rank<=m is a uniform
+    m-subset, yet fully reproducible and independent of input
+    partitioning. One shuffle on the group key; groups process in
+    parallel. Unlike classic reservoir sampling (sequential, seed- and
+    order-dependent), re-running on re-partitioned or appended data
+    keeps previously sampled rows stable except where new rows
+    hash-rank into the top m.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), id_col
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= m)
+        .drop("__rk")
+    )

@@ -207,6 +207,72 @@ def top_terms(
     )
 
 
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 50,
+    min_cos: float = 0.5,
+) -> DataFrame:
+    """Sparse TF cosine similarity between documents via an inverted
+    index -- the term-space counterpart of the dense embedding-cosine
+    operator (operators/similarity.py).
+
+    Vocabulary is capped at document frequency <= ``max_df``: stop-term
+    pruning is what makes the inverted index scale (a term in every
+    document would fan out n^2 candidate pairs); cosine is then defined
+    over the pruned vocabulary for BOTH norms and dots (a consistent
+    spec, not an approximation of the unpruned score; the oracle
+    applies the identical cap).
+
+    Scale: the candidate join shuffles on term with per-term fan-out
+    bounded by max_df^2; pair aggregation shuffles on the (doc1, doc2)
+    pair key. Dots and squared norms are exact integer sums; the one
+    float op is dot/sqrt(n2a*n2b) (n2 products stay under 2^53, so the
+    double math is identical IEEE in every engine -- no rounding
+    needed).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.expr(TOKENS.format(col=text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vocab_tf = tf.join(
+        df_.filter(F.col("df") <= max_df).select("term"), "term"
+    )
+    norm2 = vocab_tf.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = vocab_tf.select(
+        F.col("term"), F.col(id_col).alias("doc1"), F.col("tf").alias("tf1")
+    )
+    b = vocab_tf.select(
+        F.col("term"), F.col(id_col).alias("doc2"), F.col("tf").alias("tf2")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.sum(F.col("tf1") * F.col("tf2")).alias("dot"))
+    )
+    n2a = norm2.select(F.col(id_col).alias("doc1"), F.col("n2").alias("n2a"))
+    n2b = norm2.select(F.col(id_col).alias("doc2"), F.col("n2").alias("n2b"))
+    cos = F.col("dot").cast("double") / F.sqrt(
+        (F.col("n2a") * F.col("n2b")).cast("double")
+    )
+    return (
+        dots.join(n2a, "doc1")
+        .join(n2b, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.col("dot").cast("long").alias("dot"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+    )
+
+
 def char_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

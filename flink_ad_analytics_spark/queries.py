@@ -47,6 +47,27 @@ def _dsum(col: str) -> F.Column:
     return F.round(F.sum(F.col(col).cast("decimal(18,6)")), 4).cast("double")
 
 
+# Money columns in the driver tables carry exactly 2 decimal places
+# (asserted by tests/test_testdata_contract.py), so (12,2)/(4,2) casts
+# are value-exact and the discount product is an exact scale-4 decimal.
+# The narrow widths are a hot-path property, not cosmetics: scale-18
+# operands push products and running sums past 18 digits, where JVM
+# decimal math leaves BigDecimal's compact-long representation (~3x
+# slower per row, measured at sf0.1 -- dominated pricing_summary's
+# runtime before this).
+def _rev() -> F.Column:
+    """Exact ``l_extendedprice * (1 - l_discount)`` revenue term."""
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
 # ---------------------------------------------------------------------------
 # Reference-surface queries (SURVEY.md §2: S1-S10, P1-P11, J1-J3, A1-A5, W1)
 # ---------------------------------------------------------------------------
@@ -424,12 +445,14 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shipdate filter pushes into the parquet scan.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # Tight decimal widths keep the triple product within 38-digit
-    # precision in BOTH engines (a (18,6)^3 product overflows and each
-    # engine degrades differently): (12,6)*(8,6)*(8,6) -> (30,18), exact.
-    price = F.col("l_extendedprice").cast("decimal(12,6)")
-    disc = F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)")
-    tax = F.lit(1).cast("decimal(8,6)") + F.col("l_tax").cast("decimal(8,6)")
+    # Money columns are exact 2dp (tests/test_testdata_contract.py), so
+    # (12,2)/(4,2) casts are value-exact and the triple product is an
+    # exact scale-6 decimal that never leaves BigDecimal's compact-long
+    # fast path (the earlier scale-6 operands produced (30,18) products
+    # whose sums ran ~3x slower on the BigInteger path).
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    tax = F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)")
     disc_price = price * disc
     charge = price * disc * tax
     return (
@@ -452,11 +475,11 @@ PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_base_price,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,6))
-                * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE) AS sum_disc_price,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,6))
-                * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))
-                * (CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))), 4) AS DOUBLE) AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 4) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 4) AS DOUBLE) AS sum_charge,
        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE)
          / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE)
@@ -488,9 +511,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.round(
         F.sum(
-            F.col("l_extendedprice").cast("decimal(18,6)")
-            * (F.lit(1).cast("decimal(18,6)")
-               - F.col("l_discount").cast("decimal(18,6)"))
+            _rev()
         ),
         4,
     ).cast("double")
@@ -507,8 +528,8 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SHIPPING_PRIORITY_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 4) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -538,9 +559,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.round(
         F.sum(
-            F.col("l_extendedprice").cast("decimal(18,6)")
-            * (F.lit(1).cast("decimal(18,6)")
-               - F.col("l_discount").cast("decimal(18,6)"))
+            _rev()
         ),
         4,
     ).cast("double")
@@ -561,8 +580,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LOCAL_SUPPLIER_VOLUME_SQL = """
 SELECT n_name,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 4) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -689,9 +708,7 @@ def q_nation_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     revenue = F.round(
         F.sum(
-            F.col("l_extendedprice").cast("decimal(18,6)")
-            * (F.lit(1).cast("decimal(18,6)")
-               - F.col("l_discount").cast("decimal(18,6)"))
+            _rev()
         ),
         4,
     ).cast("double")
@@ -705,9 +722,9 @@ def q_nation_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NATION_REVENUE_SALTED_SQL = """
 SELECT n_name,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                      * (CAST(1 AS DECIMAL(18,6))
-                         - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(4,2))
+                         - CAST(l_discount AS DECIMAL(4,2)))), 4) AS DOUBLE)
          AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -877,9 +894,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     volume = F.round(
         F.sum(
-            F.col("l_extendedprice").cast("decimal(18,6)")
-            * (F.lit(1).cast("decimal(18,6)")
-               - F.col("l_discount").cast("decimal(18,6)"))
+            _rev()
         ),
         4,
     ).cast("double")
@@ -910,9 +925,9 @@ SELECT sn.n_name AS supp_nation,
        cn.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
        COUNT(*) AS n_items,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                      * (CAST(1 AS DECIMAL(18,6))
-                         - CAST(l_discount AS DECIMAL(18,6)))), 4)
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(4,2))
+                         - CAST(l_discount AS DECIMAL(4,2)))), 4)
             AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1640,8 +1655,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     lost = F.round(
         F.sum(
-            F.col("l_extendedprice").cast("decimal(18,6)")
-            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+            _rev()
         ),
         4,
     ).cast("double")
@@ -1662,9 +1676,9 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 RETURNED_ITEMS_SQL = """
 SELECT c_custkey, c_name, n_name,
        COUNT(*) AS n_items,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                      * (CAST(1 AS DECIMAL(18,6))
-                         - CAST(l_discount AS DECIMAL(18,6)))), 4)
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(4,2))
+                         - CAST(l_discount AS DECIMAL(4,2)))), 4)
             AS DOUBLE) AS revenue_lost
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1694,11 +1708,9 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
-    )
+    rev = _rev()
     promo_rev = F.round(
-        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)"))),
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(12,2)"))),
         4,
     ).cast("double")
     total_rev = F.round(F.sum(rev), 4).cast("double")
@@ -1713,23 +1725,23 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROMO_REVENUE_SQL = """
 SELECT COUNT(*) AS n_items,
        CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
-                           THEN CAST(l_extendedprice AS DECIMAL(18,6))
-                                * (CAST(1 AS DECIMAL(18,6))
-                                   - CAST(l_discount AS DECIMAL(18,6)))
-                           ELSE CAST(0 AS DECIMAL(18,6)) END), 4)
+                           THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                * (CAST(1 AS DECIMAL(4,2))
+                                   - CAST(l_discount AS DECIMAL(4,2)))
+                           ELSE CAST(0 AS DECIMAL(12,2)) END), 4)
             AS DOUBLE) AS promo_revenue,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                      * (CAST(1 AS DECIMAL(18,6))
-                         - CAST(l_discount AS DECIMAL(18,6)))), 4)
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(4,2))
+                         - CAST(l_discount AS DECIMAL(4,2)))), 4)
             AS DOUBLE) AS total_revenue,
        100.0 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
-                                   THEN CAST(l_extendedprice AS DECIMAL(18,6))
-                                        * (CAST(1 AS DECIMAL(18,6))
-                                           - CAST(l_discount AS DECIMAL(18,6)))
-                                   ELSE CAST(0 AS DECIMAL(18,6)) END), 4) AS DOUBLE)
-             / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                              * (CAST(1 AS DECIMAL(18,6))
-                                 - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE)
+                                   THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                        * (CAST(1 AS DECIMAL(4,2))
+                                           - CAST(l_discount AS DECIMAL(4,2)))
+                                   ELSE CAST(0 AS DECIMAL(12,2)) END), 4) AS DOUBLE)
+             / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (CAST(1 AS DECIMAL(4,2))
+                                 - CAST(l_discount AS DECIMAL(4,2)))), 4) AS DOUBLE)
          AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-09-01'

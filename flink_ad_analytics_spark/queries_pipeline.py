@@ -28,6 +28,7 @@ from .operators.packing import (
 from .operators.similarity import quantize_int8, quantized_topk
 from .operators.text import redact_pii, repetition_features
 from .operators.sampling import (
+    group_sample_fixed,
     hash_split,
     hash_split_case_sql,
     kfold_assign,
@@ -37,6 +38,7 @@ from .operators.sampling import (
     stratified_keep_sql,
     stratified_sample,
 )
+from .operators.text import sparse_cosine_pairs
 from .sources.batch import load_table
 
 # -- dataset splits -------------------------------------------------------
@@ -727,6 +729,132 @@ GROUP BY lang
 """
 
 
+# -- fixed-size per-group sample (distributed reservoir) ------------------
+
+_RESERVOIR_M = 40
+_RESERVOIR_SEED = 23
+
+
+def q_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-count per-language sample audit (40 docs per lang).
+
+    sum(doc_id) pins exact membership into the hash gate; n_sampled
+    shows the fixed-size semantics (min(m, group size)).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    kept = group_sample_fixed(
+        docs, "lang", _RESERVOIR_M, id_col="doc_id", seed=_RESERVOIR_SEED
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+GROUP_RESERVOIR_SQL = f"""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('{_RESERVOIR_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents)
+SELECT lang, COUNT(*) AS n_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM ranked WHERE rk <= {_RESERVOIR_M}
+GROUP BY lang
+"""
+
+# -- per-group exact-percentile outlier filter ----------------------------
+
+_OUTLIER_Q = 0.95
+
+
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose length exceeds their source's exact p95 -- the
+    per-group distribution filter step of corpus curation.
+
+    Exact percentile (not approx) so the oracle matches bit-for-bit:
+    both engines define the continuous percentile as linear
+    interpolation at rank (n-1)*q over the sorted values, identical
+    IEEE arithmetic on integer inputs. At 100 TB the same query swaps
+    `percentile` for `percentile_approx` (documented, sketch-backed)
+    -- the plan shape (grouped agg + broadcast threshold join + filter)
+    is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    thr = docs.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(_OUTLIER_Q)).alias("p95"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        docs.join(F.broadcast(thr), "source")
+        .filter(F.col("n_chars").cast("double") > F.col("p95"))
+        .groupBy("source", "n_docs", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .select("source", "n_docs", "p95", "n_outliers", "max_chars", "id_checksum")
+    )
+
+
+LENGTH_OUTLIERS_SQL = f"""
+WITH thr AS (
+  SELECT source, quantile_cont(n_chars, {_OUTLIER_Q}) AS p95,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY source)
+SELECT d.source, n_docs, p95,
+       COUNT(*) AS n_outliers,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE CAST(n_chars AS DOUBLE) > p95
+GROUP BY 1, 2, 3
+"""
+
+# -- sparse TF cosine near-dup pairs --------------------------------------
+
+_SPARSE_MAX_DF = 50
+_SPARSE_MIN_COS = 0.5
+
+
+def q_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-space document similarity: inverted-index TF cosine pairs
+    (operators/text.py::sparse_cosine_pairs). The sparse counterpart
+    of dedup_embedding_cosine; dots/norms are exact integers, cosine is
+    one deterministic double op."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(
+        docs, max_df=_SPARSE_MAX_DF, min_cos=_SPARSE_MIN_COS
+    )
+
+
+TFIDF_DOC_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term FROM tf GROUP BY term
+          HAVING COUNT(*) <= {_SPARSE_MAX_DF}),
+vtf AS (SELECT tf.* FROM tf JOIN vocab USING (term)),
+norm2 AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM vtf GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, SUM(a.tf * b.tf) AS dot
+  FROM vtf a JOIN vtf b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc1, doc2, CAST(dot AS BIGINT) AS dot,
+       CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) AS cos
+FROM dots
+JOIN norm2 na ON na.doc_id = doc1
+JOIN norm2 nb ON nb.doc_id = doc2
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= {_SPARSE_MIN_COS}
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "dataset_splits": (q_dataset_splits, DATASET_SPLITS_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
@@ -745,4 +873,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "corpus_shuffle": (q_corpus_shuffle, CORPUS_SHUFFLE_SQL),
     "source_mix_weights": (q_source_mix_weights, SOURCE_MIX_WEIGHTS_SQL),
     "embedding_coverage": (q_embedding_coverage, EMBEDDING_COVERAGE_SQL),
+    "group_reservoir": (q_group_reservoir, GROUP_RESERVOIR_SQL),
+    "length_outliers": (q_length_outliers, LENGTH_OUTLIERS_SQL),
+    "tfidf_doc_pairs": (q_tfidf_doc_pairs, TFIDF_DOC_PAIRS_SQL),
 }

@@ -84,3 +84,71 @@ def test_kfold_partitions_corpus(spark):
     assert sum(per.values()) == docs.count()
     # no fold degenerate at n=500
     assert min(per.values()) > 50
+
+
+def test_shuffle_shards_is_permutation(spark):
+    from flink_ad_analytics_spark.operators.sampling import shuffle_shards
+
+    docs = _docs(spark)
+    n = docs.count()
+    out = shuffle_shards(docs, "doc_id", n_shards=8, seed=99).cache()
+    # every row exactly once, shards cover [0, 8)
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    shards = [r[0] for r in out.select("shard").distinct().collect()]
+    assert set(shards) <= set(range(8))
+    # positions within each shard are 1..len (a proper permutation)
+    per = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.countDistinct("pos").alias("nd"),
+    )
+    for r in per.collect():
+        assert (r["lo"], r["hi"], r["nd"]) == (1, r["n"], r["n"])
+    # stability: appending rows never moves an existing doc's shard
+    half = shuffle_shards(docs.filter(F.col("doc_id") < 250), "doc_id", n_shards=8, seed=99)
+    joined = out.select("doc_id", "shard").join(
+        half.select("doc_id", F.col("shard").alias("shard2")), "doc_id"
+    )
+    assert joined.filter(F.col("shard") != F.col("shard2")).count() == 0
+    out.unpersist()
+
+
+def test_group_sample_fixed_size_and_determinism(spark):
+    from flink_ad_analytics_spark.operators.sampling import group_sample_fixed
+
+    docs = _docs(spark)
+    m = 15
+    kept = group_sample_fixed(docs, "lang", m, seed=23).cache()
+    sizes = dict(kept.groupBy("lang").count().collect())
+    full = dict(docs.groupBy("lang").count().collect())
+    for lang, n in full.items():
+        assert sizes.get(lang, 0) == min(m, n)
+    # deterministic: identical membership on rerun over repartitioned input
+    again = group_sample_fixed(docs.repartition(7), "lang", m, seed=23)
+    sym_diff = kept.select("doc_id").exceptAll(again.select("doc_id")).count()
+    assert sym_diff == 0
+    kept.unpersist()
+
+
+def test_sparse_cosine_pairs_identical_docs_score_one(spark):
+    from flink_ad_analytics_spark.operators.text import sparse_cosine_pairs
+
+    docs = _docs(spark)
+    # plant an exact duplicate pair with distinct ids beyond the corpus
+    seed_doc = docs.filter(F.col("doc_id") == 7)
+    dup = seed_doc.select(
+        F.lit(100001).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    dup2 = seed_doc.select(
+        F.lit(100002).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    # max_df above corpus size: no vocabulary pruning (the synthetic
+    # docs share a tiny vocabulary, so every term's df is high)
+    corpus = docs.select("doc_id", "text", "lang", "source", "n_chars").union(dup).union(dup2)
+    pairs = sparse_cosine_pairs(corpus, max_df=10**6, min_cos=0.999)
+    planted = pairs.filter(
+        (F.col("doc1") == 100001) & (F.col("doc2") == 100002)
+    ).collect()
+    assert len(planted) == 1 and abs(planted[0]["cos"] - 1.0) < 1e-12
