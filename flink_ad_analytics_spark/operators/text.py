@@ -273,6 +273,57 @@ def sparse_cosine_pairs(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Statistical-LM quality score: mean bigram log-probability of
+    each document under the corpus's own bigram MLE model -- the
+    classic cheap perplexity proxy for corpus filtering (a document of
+    improbable token transitions scores low; boilerplate scores high).
+
+    Two passes over the bigram relation: corpus counts (conditional
+    c(w1,w2)/c(w1-as-prefix)), then a probability lookup join and a
+    per-doc mean. Bigram generation is a zero-shuffle array transform
+    (no self-join); the count aggregations and lookup joins shuffle on
+    the n-gram keys (high-cardinality, even), the final agg on the doc
+    id. Self-scoring the training corpus means every bigram is seen
+    (no smoothing term needed).
+
+    Determinism: each ln is one libm call on an exact small-int ratio
+    (identical doubles in both engines); per-doc summation casts to
+    DECIMAL(25,15) first, so the sum is exact and order-independent
+    (a raw double sum would drift with partitioning), with one 6dp
+    round before the final exact division.
+    """
+    ws = F.expr(TOKENS.format(col=text_col))
+    t = docs.select(F.col(id_col), ws.alias("ws")).filter(F.size("ws") >= 2)
+    bg = t.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws)-2),"
+                " i -> struct(ws[i] AS w1, ws[i+1] AS w2))"
+            )
+        ).alias("b"),
+    ).select(id_col, "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    lp = F.log(F.col("c2").cast("double") / F.col("c1").cast("double"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(F.col(id_col), lp.cast("decimal(25,15)").alias("lp"))
+    )
+    n = F.count(F.lit(1))
+    return scored.groupBy(id_col).agg(
+        n.alias("n_bigrams"),
+        F.round(F.sum("lp"), 6).cast("double").alias("sum_lp"),
+        (
+            F.round(F.sum("lp"), 6).cast("double") / n.cast("double")
+        ).alias("avg_lp"),
+    )
+
+
 def char_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

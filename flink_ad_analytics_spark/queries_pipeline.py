@@ -38,7 +38,7 @@ from .operators.sampling import (
     stratified_keep_sql,
     stratified_sample,
 )
-from .operators.text import sparse_cosine_pairs
+from .operators.text import bigram_logprob, sparse_cosine_pairs
 from .sources.batch import load_table
 
 # -- dataset splits -------------------------------------------------------
@@ -855,6 +855,39 @@ WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= {_SPARSE_MIN_
 """
 
 
+# -- bigram-LM quality score ----------------------------------------------
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram log-probability under the corpus's own
+    bigram MLE (operators/text.py::bigram_logprob) -- the cheap
+    perplexity proxy of corpus curation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
+LM_QUALITY_SQL = """
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents),
+bg AS MATERIALIZED (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM t, UNNEST(range(1, len(ws))) AS u(i)),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+lp AS (
+  SELECT doc_id,
+         CAST(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+              AS DECIMAL(25,15)) AS lp
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(ROUND(SUM(lp), 6) AS DOUBLE) AS sum_lp,
+       CAST(ROUND(SUM(lp), 6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_lp
+FROM lp GROUP BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "dataset_splits": (q_dataset_splits, DATASET_SPLITS_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
@@ -876,4 +909,5 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "group_reservoir": (q_group_reservoir, GROUP_RESERVOIR_SQL),
     "length_outliers": (q_length_outliers, LENGTH_OUTLIERS_SQL),
     "tfidf_doc_pairs": (q_tfidf_doc_pairs, TFIDF_DOC_PAIRS_SQL),
+    "lm_quality": (q_lm_quality, LM_QUALITY_SQL),
 }

@@ -117,3 +117,38 @@ def test_quantized_topk_recall_vs_exact(spark):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.95, f"int8 recall {recall}"
+
+
+def test_bigram_logprob_flags_improbable_docs(spark):
+    """A doc stitched from across-the-corpus rare transitions must
+    score below a doc made of the corpus's most common bigram."""
+    from pyspark.sql import functions as F
+
+    from flink_ad_analytics_spark.operators.text import bigram_logprob
+    from flink_ad_analytics_spark.sources.batch import load_table
+    from tests.conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    # most frequent bigram in the corpus
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(trim(text), '\\\\s+'))-2),"
+                " i -> struct(split(trim(text), '\\\\s+')[i] AS w1,"
+                "             split(trim(text), '\\\\s+')[i+1] AS w2))"
+            )
+        ).alias("b")
+    )
+    top = bg.groupBy("b.w1", "b.w2").count().orderBy(F.col("count").desc()).first()
+    likely_text = " ".join([top["w1"], top["w2"]] * 10)
+    # reversed top bigram ~ much rarer transition
+    unlikely_text = " ".join([top["w2"], top["w1"]] * 10)
+    extra = spark.createDataFrame(
+        [(900001, likely_text), (900002, unlikely_text)], ["doc_id", "text"]
+    )
+    corpus = docs.select("doc_id", "text").union(extra)
+    scores = {
+        r["doc_id"]: r["avg_lp"]
+        for r in bigram_logprob(corpus).filter(F.col("doc_id") > 900000).collect()
+    }
+    assert scores[900001] > scores[900002]

@@ -262,3 +262,50 @@ def test_sole_late_suppliers_single_orderkey_exchange(spark):
     # l_orderkey alone (tree+detail print it; REPARTITION_BY_COL tags it)
     assert plan.count("REPARTITION_BY_COL") <= 2
     assert "hashpartitioning(l_orderkey" in plan
+
+
+def test_returned_items_preaggregates_before_dim_joins(spark):
+    """Q10 shape: the custkey aggregation must sit BELOW the customer/
+    nation joins (only aggregate rows reach the attribute joins, not
+    the full fact stream), and top-20 must be TakeOrderedAndProject."""
+    from flink_ad_analytics_spark.queries import q_returned_items
+
+    plan = plan_of(q_returned_items(spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+    lines = plan.splitlines()
+    # in the formatted plan's numbered-tree header, the final HashAggregate
+    # on o_custkey must appear deeper (higher node number read bottom-up)
+    # than the customer-side BroadcastHashJoin consuming it. Cheap proxy:
+    # the plan contains an Exchange hashpartitioning(o_custkey...) --
+    # i.e. the aggregation's shuffle, keyed on custkey, not a join key
+    # carrying c_name through the fact stream.
+    assert any("hashpartitioning(o_custkey" in l for l in lines), plan[:2000]
+    # customer attributes must NOT appear in the aggregate's grouping
+    agg_lines = [l for l in lines if "Keys [1]" in l or "Keys: [o_custkey" in l]
+    assert not any("c_name" in l for l in agg_lines)
+
+
+def test_sparse_cosine_no_cartesian(spark):
+    """The inverted-index candidate join must be a term-keyed join --
+    never a cartesian/broadcast-nested-loop over the corpus."""
+    from flink_ad_analytics_spark.operators.text import sparse_cosine_pairs
+    from flink_ad_analytics_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    plan = plan_of(sparse_cosine_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_quality_bigrams_without_self_join(spark):
+    """Bigram generation must be an array transform on the scan side
+    (zero shuffle), not a positional self-join of the token relation:
+    the only Exchanges are the count/lookup/doc aggregations."""
+    from flink_ad_analytics_spark.operators.text import bigram_logprob
+    from flink_ad_analytics_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    plan = plan_of(bigram_logprob(docs))
+    assert "Generate explode" in plan or "Generate" in plan
+    # no join keyed on a position column (the self-join anti-pattern)
+    assert "pos#" not in plan.lower() or "join" not in plan.lower().split("pos#")[0][-200:]

@@ -26,6 +26,37 @@ CONTRACT = [
 ]
 
 
+#: column -> pyarrow type string the engine's loaders/queries assume.
+#: events.ts is deliberately absent: load_events adapts to both int64
+#: nanos and timestamp[us] (both have shipped).
+EXPECTED_TYPES = {
+    ("lineitem", "l_shipdate"): "timestamp[us]",
+    ("orders", "o_orderdate"): "timestamp[us]",
+    ("documents", "text"): "string",
+    ("documents", "n_chars"): "int64",
+    ("embeddings", "embedding"): "list<element: float>",
+    ("customer", "c_nationkey"): "int32",
+    ("events", "props"): "string",
+}
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_schema_contract(sf_dir: str) -> None:
+    """Early warning for driver testdata regenerations: if a load-
+    bearing column changes physical type, fail HERE with a clear
+    message instead of deep inside some query's analysis error."""
+    import pyarrow.parquet as pq
+
+    for (table, col), want in EXPECTED_TYPES.items():
+        schema = pq.read_schema(f"{sf_dir}/{table}.parquet")
+        got = str(schema.field(col).type)
+        assert got == want, (
+            f"{table}.{col} in {sf_dir} is now {got} (engine assumes {want}); "
+            f"audit queries touching this column (cf. the events.ts "
+            f"regeneration adaptation in sources/batch.py::load_events)"
+        )
+
+
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_money_columns_are_fixed_point(sf_dir: str) -> None:
     con = duckdb.connect()
