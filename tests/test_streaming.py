@@ -815,3 +815,88 @@ def test_streaming_asof_attribution_equals_batch(spark, stream_fixture, tmp_path
     )
     assert len(streamed) == len(batch) > 0
     pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
+
+
+def test_observed_quality_metrics(spark, stream_fixture):
+    """Inline observe() counters: totals across micro-batches must
+    equal the fixture's ground truth, with no extra action/scan."""
+    from flink_ad_analytics_spark.streaming.metrics import (
+        last_quality,
+        with_quality_metrics,
+    )
+
+    sf = stream_fixture
+    imp, _clk = _streams(spark, sf)
+    observed = with_quality_metrics(
+        imp,
+        event_time_col="event_time",
+        malformed_predicate=F.col("cost") <= 0,
+    )
+    agg = observed.groupBy("campaign_id").count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("obs_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{sf['base']}/ckpt_obs")
+        .start()
+    )
+    _drive(q, sf, sf["imp_dir"], sf["clk_dir"])
+
+    totals = {"n_rows": 0, "n_malformed": 0}
+    max_et = None
+    for p in q.recentProgress:
+        m = last_quality(p)
+        if not m:
+            continue
+        totals["n_rows"] += m["n_rows"]
+        totals["n_malformed"] += m["n_malformed"]
+        if m["max_event_time"] is not None:
+            max_et = max(max_et or m["max_event_time"], m["max_event_time"])
+
+    n_expected = len(sf["fx"].impressions) + 1  # + sentinel
+    assert totals["n_rows"] == n_expected
+    # fixture costs are positive; only nonpositive-cost rows counted: 0
+    assert totals["n_malformed"] == 0
+    assert max_et is not None  # event-time bound observed for lag math
+
+
+def test_streaming_windowed_reach_matches_batch(spark, stream_fixture):
+    """Windowed approx distinct (HLL reach) on the stream == the same
+    sketch computed in batch: HLL register merges are order-independent,
+    so incremental micro-batches cannot change the estimate."""
+    sf = stream_fixture
+    imp, _clk = _streams(spark, sf)
+    windowed = (
+        imp.groupBy(F.window("event_time", "5 minutes"), "campaign_id")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("reach"))
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("reach_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{sf['base']}/ckpt_reach")
+        .start()
+    )
+    _drive(q, sf, sf["imp_dir"], sf["clk_dir"])
+    streamed = (
+        spark.table("reach_stream")
+        .filter(F.col("campaign_id") != "camp-sentinel")
+        .select(
+            F.col("window.start").alias("ws"), "campaign_id", "reach"
+        )
+        .toPandas()
+        .sort_values(["ws", "campaign_id"])
+        .reset_index(drop=True)
+    )
+    imp_b = spark.createDataFrame(sf["fx"].impressions).withColumn(
+        "event_time", F.timestamp_millis(F.col("event_timestamp"))
+    )
+    batch = (
+        imp_b.groupBy(F.window("event_time", "5 minutes"), "campaign_id")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("reach"))
+        .select(F.col("window.start").alias("ws"), "campaign_id", "reach")
+        .toPandas()
+        .sort_values(["ws", "campaign_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(streamed, batch)
