@@ -265,6 +265,35 @@ def ivf_kmeans_topk(
     )
 
 
+def _assign_to_init(
+    emb: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+) -> DataFrame:
+    """Exact-decimal nearest-init-centroid assignment: (id, centroid_id,
+    d2). Shared by the two oracle-bridge stats below."""
+    cents = hash_sampled_centroids(emb, k, id_col, vec_col, seed).select(
+        "centroid_id",
+        F.expr("transform(centroid, x -> CAST(x AS DOUBLE))").alias("centroid"),
+    )
+    dist2 = _DIST2_FOLD.format(v=vec_col, c="centroid")
+    pairs = emb.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.expr(dist2).alias("d2"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("d2").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        pairs.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+
+
 def kmeans_step_stats(
     emb: DataFrame,
     k: int = 10,
@@ -281,26 +310,58 @@ def kmeans_step_stats(
     DuckDB gate proves the engine's distances, argmin, and
     aggregation bit-match an independent implementation.
     """
-    cents = hash_sampled_centroids(emb, k, id_col, vec_col, seed).select(
-        "centroid_id",
-        F.expr("transform(centroid, x -> CAST(x AS DOUBLE))").alias("centroid"),
-    )
-    dist2 = _DIST2_FOLD.format(v=vec_col, c="centroid")
-    pairs = emb.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        F.col("centroid_id"),
-        F.expr(dist2).alias("d2"),
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("d2").asc(), F.col("centroid_id").asc()
-    )
-    best = pairs.withColumn("__r", F.row_number().over(w)).filter(
-        F.col("__r") == 1
-    )
+    best = _assign_to_init(emb, k, id_col, vec_col, seed)
     return best.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum(id_col).alias("sum_ids"),
         # d2 is DECIMAL: the group sum is exact, so one terminal
         # round + double cast is engine-independent
         F.round(F.sum("d2"), 6).cast("double").alias("sum_d2"),
+    )
+
+
+def kmeans_update_stats(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """Exact sufficient statistics of the Lloyd CENTROID UPDATE:
+    per-(cluster, dimension) member count and exact decimal component
+    sum (new centroid dim = sum_x / n_vecs, division left to the
+    consumer so no engine-specific decimal-division scale enters the
+    gate).
+
+    Together with kmeans_step_stats (the assignment half), both halves
+    of a Lloyd iteration are value-proven against the DuckDB oracle;
+    the full fit (kmeans_fit) composes exactly these two computations
+    iteratively in the fused Arrow pass.
+
+    Scale: posexplode fans each vector into d rows, but the per-(k x d)
+    aggregation partial-aggregates map-side, so the exchange carries at
+    most n_partitions x k x d rows -- same order as the fused pass's
+    partial sums.
+    """
+    best = _assign_to_init(emb, k, id_col, vec_col, seed)
+    dims = emb.select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "x")
+    )
+    return (
+        dims.join(best.select(id_col, "centroid_id"), id_col)
+        .groupBy("centroid_id", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("x").cast("double").cast("decimal(20,16)")), 12
+            )
+            .cast("double")
+            .alias("sum_x"),
+        )
+        .select(
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.col("pos").cast("long").alias("pos"),
+            "n_vecs",
+            "sum_x",
+        )
     )

@@ -18,6 +18,7 @@ from .operators.clustering import (
     kmeans_fit,
     kmeans_predict,
     kmeans_step_stats,
+    kmeans_update_stats,
 )
 from .operators.dedup import decontaminate
 from .operators.packing import (
@@ -434,6 +435,60 @@ SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
 FROM best
 WHERE rr = 1
 GROUP BY 1
+"""
+
+
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Lloyd centroid-update sufficient statistics
+    (operators/clustering.py::kmeans_update_stats): with kmeans_step,
+    both halves of the iteration are oracle-gated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_update_stats(emb, k=_KM_K, seed=_KM_SEED)
+
+
+KMEANS_UPDATE_SQL = f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY md5('{_KM_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id
+         ) AS r
+  FROM embeddings
+),
+cents AS (
+  SELECT r - 1 AS centroid_id, embedding AS centroid
+  FROM ranked WHERE r <= {_KM_K}
+),
+v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+cv AS (
+  SELECT centroid_id, generate_subscripts(centroid, 1) AS pos,
+         CAST(unnest(centroid) AS DOUBLE) AS c
+  FROM cents
+),
+d AS (
+  SELECT vec_id, centroid_id,
+         CAST(round(SUM(CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
+                             AS DECIMAL(20,16))), 12) AS DECIMAL(38,12)) AS d2
+  FROM v JOIN cv USING (pos)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, centroid_id ASC) AS rr
+  FROM d
+)
+SELECT CAST(best.centroid_id AS BIGINT) AS centroid_id,
+       CAST(v.pos - 1 AS BIGINT) AS pos,
+       COUNT(*) AS n_vecs,
+       CAST(round(SUM(CAST(CAST(v.x AS DOUBLE) AS DECIMAL(20,16))), 12)
+            AS DOUBLE) AS sum_x
+FROM best JOIN v USING (vec_id)
+WHERE rr = 1
+GROUP BY 1, 2
 """
 
 
@@ -898,6 +953,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "embedding_quantization": (q_embedding_quantization, EMBEDDING_QUANTIZATION_SQL),
     "ann_quantized_topk": (q_ann_quantized_topk, ANN_QUANTIZED_TOPK_SQL),
     "kmeans_step": (q_kmeans_step, KMEANS_STEP_SQL),
+    "kmeans_update": (q_kmeans_update, KMEANS_UPDATE_SQL),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, None),
     "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),

@@ -98,3 +98,28 @@ def test_empty_cluster_keeps_old_centroid(spark):
     cents, hist = kmeans_fit(df, k=8, max_iter=4)
     assert not np.isnan(cents).any()
     assert hist[-1] <= hist[0] + 1e-12
+
+
+def test_update_stats_reproduce_first_iteration_centroids(spark):
+    """The decimal-exact update statistics must agree with the fused
+    Arrow pass: sum_x/n per (cluster, dim) == kmeans_fit's centroids
+    after ONE iteration (same init, same assignment) within float
+    tolerance -- tying the oracle bridge to the production path."""
+    import numpy as np
+
+    from flink_ad_analytics_spark.operators.clustering import (
+        kmeans_fit,
+        kmeans_update_stats,
+    )
+    from flink_ad_analytics_spark.sources.batch import load_table
+    from tests.conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    k, seed = 6, 11
+    cents_1iter, _ = kmeans_fit(emb, k=k, max_iter=1, seed=seed)
+    stats = kmeans_update_stats(emb, k=k, seed=seed).collect()
+    d = max(r["pos"] for r in stats) + 1
+    got = np.zeros((k, d))
+    for r in stats:
+        got[r["centroid_id"], r["pos"]] = r["sum_x"] / r["n_vecs"]
+    assert np.allclose(got, cents_1iter, atol=1e-9)
