@@ -111,6 +111,21 @@ def run_size(spark, n_docs: int) -> dict:
         from flink_ad_analytics_spark.operators.text import repetition_features
 
         run("repetition", lambda: repetition_features(docs).count())
+        # term-space similarity + LM scoring (round-2 cont.): candidate
+        # counts of the inverted index are the scale-defining quantity,
+        # like lsh_candidates above
+        from flink_ad_analytics_spark.operators.text import (
+            bigram_logprob,
+            sparse_cosine_pairs,
+        )
+
+        sparse_pairs = run(
+            "sparse_cosine",
+            lambda: sparse_cosine_pairs(
+                docs, max_df=50, min_cos=0.5
+            ).count(),
+        )
+        run("lm_quality", lambda: bigram_logprob(docs).count())
         is_bench = F.expr(
             "substr(md5('bench:' || CAST(doc_id AS STRING)), 1, 1) = '0'"
         )
@@ -133,6 +148,7 @@ def run_size(spark, n_docs: int) -> dict:
             ),
             "simhash_candidates": sim_cands,
             "simhash_pairs_found": sim_pairs,
+            "sparse_cosine_pairs": sparse_pairs,
             "n_clean": n_clean,
             "ops": timings,
             "total_sec": round(sum(timings.values()), 2),

@@ -65,6 +65,13 @@ ENGINE_BUILD_CONF = {
     # any serious shuffle. (Cluster deployments size executors via
     # their own submit config -- this only affects sessions we build.)
     "spark.driver.memory": "12g",
+    # A long-lived session serving many distinct queries (this engine's
+    # whole surface is ~80) thrashes the default 100-entry generated-
+    # class cache: late queries recompile every stage each execution --
+    # measured 5x on the iterative k-means queries at the tail of the
+    # bench. Size the cache to the workload, same as any resident
+    # analytics service.
+    "spark.sql.codegen.cache.maxEntries": "5000",
 }
 
 
