@@ -1749,6 +1749,267 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01'
 """
 
 
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: distribution of per-customer order counts.
+
+    Scale design: orders is pre-aggregated to o_custkey BEFORE the
+    customer join, so the join input is one row per customer, not one
+    per order (map-side partial counts shrink the custkey shuffle).
+    The LEFT join keeps zero-order customers (COALESCE 0); both sides
+    shuffle on custkey (co-partitioned sort-merge at scale -- neither
+    side is broadcast-able at 100 TB). The second aggregation's key
+    space is tiny (distinct order counts), so it collapses to a
+    near-free map-side combine.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORDER_COUNT_DISTRIBUTION_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_custkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: yearly revenue lost if small-quantity orders
+    (below 20% of the part's average quantity) were not taken.
+
+    The correlated AVG subquery decorrelates to a window aggregate:
+    one l_partkey shuffle serves both the per-part statistics and the
+    row-level filter (vs. the textbook agg + self-join, which pays the
+    same shuffle twice). The part predicate is applied first through a
+    broadcast semi-side, so the window only sees the brand's rows.
+
+    The 20%-of-average threshold is evaluated in exact integers
+    (5 * qty * cnt < sum_qty, quantities are integral) -- a float
+    `qty < 0.2 * avg` can flip rows at exact-equality boundaries
+    depending on engine rounding; the integer form cannot.
+    """
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "PROMO"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    flagged = (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("sq", F.sum(F.col("l_quantity").cast("long")).over(w))
+        .withColumn("cq", F.count(F.lit(1)).over(w))
+        .filter(F.col("l_quantity").cast("long") * 5 * F.col("cq") < F.col("sq"))
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 4).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+    )
+
+
+SMALL_QTY_REVENUE_SQL = """
+WITH flagged AS (
+    SELECT l_extendedprice, l_quantity,
+           SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey) AS sq,
+           COUNT(*) OVER (PARTITION BY l_partkey) AS cq
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_type = 'PROMO'
+)
+SELECT COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM flagged
+WHERE CAST(l_quantity AS BIGINT) * 5 * cq < sq
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue under an OR-of-ANDs predicate spanning
+    both join sides (brand x size range x quantity range).
+
+    The disjunction is the point: Catalyst extracts the common
+    `l_partkey = p_partkey` conjunct as the join key and derives
+    side-local filters from the OR (brand IN (...) pushes to the part
+    scan, quantity range union to the lineitem scan), so neither side
+    carries rows that cannot satisfy any branch. Part stays a
+    broadcast dim; one fact scan, one broadcast hash join, grouped by
+    brand into three result rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(_rev()), 4).cast("double").alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+DISJUNCTIVE_REVENUE_SQL = f"""
+SELECT p_brand, COUNT(*) AS n_items,
+       CAST(ROUND(SUM({_REV_SQL}), 4) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: above-average-balance customers who never
+    ordered, grouped by a customer-id code (the phone-prefix analogue:
+    the last two digits of c_name).
+
+    Three classic pieces on one plan: a scalar aggregate broadcast
+    back over the fact (global average balance), a LEFT ANTI join
+    against urgent orders (the driver data gives every customer at
+    least one order, so the literal Q22 "never ordered" set is empty;
+    "no urgent order" keeps the identical anti-join shape non-trivial),
+    and the final small-key rollup.
+    The average-balance comparison runs in exact integer cents
+    (cents * n > sum_cents) -- the float `bal > avg` form can disagree
+    across engines at boundary values. The scalar aggregate is a
+    1-row broadcast; the anti join shuffles on custkey (AQE converts
+    it to broadcast when the orders side is small).
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("code", F.substring("c_name", 17, 2))
+        .withColumn(
+            "cents", (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+        )
+        .filter(F.col("cents") > 0)
+    )
+    stats = cust.agg(
+        F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("n_pos")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(F.col("cents") * F.col("n_pos") > F.col("sum_cents"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("code")
+    )
+
+
+IDLE_CUSTOMER_BALANCE_SQL = """
+WITH pos AS (
+    SELECT c_custkey, substr(c_name, 17, 2) AS code, c_acctbal,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+    FROM customer
+    WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) > 0
+)
+SELECT code, COUNT(*) AS n_cust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal
+FROM pos
+WHERE cents * (SELECT COUNT(*) FROM pos) > (SELECT SUM(cents) FROM pos)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = pos.c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY code
+ORDER BY code
+"""
+
+
+def q_customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family: NTILE / PERCENT_RANK /
+    CUME_DIST / FIRST_VALUE per market segment.
+
+    One shuffle on c_mktsegment + one sort serves all four window
+    functions (same partitioning and ordering -> a single Window
+    physical operator). The ordering carries a unique tiebreak
+    (c_custkey), which makes every rank deterministic AND reduces
+    PERCENT_RANK/CUME_DIST to exact integer ratios -- identical IEEE
+    divisions in both engines.
+    """
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cum_dist"),
+            F.first("c_custkey").over(w).alias("segment_top"),
+        )
+        .filter(F.col("c_custkey") % 5 == 0)
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+CUSTOMER_VALUE_RANKS_SQL = """
+SELECT * FROM (
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cum_dist,
+           FIRST_VALUE(c_custkey) OVER w AS segment_top
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+)
+WHERE c_custkey % 5 = 0
+ORDER BY c_mktsegment, c_custkey
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -1813,4 +2074,12 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "user_funnel_cep": (q_user_funnel_cep, USER_FUNNEL_CEP_SQL),
     "returned_items": (q_returned_items, RETURNED_ITEMS_SQL),
     "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),
+    "order_count_distribution": (
+        q_order_count_distribution,
+        ORDER_COUNT_DISTRIBUTION_SQL,
+    ),
+    "small_qty_revenue": (q_small_qty_revenue, SMALL_QTY_REVENUE_SQL),
+    "disjunctive_revenue": (q_disjunctive_revenue, DISJUNCTIVE_REVENUE_SQL),
+    "idle_customer_balance": (q_idle_customer_balance, IDLE_CUSTOMER_BALANCE_SQL),
+    "customer_value_ranks": (q_customer_value_ranks, CUSTOMER_VALUE_RANKS_SQL),
 }
