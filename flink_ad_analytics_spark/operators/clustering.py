@@ -365,3 +365,170 @@ def kmeans_update_stats(
             "sum_x",
         )
     )
+
+
+def pq_fit(
+    emb: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+):
+    """Product-quantization codebooks: split d dims into ``m``
+    contiguous subspaces and k-means each (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    Returns ndarray [m, k, d/m]. Training is m short kmeans_fit runs
+    (each an Arrow-batched corpus pass per iteration); at 100 TB the
+    standard practice is fitting codebooks on a hash sample
+    (emb.filter(hash < thr)) -- the fit cost is O(sample), while
+    encode/search below stay full-corpus and single-pass.
+    """
+    import numpy as np
+
+    d = len(emb.select(vec_col).first()[0])
+    if d % m:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    dsub = d // m
+    books = []
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
+        )
+        cents, _ = kmeans_fit(
+            sub, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
+            seed=seed + j,
+        )
+        books.append(cents)
+    return np.stack(books)  # [m, k, dsub]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): nearest-codeword index per subspace.
+
+    One Arrow pass, zero shuffle: the [m, k, d/m] codebook broadcasts
+    (a few KB) and each batch runs m vectorized argmin-distance
+    assignments. The 8-bit codes are the 100 TB story: a 64-dim
+    float32 corpus compresses 32x (256 B -> m bytes per vector), so
+    the search set fits in memory where raw vectors cannot.
+    """
+    import numpy as np
+
+    bc = emb.sparkSession.sparkContext.broadcast(
+        np.asarray(codebooks, dtype=np.float64)
+    )
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        cb = bc.value  # [m, k, dsub]
+        m, _, dsub = cb.shape
+        for pdf in batches:
+            x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xj = x[:, j * dsub : (j + 1) * dsub]
+                cj = cb[j]
+                d2 = (
+                    (xj * xj).sum(axis=1)[:, None]
+                    - 2.0 * (xj @ cj.T)
+                    + (cj * cj).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "codes": list(codes)}
+            )
+
+    out = emb.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(encode, "__id long, codes array<int>")
+    return out.select(F.col("__id").alias(id_col), "codes")
+
+
+def pq_topk(
+    emb: DataFrame,
+    codebooks,
+    *,
+    query_filter,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k by inner product over
+    PQ-encoded vectors: score(q, x) ~= sum_j <q_j, codeword(x_j)>.
+
+    Queries are exact (un-encoded) vectors precomputing an [m, k]
+    dot-product table each; scoring a candidate is m table lookups --
+    no float vector is ever read at search time. The scan side is the
+    encoded corpus (one Arrow pass, per-batch local top-k), followed
+    by a per-query global top-k over ~batches x k survivor rows; no
+    all-pairs join, no shuffle of the corpus.
+
+    Scores are deterministic (fixed m-term summation order), rounded
+    to 6dp with id tiebreaks -- the repo's ANN comparability recipe.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    cb = np.asarray(codebooks, dtype=np.float64)  # [m, k_codes, dsub]
+    m, _, dsub = cb.shape
+    q_rows = emb.filter(query_filter).select(id_col, vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "q_id long, c_id long, score double, rank long"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    # tables[t, j, c] = <q_t restricted to subspace j, codeword c>
+    tables = np.einsum("tjd,jcd->tjc", q.reshape(len(q), m, dsub), cb)
+    bc = spark.sparkContext.broadcast((q_ids, tables))
+
+    encoded = pq_encode(emb, cb, id_col, vec_col)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, tabs = bc.value  # [nq], [nq, m, k]
+        nq = len(ids)
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].to_numpy())  # [nb, m]
+            c_ids = pdf["__cid"].to_numpy()
+            # scores[t, i] = sum_j tabs[t, j, codes[i, j]]
+            scores = tabs[:, np.arange(codes.shape[1])[None, :], codes].sum(
+                axis=2
+            )  # [nq, nb]
+            # local top-(k + slack): the slack absorbs 6dp-rounding
+            # ties so the global rank never misses a tied candidate
+            top = min(len(c_ids), k + 16)
+            part = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            rows = {
+                "q_id": np.repeat(ids, top),
+                "c_id": c_ids[part].ravel(),
+                "score": np.take_along_axis(scores, part, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    local = encoded.select(
+        F.col(id_col).alias("__cid"), "codes"
+    ).mapInPandas(score, "q_id long, c_id long, score double")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("c_id")
+    )
+    return (
+        local.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("score", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "score", "rank")
+    )

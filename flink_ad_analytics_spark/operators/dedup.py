@@ -605,3 +605,85 @@ def decontaminate(
         .distinct()
     )
     return docs.join(dirty, id_col, "left_anti")
+
+
+def span_dedup(
+    docs: DataFrame,
+    *,
+    span_tokens: int = 16,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level corpus dedup: drop every fixed-size token span whose
+    exact text occurs in >= ``min_docs`` distinct documents, and
+    reassemble each document from its surviving spans.
+
+    The finer-grained sibling of document-level exact dedup (the
+    line/paragraph dedup step of web-corpus pipelines, applied to the
+    driver's newline-free texts as non-overlapping ``span_tokens``-word
+    windows): boilerplate repeated across pages is removed from every
+    document instead of dropping whole near-identical documents.
+
+    Output: one row per input document --
+    (id, n_spans, n_dropped, clean_md5, clean_tokens).
+
+    Scale design: span extraction is a zero-shuffle generator
+    expression (sequence + slice, like operators/packing.py). The
+    corpus-wide duplicate test is ONE exchange on the span fingerprint
+    with map-side partial counts; the flag join is a second exchange
+    on the same key (exchange-reused against the aggregate); the
+    reassembly is one exchange on doc id. All three keys are
+    high-cardinality and unskewed (md5 fingerprints / doc ids). The
+    duplicated-span set is NOT collected or broadcast by hand: at web
+    scale boilerplate spans are unbounded, so the flag join stays a
+    shuffle join and AQE downgrades it to broadcast only when the
+    runtime size allows.
+    """
+    from .text import TOKENS
+
+    toks = docs.select(
+        F.col(id_col), F.expr(TOKENS.format(col=text_col)).alias("ws")
+    )
+    starts = F.expr(f"sequence(0, size(ws) - 1, {span_tokens})")
+    spans = toks.select(
+        id_col,
+        F.explode(starts).alias("span_start"),
+        "ws",
+    ).select(
+        id_col,
+        (F.col("span_start") / span_tokens).cast("long").alias("span_idx"),
+        F.array_join(
+            F.expr(f"slice(ws, span_start + 1, {span_tokens})"), " "
+        ).alias("span_text"),
+    ).withColumn("span_md5", F.md5("span_text"))
+
+    span_docs = spans.groupBy("span_md5").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    flagged = spans.join(span_docs, "span_md5").withColumn(
+        "is_dup", (F.col("n_docs") >= min_docs).cast("long")
+    )
+    kept_sorted = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("is_dup") == 0, F.struct("span_idx", "span_text")
+            )
+        )
+    )
+    clean = F.array_join(
+        F.transform(kept_sorted, lambda s: s.span_text), " "
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("is_dup").alias("n_dropped"),
+            F.md5(clean).alias("clean_md5"),
+            F.aggregate(
+                kept_sorted,
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.size(F.split(s.span_text, " ")),
+            ).alias("clean_tokens"),
+        )
+    )

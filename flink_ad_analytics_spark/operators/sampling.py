@@ -255,3 +255,71 @@ def group_sample_fixed(
         .filter(F.col("__rk") <= m)
         .drop("__rk")
     )
+
+
+def rebalance_to_mix(
+    df: DataFrame,
+    strata_col: str,
+    target_shares: Mapping[str, float],
+    id_col: str = "doc_id",
+    seed: int = 29,
+) -> DataFrame:
+    """Materialize a corpus downsampled to a target stratum mix: the
+    executing sibling of the source_mix_weights PLAN (queries_pipeline):
+    weights are computed from the data (min(1, target_share /
+    actual_share) -- downsample-only), then applied as a per-row
+    deterministic hash-threshold filter.
+
+    Scale: one partial-aggregated count per stratum (low-cardinality)
+    + a scalar total, broadcast back as a tiny weight map; the corpus
+    itself is never shuffled -- each row's fate is a pure function of
+    (seed, id, its stratum's weight), so the pass is scan + filter.
+    Unlike a rank-based exact-n sampler there is no per-stratum sort;
+    kept counts are Binomial(n, w) tight around n*w, the standard
+    trade at corpus scale.
+    """
+    per = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = per.agg(F.sum("__n").alias("__total"))
+    tgt: Column | None = None
+    for s, sh in target_shares.items():
+        cond = F.col(strata_col) == s
+        lit = F.lit(float(sh))
+        tgt = F.when(cond, lit) if tgt is None else tgt.when(cond, lit)
+    tgt = F.lit(0.0) if tgt is None else tgt.otherwise(F.lit(0.0))
+    weights = per.crossJoin(F.broadcast(tot)).select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            tgt * F.col("__total").cast("double") / F.col("__n").cast("double"),
+        ).alias("__w"),
+    )
+    h_int = F.conv(_bucket_hash(id_col, seed), 16, 10).cast("long")
+    return (
+        df.join(F.broadcast(weights), strata_col)
+        .filter(h_int < F.floor(F.col("__w") * F.lit(float(_SPACE))))
+        .drop("__w")
+    )
+
+
+def rebalance_weight_sql(
+    strata_col: str, target_shares: Mapping[str, float], table: str
+) -> str:
+    """DuckDB CTE body computing the identical per-stratum weight."""
+    arms = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {float(sh)!r}"
+        for s, sh in target_shares.items()
+    )
+    case = f"CASE {arms} ELSE 0.0 END"
+    return f"""
+per AS (SELECT {strata_col}, COUNT(*) AS n FROM {table} GROUP BY {strata_col}),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM per),
+w AS (SELECT {strata_col},
+             LEAST(1.0, ({case}) * CAST(total AS DOUBLE) / CAST(n AS DOUBLE))
+               AS w
+      FROM per CROSS JOIN tot)
+"""
+
+
+def hash_int_sql(id_col: str, seed: int) -> str:
+    """DuckDB fragment: the hash prefix as an unsigned integer."""
+    return f"CAST('0x' || {bucket_hash_sql(id_col, seed)} AS BIGINT)"

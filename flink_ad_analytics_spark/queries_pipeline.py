@@ -20,7 +20,8 @@ from .operators.clustering import (
     kmeans_step_stats,
     kmeans_update_stats,
 )
-from .operators.dedup import decontaminate
+from .operators.clustering import pq_fit, pq_topk
+from .operators.dedup import decontaminate, span_dedup
 from .operators.packing import (
     chunk_documents,
     pack_sequences_greedy,
@@ -30,10 +31,13 @@ from .operators.similarity import quantize_int8, quantized_topk
 from .operators.text import redact_pii, repetition_features
 from .operators.sampling import (
     group_sample_fixed,
+    hash_int_sql,
     hash_split,
     hash_split_case_sql,
     kfold_assign,
     kfold_case_sql,
+    rebalance_to_mix,
+    rebalance_weight_sql,
     shuffle_key_sql,
     shuffle_shards,
     stratified_keep_sql,
@@ -943,7 +947,118 @@ FROM lp GROUP BY doc_id
 """
 
 
+# -- span-level corpus dedup ----------------------------------------------
+
+_SPAN_TOKENS = 16
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup (operators/dedup.py::span_dedup): drop every
+    16-token span occurring in >= 2 distinct documents, reassemble each
+    document from survivors. The clean_md5 fingerprint value-gates the
+    reconstructed text without hauling it through the compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup(docs, span_tokens=_SPAN_TOKENS)
+
+
+SPAN_DEDUP_SQL = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+spans AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(start // {_SPAN_TOKENS} AS BIGINT) AS span_idx,
+         array_to_string(
+           list_slice(ws, start + 1, start + {_SPAN_TOKENS}), ' ') AS span_text
+  FROM t, UNNEST(range(0, len(ws), {_SPAN_TOKENS})) AS u(start)),
+dupes AS (
+  SELECT span_text FROM spans
+  GROUP BY span_text HAVING COUNT(DISTINCT doc_id) >= 2),
+flags AS (
+  SELECT s.doc_id, s.span_idx, s.span_text,
+         CASE WHEN d.span_text IS NULL THEN 0 ELSE 1 END AS is_dup
+  FROM spans s LEFT JOIN dupes d USING (span_text))
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN is_dup = 0 THEN span_text END,
+                               ' ' ORDER BY span_idx), '')) AS clean_md5,
+       CAST(COALESCE(SUM(CASE WHEN is_dup = 0
+                              THEN len(string_split(span_text, ' ')) END), 0)
+            AS BIGINT) AS clean_tokens
+FROM flags
+GROUP BY doc_id
+"""
+
+
+# -- self-tuning mix rebalance (materialized) ------------------------------
+
+#: non-uniform target: share of src<i> proportional to (i % 4) + 1.
+_MIX_TARGET = {f"src{i}": ((i % 4) + 1) / 50.0 for i in range(20)}
+_MIX_SEED = 29
+
+
+def q_rebalanced_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized mix rebalance (operators/sampling.py::
+    rebalance_to_mix): the executing sibling of source_mix_weights.
+    Audited per source: kept count + hash-int checksum of the kept id
+    set (pins exact membership, not just cardinality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = rebalance_to_mix(docs, "source", _MIX_TARGET, seed=_MIX_SEED)
+    h_int = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{_MIX_SEED}:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(h_int).alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+REBALANCED_MIX_SQL = f"""
+WITH {rebalance_weight_sql('source', _MIX_TARGET, 'documents')},
+kept AS (
+  SELECT d.source, d.doc_id
+  FROM documents d JOIN w USING (source)
+  WHERE {hash_int_sql('doc_id', _MIX_SEED)}
+        < CAST(FLOOR(w.w * 4294967296.0) AS BIGINT))
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM({hash_int_sql('doc_id', _MIX_SEED)}) AS BIGINT) AS id_checksum
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
+# -- product-quantization ANN ----------------------------------------------
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes (operators/clustering.py::pq_topk).
+
+    Rows-only gate (codebooks come from the iterative k-means fit);
+    recall vs the exact inner-product ranking and code determinism are
+    asserted in test_clustering.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=8, k=16, max_iter=4, seed=_KM_SEED)
+    return pq_topk(
+        emb, books, query_filter=F.col("vec_id") < 20, k=5
+    )
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "span_dedup": (q_span_dedup, SPAN_DEDUP_SQL),
+    "rebalanced_mix": (q_rebalanced_mix, REBALANCED_MIX_SQL),
+    "ann_pq_topk": (q_ann_pq_topk, None),
     "dataset_splits": (q_dataset_splits, DATASET_SPLITS_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "kfold_balance": (q_kfold_balance, KFOLD_BALANCE_SQL),

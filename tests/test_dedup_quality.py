@@ -121,3 +121,53 @@ def test_stop_shingle_pruning_only_shrinks_scores(spark):
     assert (1, 2) in pruned
     # pairs whose ONLY overlap was the pruned hot shingle disappear
     assert (3, 4) not in pruned and (3, 4) in exact
+
+
+def test_span_dedup_removes_planted_boilerplate(spark):
+    """A boilerplate span shared by two docs is dropped from BOTH,
+    unique spans survive verbatim, and a doc-internal repeat (one doc
+    only) is NOT corpus-duplicated."""
+    from flink_ad_analytics_spark.operators.dedup import span_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(4))
+    u1 = " ".join(f"u{i}" for i in range(4))
+    u2 = " ".join(f"v{i}" for i in range(4))
+    selfrep = " ".join(f"s{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {u1}"),
+            (2, f"{boiler} {u2}"),
+            (3, f"{selfrep} {selfrep}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in span_dedup(docs, span_tokens=4, min_docs=2).collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1].n_spans == 2 and out[1].n_dropped == 1
+    assert out[1].clean_md5 == md5(u1) and out[1].clean_tokens == 4
+    assert out[2].clean_md5 == md5(u2)
+    # same-doc repetition is not cross-document duplication
+    assert out[3].n_dropped == 0
+    assert out[3].clean_md5 == md5(f"{selfrep} {selfrep}")
+
+
+def test_span_dedup_fully_duplicated_doc_empties(spark):
+    from flink_ad_analytics_spark.operators.dedup import span_dedup
+
+    t = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    out = span_dedup(docs, span_tokens=4, min_docs=2).collect()
+    import hashlib
+
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for r in out:
+        assert r.n_dropped == r.n_spans == 2
+        assert r.clean_md5 == empty_md5
+        assert r.clean_tokens == 0

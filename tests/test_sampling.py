@@ -152,3 +152,37 @@ def test_sparse_cosine_pairs_identical_docs_score_one(spark):
         (F.col("doc1") == 100001) & (F.col("doc2") == 100002)
     ).collect()
     assert len(planted) == 1 and abs(planted[0]["cos"] - 1.0) < 1e-12
+
+
+def test_rebalance_to_mix_hits_target_and_is_stable(spark):
+    """Kept counts land near target_share * total (binomial bound);
+    weight-1.0 strata keep everything; the kept id set is a
+    deterministic pure function of (seed, id) -- identical across
+    reruns and unaffected by row order."""
+    from flink_ad_analytics_spark.operators.sampling import rebalance_to_mix
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    total = docs.count()
+    target = {f"src{i}": ((i % 4) + 1) / 50.0 for i in range(20)}
+    kept = rebalance_to_mix(docs, "source", target, seed=29)
+    per = {r.source: r.n for r in kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    per_in = {r.source: r.n for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for src, n_in in per_in.items():
+        w = min(1.0, target[src] * total / n_in)
+        n = per.get(src, 0)
+        if w == 1.0:
+            assert n == n_in  # downsample-only: never drops below cap
+        else:
+            sd = (n_in * w * (1 - w)) ** 0.5
+            assert abs(n - n_in * w) <= 4 * sd + 1, (src, n, n_in * w)
+    ids1 = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    reordered = docs.orderBy(F.desc("doc_id"))
+    ids2 = sorted(
+        r.doc_id
+        for r in rebalance_to_mix(reordered, "source", target, seed=29)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids1 == ids2
