@@ -279,18 +279,22 @@ def rebalance_to_mix(
     trade at corpus scale.
     """
     per = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
-    tot = per.agg(F.sum("__n").alias("__total"))
+    # scalar total as an empty-partition window over the tiny stratum
+    # aggregate: one corpus pass total (a separate agg()+crossJoin
+    # re-scans the corpus for the same numbers). The single-partition
+    # window holds |strata| rows -- driver-trivial at any scale.
+    tot = F.sum("__n").over(Window.partitionBy())
     tgt: Column | None = None
     for s, sh in target_shares.items():
         cond = F.col(strata_col) == s
         lit = F.lit(float(sh))
         tgt = F.when(cond, lit) if tgt is None else tgt.when(cond, lit)
     tgt = F.lit(0.0) if tgt is None else tgt.otherwise(F.lit(0.0))
-    weights = per.crossJoin(F.broadcast(tot)).select(
+    weights = per.select(
         strata_col,
         F.least(
             F.lit(1.0),
-            tgt * F.col("__total").cast("double") / F.col("__n").cast("double"),
+            tgt * tot.cast("double") / F.col("__n").cast("double"),
         ).alias("__w"),
     )
     h_int = F.conv(_bucket_hash(id_col, seed), 16, 10).cast("long")

@@ -309,3 +309,79 @@ def test_lm_quality_bigrams_without_self_join(spark):
     assert "Generate explode" in plan or "Generate" in plan
     # no join keyed on a position column (the self-join anti-pattern)
     assert "pos#" not in plan.lower() or "join" not in plan.lower().split("pos#")[0][-200:]
+
+
+def test_disjunctive_revenue_pushes_or_filter_to_part_scan(spark):
+    """Q19 shape: Catalyst must derive a side-local filter from the
+    OR-of-ANDs and push it into the part scan (brand/size disjunction),
+    keep the join broadcast, and never expand the OR into a union."""
+    from flink_ad_analytics_spark.queries import q_disjunctive_revenue
+
+    plan = plan_of(q_disjunctive_revenue(spark, SF_CORRECT), "simple")
+    # the brand/size disjunction derived from the OR-of-ANDs reaches
+    # the part scan as a pushed filter (it exists nowhere else; simple
+    # mode truncates the list, so match its head)
+    assert "Or(Or(And(EqualTo(p_brand" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("FileScan parquet") == 2  # no OR-expansion re-scan
+
+
+def test_order_count_distribution_preaggregates_orders(spark):
+    """Q13 shape: the orders side must aggregate to one row per
+    custkey BEFORE the customer join (partial_count below the first
+    exchange), so the join input is |customers|, not |orders|."""
+    from flink_ad_analytics_spark.queries import q_order_count_distribution
+
+    plan = plan_of(q_order_count_distribution(spark, SF_CORRECT), "simple")
+    # exactly one o_custkey exchange: the orders pre-aggregate (whose
+    # output then feeds the join -- broadcast at toy SF, co-partitioned
+    # SMJ at scale; joining raw orders first would add a second)
+    assert plan.count("hashpartitioning(o_custkey") == 1
+    assert "partial_count" in plan
+    # the priority filter reaches the orders scan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_small_qty_revenue_single_partkey_exchange(spark):
+    """Q17 shape: the decorrelated window form must pay exactly ONE
+    l_partkey exchange (agg+join-back would pay it twice) after the
+    broadcast part filter."""
+    from flink_ad_analytics_spark.queries import q_small_qty_revenue
+
+    plan = plan_of(q_small_qty_revenue(spark, SF_CORRECT), "simple")
+    assert plan.count("hashpartitioning(l_partkey") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+
+
+def test_customer_value_ranks_single_window_operator(spark):
+    """All four rank functions share one partitioning+ordering ->
+    exactly one Window node, one exchange, one sort."""
+    from flink_ad_analytics_spark.queries import q_customer_value_ranks
+
+    plan = plan_of(q_customer_value_ranks(spark, SF_CORRECT), "simple")
+    assert plan.count("Window") == 1
+    assert plan.count("hashpartitioning(c_mktsegment") == 1
+
+
+def test_rebalance_corpus_side_never_shuffles(spark):
+    """rebalance_to_mix: exchanges exist only under the tiny per-
+    stratum count aggregate; the documents scan feeding the kept rows
+    reaches the filter without any exchange above it."""
+    from flink_ad_analytics_spark.operators.sampling import rebalance_to_mix
+    from flink_ad_analytics_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    target = {f"src{i}": 0.05 for i in range(20)}
+    plan = plan_of(rebalance_to_mix(docs, "source", target), "simple")
+    # corpus row path: Scan -> Filter -> BroadcastHashJoin with the
+    # hash-threshold predicate; the weight map broadcasts.
+    assert "BroadcastHashJoin" in plan
+    assert "conv(substring(md5" in plan  # threshold filter present
+    # shuffles exist only under the tiny weight-map aggregate: the
+    # per-stratum count (1) + the single-partition window total (1).
+    shuffles = plan.count("Exchange ") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, plan
+    # ONE corpus scan feeds the kept rows, one column-pruned scan
+    # feeds the stratum counts -- not three
+    assert plan.count("FileScan parquet") == 2
