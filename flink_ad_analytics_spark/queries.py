@@ -2010,6 +2010,273 @@ ORDER BY c_mktsegment, c_custkey
 """
 
 
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: conditional priority counts per line status
+    for a ship-year window.
+
+    The orders<->lineitem join is the one unavoidable shuffle: both
+    sides are fact-sized at scale, so it runs co-partitioned on
+    orderkey (no broadcast gamble); the date filter prunes the
+    lineitem scan BEFORE the exchange, and the two CASE counts fold
+    into one partial aggregation on the tiny l_returnflag key space.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_returnflag")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SHIPMODE_PRIORITY_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: per-(nation, year) profit for a part-name
+    pattern, profit = revenue - 10% retail carrying cost.
+
+    Plan shape: the LIKE predicate prunes part to a broadcast dim
+    (the filter cannot push to parquet as a prefix range here -- it's
+    an infix match -- so it runs in the scan's filter stage); supplier
+    and nation broadcast; ONE fact shuffle for the final (nation,
+    year) aggregate. All money terms are exact decimals; year
+    extraction is integer.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%green%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = _rev() - (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit(0.10).cast("decimal(4,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+PRODUCT_PROFIT_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       CAST(ROUND(SUM({_REV_SQL}
+                      - CAST(p_retailprice AS DECIMAL(12,2))
+                        * CAST(0.10 AS DECIMAL(4,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))), 4)
+            AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%green%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_key_part_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: parts whose shipped value exceeds a fixed
+    fraction of the corpus-wide total (HAVING vs. a scalar subquery
+    over the SAME aggregate).
+
+    Decorrelation: the per-part aggregate is computed once; the global
+    total is a second aggregate OVER the per-part output (tiny -- one
+    row per part, not a re-scan of lineitem), broadcast back as a
+    1-row cross join. Two exchanges total, both necessary; the fact
+    is scanned once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    val = F.sum(
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    per_part = li.groupBy("l_partkey").agg(val.alias("value_dec"))
+    total = per_part.agg(
+        F.sum("value_dec").alias("total_dec")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        # 0.05% concentration threshold, evaluated in exact decimals
+        .filter(
+            F.col("value_dec") * F.lit(2000).cast("decimal(4,0)")
+            > F.col("total_dec")
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("value_dec"), 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+KEY_PART_CONCENTRATION_SQL = """
+WITH per_part AS (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))) AS value_dec
+    FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey,
+       CAST(ROUND(value_dec, 2) AS DOUBLE) AS part_value
+FROM per_part
+WHERE value_dec * 2000 > (SELECT SUM(value_dec) FROM per_part)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the generalization of the rollup/cube
+    already covered): exactly the three requested sets -- (priority),
+    (status), (priority, status) -- no grand total.
+
+    Executes as ONE Expand (3 replicas) + one hash aggregate + one
+    shuffle on the composite key: the same single-pass shape as
+    rollup, with grouping_id disambiguating the sets.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], ["o_orderpriority", "o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 4
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("gid", "o_orderpriority", "o_orderstatus")
+    )
+
+
+PRIORITY_GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+            AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+           AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                        (o_orderpriority, o_orderstatus))
+ORDER BY gid, o_orderpriority, o_orderstatus
+"""
+
+
+def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap (30 min) and a max
+    session duration (2 h): long gap-sessions are chopped into
+    cap-length slices -- the bot-traffic guard plain session_window
+    cannot express (a never-idle user yields one unbounded session).
+
+    One user_id exchange + one sort serves all three window steps
+    (LAG gap flag, running-MAX carry-forward of the session-start
+    mark, slice index): the carry-forward trick keeps the slice
+    computation in the SAME window partitioning instead of forcing a
+    second exchange on (user, session). All time math is integer
+    microseconds -- exact in both engines.
+    """
+    from pyspark.sql import Window
+
+    gap_us, cap_us = 30 * 60 * 1_000_000, 2 * 3600 * 1_000_000
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("event_time"))
+    w = Window.partitionBy("user_id").orderBy("event_time", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag(us).over(w)
+    mark = F.when(prev.isNull() | (us - prev > gap_us), us)
+    marked = ev.select(
+        "user_id", "event_id", "event_time", us.alias("us"), mark.alias("mark")
+    ).withColumn("start_us", F.max("mark").over(wrun))
+    sliced = marked.withColumn(
+        "slice_idx", F.expr(f"(us - start_us) DIV {cap_us}")
+    )
+    return (
+        sliced.groupBy("user_id", "start_us", "slice_idx")
+        .agg(
+            F.min("event_time").alias("slice_start"),
+            F.max("event_time").alias("slice_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("start_us")).alias("session_start"),
+            "slice_idx",
+            "slice_start",
+            "slice_end",
+            "n_events",
+        )
+    )
+
+
+CAPPED_SESSIONS_SQL = f"""
+WITH ev AS ({EV_SQL}),
+marked AS (
+  SELECT user_id, event_id, event_time,
+         epoch_ns(event_time) // 1000 AS us,
+         CASE WHEN LAG(epoch_ns(event_time) // 1000) OVER w IS NULL
+                OR epoch_ns(event_time) // 1000
+                   - LAG(epoch_ns(event_time) // 1000) OVER w
+                   > {30 * 60 * 1_000_000}
+              THEN epoch_ns(event_time) // 1000 END AS mark
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_time, event_id)),
+runs AS (
+  SELECT *, MAX(mark) OVER (PARTITION BY user_id
+                            ORDER BY event_time, event_id
+                            ROWS UNBOUNDED PRECEDING) AS start_us
+  FROM marked),
+sliced AS (
+  SELECT *, (us - start_us) // {2 * 3600 * 1_000_000} AS slice_idx
+  FROM runs)
+SELECT user_id,
+       make_timestamp(start_us) AS session_start,
+       slice_idx,
+       MIN(event_time) AS slice_start,
+       MAX(event_time) AS slice_end,
+       COUNT(*) AS n_events
+FROM sliced
+GROUP BY user_id, start_us, slice_idx
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -2082,4 +2349,15 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "disjunctive_revenue": (q_disjunctive_revenue, DISJUNCTIVE_REVENUE_SQL),
     "idle_customer_balance": (q_idle_customer_balance, IDLE_CUSTOMER_BALANCE_SQL),
     "customer_value_ranks": (q_customer_value_ranks, CUSTOMER_VALUE_RANKS_SQL),
+    "shipmode_priority": (q_shipmode_priority, SHIPMODE_PRIORITY_SQL),
+    "product_profit": (q_product_profit, PRODUCT_PROFIT_SQL),
+    "key_part_concentration": (
+        q_key_part_concentration,
+        KEY_PART_CONCENTRATION_SQL,
+    ),
+    "priority_grouping_sets": (
+        q_priority_grouping_sets,
+        PRIORITY_GROUPING_SETS_SQL,
+    ),
+    "capped_sessions": (q_capped_sessions, CAPPED_SESSIONS_SQL),
 }

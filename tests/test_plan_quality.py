@@ -385,3 +385,51 @@ def test_rebalance_corpus_side_never_shuffles(spark):
     # ONE corpus scan feeds the kept rows, one column-pruned scan
     # feeds the stratum counts -- not three
     assert plan.count("FileScan parquet") == 2
+
+
+def test_capped_sessions_single_user_exchange(spark):
+    """Gap flag, carry-forward session mark, and slice index must all
+    ride ONE user_id exchange; the final per-slice aggregate reuses
+    the same partitioning (grouping keys prefix-extend user_id)."""
+    from flink_ad_analytics_spark.queries import q_capped_sessions
+
+    plan = plan_of(q_capped_sessions(spark, SF_CORRECT), "simple")
+    shuffles = plan.count("Exchange ") - plan.count("BroadcastExchange")
+    assert shuffles == 1, plan
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_product_profit_single_fact_shuffle(spark):
+    """Q9 shape: part/supplier/nation all broadcast; the only shuffle
+    is the final (nation, year) aggregate."""
+    from flink_ad_analytics_spark.queries import q_product_profit
+
+    plan = plan_of(q_product_profit(spark, SF_CORRECT), "simple")
+    assert plan.count("BroadcastHashJoin") == 3
+    shuffles = plan.count("Exchange ") - plan.count("BroadcastExchange")
+    assert shuffles <= 2  # agg + output sort
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_key_part_concentration_reuses_partkey_stage(spark):
+    """Q11 shape: the per-part aggregate feeds BOTH the row stream and
+    the global total; at execution AQE must reuse the l_partkey
+    shuffle stage instead of re-scanning lineitem."""
+    from flink_ad_analytics_spark.queries import q_key_part_concentration
+
+    df = q_key_part_concentration(spark, SF_CORRECT)
+    df.collect()
+    plan = plan_of(df, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "Reused" in plan, plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark):
+    """Explicit GROUPING SETS keeps the rollup shape: one Expand (3
+    replicas), one aggregation shuffle."""
+    from flink_ad_analytics_spark.queries import q_priority_grouping_sets
+
+    plan = plan_of(q_priority_grouping_sets(spark, SF_CORRECT), "simple")
+    assert plan.count("Expand") == 1
+    shuffles = plan.count("Exchange ") - plan.count("BroadcastExchange")
+    assert shuffles <= 2  # agg + output sort

@@ -169,3 +169,42 @@ def test_ctr_statistical_sanity(spark, ad_tables):
         assert r.impression_count >= r.click_count
     overall = sum(r.click_count for r in res) / sum(r.impression_count for r in res)
     assert 0.05 < overall < 0.25  # base click ratio 0.1 +/- phases
+
+
+def test_capped_sessions_splits_marathon_and_gaps(spark):
+    """A never-idle marathon user is chopped at exact 2h boundaries
+    (slice 0/1/2); a 31-min gap starts a new session with slice_idx
+    reset -- the two spec halves, pinned on a synthetic trace."""
+    import datetime as dt
+
+    from flink_ad_analytics_spark.queries import q_capped_sessions
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # marathon user 1: an event every 10 min for 5h (31 events)
+    for i in range(31):
+        rows.append((i, t0 + dt.timedelta(minutes=10 * i), 1, "view", 1.0, "{}"))
+    # gapped user 2: two bursts separated by 31 min
+    rows.append((100, t0, 2, "view", 1.0, "{}"))
+    rows.append((101, t0 + dt.timedelta(minutes=5), 2, "view", 1.0, "{}"))
+    rows.append((102, t0 + dt.timedelta(minutes=36), 2, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = q_capped_sessions(spark, d).collect()
+    u1 = sorted(
+        [r for r in out if r.user_id == 1], key=lambda r: r.slice_idx
+    )
+    # 5h span / 2h cap -> slices 0 (12 events: 0..110min), 1 (12), 2 (7)
+    assert [(r.slice_idx, r.n_events) for r in u1] == [(0, 12), (1, 12), (2, 7)]
+    assert all(r.session_start == t0 for r in u1)  # one gap-session
+    u2 = sorted(
+        [r for r in out if r.user_id == 2], key=lambda r: r.session_start
+    )
+    assert [(r.slice_idx, r.n_events) for r in u2] == [(0, 2), (0, 1)]
+    assert u2[1].session_start == t0 + dt.timedelta(minutes=36)
