@@ -94,11 +94,17 @@ def cosine_topk(
     *,
     query_filter,
     k: int = 10,
+    candidate_filter=None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k for the query subset.
 
     ``query_filter``: Column predicate choosing query vectors (they
     search against the full table, excluding self).
+    ``candidate_filter``: optional metadata predicate restricting the
+    SEARCH SET (filtered vector search). Applied BEFORE scoring --
+    pre-filtering, pushed to the candidate scan -- so every query
+    still gets k survivors; post-filtering an unfiltered top-k would
+    under-fill k whenever matches are sparse.
     Output: (q_id, c_id, cosine, rank), rank 1..k per query.
 
     The exact decimal fold is interpreted (non-codegen) and so ~100x
@@ -119,7 +125,12 @@ def cosine_topk(
             F.sqrt(_dot_fast("embedding", "embedding")).alias("qnf"),
         )
     )
-    cands = embeddings.select(
+    base = (
+        embeddings.filter(candidate_filter)
+        if candidate_filter is not None
+        else embeddings
+    )
+    cands = base.select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_emb"),
         F.sqrt(_dot_fast("embedding", "embedding")).alias("cnf"),

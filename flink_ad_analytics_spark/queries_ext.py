@@ -667,7 +667,58 @@ JOIN d d2 ON p.doc_id_2 = d2.doc_id
 """
 
 
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact cosine top-5 restricted to
+    candidates with label = 3 (cross-metadata retrieval).
+
+    The predicate applies BEFORE scoring (pre-filtering) and pushes to
+    the candidate parquet scan, so the scored set shrinks by the
+    selectivity and every query still fills k -- post-filtering an
+    unfiltered top-k would return < k whenever matches are sparse.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(
+        emb,
+        query_filter=F.col("vec_id") < 20,
+        k=5,
+        candidate_filter=F.col("label") == 3,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+ANN_FILTERED_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS qv
+  FROM embeddings WHERE vec_id < 20),
+c AS (
+  SELECT vec_id AS c_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS cv
+  FROM embeddings WHERE label = 3),
+dots AS (
+  SELECT q_id, c_id,
+         CAST(ROUND(SUM({_DOT_TERM_SQL.format(a='qv', b='cv')}), 12) AS DOUBLE) AS dot
+  FROM q JOIN c USING (pos) GROUP BY 1, 2),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(ROUND(SUM({_DOT_TERM_SQL.format(a='v', b='v')}), 12) AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY 1),
+scored AS (
+  SELECT q_id, c_id, ROUND(dot / (qn.nrm * cn.nrm), 6) AS cosine
+  FROM dots
+  JOIN norms qn ON q_id = qn.vec_id
+  JOIN norms cn ON c_id = cn.vec_id
+  WHERE q_id <> c_id)
+SELECT q_id, c_id, cosine, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, c_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
+    "ann_filtered_topk": (q_ann_filtered_topk, ANN_FILTERED_TOPK_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_lsh_oracle()),

@@ -433,3 +433,12 @@ def test_grouping_sets_single_expand_single_shuffle(spark):
     assert plan.count("Expand") == 1
     shuffles = plan.count("Exchange ") - plan.count("BroadcastExchange")
     assert shuffles <= 2  # agg + output sort
+
+
+def test_ann_filtered_pushes_label_predicate_to_scan(spark):
+    """Filtered vector search: the metadata predicate must reach the
+    candidate parquet scan (pre-filtering), not run post-scoring."""
+    from flink_ad_analytics_spark.queries_ext import q_ann_filtered_topk
+
+    plan = plan_of(q_ann_filtered_topk(spark, SF_CORRECT), "simple")
+    assert "EqualTo(label,3)" in plan, plan

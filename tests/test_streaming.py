@@ -900,3 +900,76 @@ def test_streaming_windowed_reach_matches_batch(spark, stream_fixture):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(streamed, batch)
+
+
+def test_streaming_capped_sessions_equal_batch(spark, tmp_path):
+    """Stateful gap+cap sessionization == batch q_capped_sessions on
+    the same rows, including out-of-order delivery across files; a
+    sentinel user's far-future event advances the watermark so every
+    real session flushes."""
+    import datetime as dt
+
+    from flink_ad_analytics_spark.queries import q_capped_sessions
+    from flink_ad_analytics_spark.streaming.sessions import (
+        streaming_capped_sessions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # user 1: marathon (never idle) -> cap slices
+    for i in range(31):
+        rows.append((i, t0 + dt.timedelta(minutes=10 * i), 1, "view", 1.0, "{}"))
+    # user 2: two gap-separated sessions
+    for j, m in enumerate((0, 5, 36, 40)):
+        rows.append((100 + j, t0 + dt.timedelta(minutes=m), 2, "view", 1.0, "{}"))
+    data_dir = tmp_path / "events_src"
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # file 1: the EVEN rows; file 2: the ODD rows (out-of-order across
+    # trigger batches); file 3: the sentinel watermark advancer
+    df_all = spark.createDataFrame(rows, schema)
+    spark.createDataFrame(rows[::2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(data_dir / "events.parquet"))
+    spark.createDataFrame(rows[1::2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(data_dir / "events.parquet"))
+    sentinel = [(999, t0 + dt.timedelta(days=2), 99, "view", 1.0, "{}")]
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(data_dir / "events.parquet"))
+
+    src_schema = spark.read.parquet(str(data_dir / "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(data_dir / "events.parquet"))
+        .select("user_id", F.col("ts").alias("event_time"))
+    )
+    out = streaming_capped_sessions(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("capped_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_capped"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = (
+        spark.table("capped_stream")
+        .filter(F.col("user_id") != 99)
+        .toPandas()
+        .sort_values(["user_id", "session_start", "slice_idx"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        q_capped_sessions(spark, str(data_dir))
+        .filter(F.col("user_id") != 99)
+        .toPandas()
+        .sort_values(["user_id", "session_start", "slice_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        streamed[batch.columns], batch, check_dtype=False
+    )
+    assert len(batch) == 5  # 3 marathon slices + 2 gapped sessions
