@@ -135,6 +135,12 @@ def run_size(spark, n_docs: int) -> dict:
                 docs.filter(~is_bench), docs.filter(is_bench), n=8
             ).count(),
         )
+        # span-level dedup: the planted near-dup copies share long
+        # exact token runs, so duplicated 16-token spans exist; the
+        # span-hash exchange volume scales with total tokens (linear)
+        from flink_ad_analytics_spark.operators.dedup import span_dedup
+
+        run("span_dedup", lambda: span_dedup(docs).count())
 
         n = len(corpus)
         return {

@@ -596,3 +596,66 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "score", "rank")
     )
+
+
+def pq_codes_stats(
+    emb: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """Exact-decimal PQ encoding against STATIC codebooks (the shared
+    hash-sampled init sliced per subspace -- i.e. ``pq_fit`` at zero
+    Lloyd iterations): the SQL-expressible core of ``pq_encode``,
+    value-provable against the DuckDB oracle the way kmeans_step_stats
+    proves the Lloyd assignment.
+
+    Output: one row per (vector, subspace) -- (id, sub, code, d2) --
+    where code is the argmin-distance codeword (ties by codeword id)
+    and d2 the exact decimal subspace distance, rounded once.
+
+    Scale: candidates are n x m x k rows of a ``dsub``-element codegen
+    fold over sliced arrays -- the same per-row cost profile as the
+    production ``pq_encode``, expressed declaratively; the only
+    exchange is the per-(vector, subspace) argmin window.
+    """
+    d = len(emb.select(vec_col).first()[0])
+    if d % m:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    dsub = d // m
+    spark = emb.sparkSession
+    cents = hash_sampled_centroids(emb, k, id_col, vec_col, seed).select(
+        "centroid_id",
+        F.expr("transform(centroid, x -> CAST(x AS DOUBLE))").alias("centroid"),
+    )
+    subs = spark.range(m).select(F.col("id").cast("int").alias("sub"))
+    vs = f"slice({vec_col}, sub * {dsub} + 1, {dsub})"
+    cs = f"slice(centroid, sub * {dsub} + 1, {dsub})"
+    dist2 = _DIST2_FOLD.format(v=vs, c=cs)
+    pairs = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(subs))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.col("sub"),
+            F.col("centroid_id"),
+            F.expr(dist2).alias("d2"),
+        )
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(
+        F.col("d2").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        pairs.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col(id_col),
+            F.col("sub").cast("long").alias("sub"),
+            F.col("centroid_id").cast("long").alias("code"),
+            F.round(F.col("d2"), 6).cast("double").alias("d2"),
+        )
+    )

@@ -20,7 +20,7 @@ from .operators.clustering import (
     kmeans_step_stats,
     kmeans_update_stats,
 )
-from .operators.clustering import pq_fit, pq_topk
+from .operators.clustering import pq_codes_stats, pq_fit, pq_topk
 from .operators.dedup import decontaminate, span_dedup
 from .operators.packing import (
     chunk_documents,
@@ -1041,6 +1041,56 @@ ORDER BY source
 # -- product-quantization ANN ----------------------------------------------
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PQ encoding vs static codebooks (clustering.py::
+    pq_codes_stats): with ann_pq_topk this value-gates the PQ family's
+    distance/argmin math the way kmeans_step gates Lloyd's."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codes_stats(emb, m=8, k=16, seed=_KM_SEED)
+
+
+PQ_CODES_SQL = f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY md5('{_KM_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id
+         ) AS r
+  FROM embeddings
+),
+cents AS (
+  SELECT r - 1 AS centroid_id, embedding AS centroid
+  FROM ranked WHERE r <= 16
+),
+v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+cv AS (
+  SELECT centroid_id, generate_subscripts(centroid, 1) AS pos,
+         CAST(unnest(centroid) AS DOUBLE) AS c
+  FROM cents
+),
+d AS (
+  SELECT vec_id, centroid_id, (pos - 1) // 8 AS sub,
+         CAST(round(SUM(CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
+                             AS DECIMAL(20,16))), 12) AS DECIMAL(38,12)) AS d2
+  FROM v JOIN cv USING (pos)
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, sub, centroid_id, d2,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d2 ASC, centroid_id ASC) AS rr
+  FROM d
+)
+SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+       CAST(centroid_id AS BIGINT) AS code,
+       CAST(round(d2, 6) AS DOUBLE) AS d2
+FROM best WHERE rr = 1
+"""
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-k over PQ codes (operators/clustering.py::pq_topk).
 
@@ -1059,6 +1109,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "span_dedup": (q_span_dedup, SPAN_DEDUP_SQL),
     "rebalanced_mix": (q_rebalanced_mix, REBALANCED_MIX_SQL),
     "ann_pq_topk": (q_ann_pq_topk, None),
+    "pq_codes": (q_pq_codes, PQ_CODES_SQL),
     "dataset_splits": (q_dataset_splits, DATASET_SPLITS_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "kfold_balance": (q_kfold_balance, KFOLD_BALANCE_SQL),

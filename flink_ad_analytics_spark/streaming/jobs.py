@@ -129,3 +129,52 @@ def streaming_engagement_windows(
     )
     out = streaming_ctr_windows(segmented, clicks, group_key="segment", **kwargs)
     return out.withColumnRenamed("segment", segment_col)
+
+
+def streaming_trending_topk(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    k: int = 3,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Per-window trending top-k: the leaderboard every real-time
+    analytics surface runs (most-active keys per closed hour).
+
+    Two stages with different state semantics, split exactly where
+    streaming needs it: the windowed count is an APPEND-mode windowed
+    aggregate (rows emit once, when the watermark closes the window --
+    ranking rows that could still grow would be wrong), and the
+    rank-within-window step is a plain batch window function applied
+    per micro-batch downstream (each closed window arrives complete in
+    one batch, so the rank is final). State is the open windows only.
+
+    Returns the PRE-RANK closed-window counts; pair with
+    ``rank_topk`` in foreachBatch (see test) or over the result of a
+    replayed bus. Kept separate so the append-mode contract is visible
+    to the caller.
+    """
+    from pyspark.sql import functions as F
+
+    return events.groupBy(
+        F.window("event_time", window).alias("w"), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("n_events")).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        key_col,
+        "n_events",
+    )
+
+
+def rank_topk(closed_windows: DataFrame, *, k: int = 3) -> DataFrame:
+    """Final top-k rank over CLOSED windows (batch or foreachBatch)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        closed_windows.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -181,3 +181,35 @@ def test_pq_dims_not_divisible_raises(spark):
     emb = load_table(spark, SF_CORRECT, "embeddings").limit(50)
     with pytest.raises(ValueError):
         pq_fit(emb, m=7, k=4, max_iter=1)
+
+
+def test_pq_codes_stats_match_production_encoder(spark):
+    """The decimal-exact SQL encoding (pq_codes_stats, the oracle
+    bridge) must agree with the production numpy pq_encode given the
+    SAME static codebooks -- tying the value-gated path to the fast
+    path, as kmeans_update's bridge ties the Lloyd halves."""
+    from flink_ad_analytics_spark.operators.clustering import (
+        hash_sampled_centroids,
+        pq_codes_stats,
+        pq_encode,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    init = np.array(
+        [
+            r.centroid
+            for r in sorted(
+                hash_sampled_centroids(emb, 16, "vec_id", "embedding", 11).collect(),
+                key=lambda r: r.centroid_id,
+            )
+        ],
+        dtype=np.float64,
+    )
+    books = np.stack([init[:, j * 8 : (j + 1) * 8] for j in range(8)])
+    fast = {
+        r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()
+    }
+    exact = {}
+    for r in pq_codes_stats(emb, m=8, k=16, seed=11).collect():
+        exact.setdefault(r.vec_id, [0] * 8)[r.sub] = r.code
+    assert fast == exact

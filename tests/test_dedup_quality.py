@@ -171,3 +171,52 @@ def test_span_dedup_fully_duplicated_doc_empties(spark):
         assert r.n_dropped == r.n_spans == 2
         assert r.clean_md5 == empty_md5
         assert r.clean_tokens == 0
+
+
+def test_span_dedup_matches_bruteforce_reference(spark):
+    """Property: span_dedup equals a 10-line single-process reference
+    on randomized corpora (random vocab sizes drive collision rates
+    from none to heavy). Hypothesis-style sweep with fixed seeds --
+    the Spark round-trip is too slow for per-example @given runs."""
+    import hashlib
+    import random
+
+    K = 4
+    for seed in range(6):
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(rng.choice([3, 10, 50]))]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+            for i in range(rng.randint(2, 12))
+        ]
+        # reference: spans -> corpus-wide distinct-doc counts -> rebuild
+        from collections import defaultdict
+
+        span_docs = defaultdict(set)
+        doc_spans = {}
+        for did, text in docs:
+            ws = text.split()
+            spans = [
+                " ".join(ws[s : s + K]) for s in range(0, len(ws), K)
+            ]
+            doc_spans[did] = spans
+            for sp in spans:
+                span_docs[sp].add(did)
+        expected = {}
+        for did, spans in doc_spans.items():
+            kept = [sp for sp in spans if len(span_docs[sp]) < 2]
+            expected[did] = (
+                len(spans),
+                sum(1 for sp in spans if len(span_docs[sp]) >= 2),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+                sum(len(sp.split()) for sp in kept),
+            )
+
+        from flink_ad_analytics_spark.operators.dedup import span_dedup
+
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_spans, r.n_dropped, r.clean_md5, r.clean_tokens)
+            for r in span_dedup(sdf, span_tokens=K).collect()
+        }
+        assert got == expected, f"seed={seed}"

@@ -973,3 +973,86 @@ def test_streaming_capped_sessions_equal_batch(spark, tmp_path):
         streamed[batch.columns], batch, check_dtype=False
     )
     assert len(batch) == 5  # 3 marathon slices + 2 gapped sessions
+
+
+def test_streaming_trending_topk_equals_batch(spark, tmp_path):
+    """Append-mode windowed counts + per-batch rank == batch top-k per
+    window; windows emit only once closed by the watermark."""
+    import datetime as dt
+
+    from flink_ad_analytics_spark.streaming.jobs import (
+        rank_topk,
+        streaming_trending_topk,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # hour 0: view-heavy; hour 1: click-heavy; hour 2: purchase-only
+    for h, mix in enumerate(
+        (
+            {"view": 5, "click": 2, "purchase": 1},
+            {"click": 6, "view": 1},
+            {"purchase": 3},
+        )
+    ):
+        for et, cnt in mix.items():
+            for i in range(cnt):
+                rows.append(
+                    (eid, t0 + dt.timedelta(hours=h, minutes=i), 1, et, 1.0, "{}")
+                )
+                eid += 1
+    rows.append((eid, t0 + dt.timedelta(days=2), 99, "sentinel", 1.0, "{}"))
+    data_dir = tmp_path / "trend_src"
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows[: len(rows) // 2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(data_dir))
+    spark.createDataFrame(rows[len(rows) // 2 :], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(data_dir))
+
+    src_schema = spark.read.parquet(str(data_dir)).schema
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(data_dir))
+        .select("event_type", F.col("ts").alias("event_time"))
+        .withWatermark("event_time", "10 seconds")
+    )
+    closed = streaming_trending_topk(stream, window="1 hour", k=2)
+    sink: list = []
+
+    def to_sink(batch_df, _bid):
+        sink.extend(rank_topk(batch_df, k=2).collect())
+
+    q = (
+        closed.writeStream.outputMode("append")
+        .foreachBatch(to_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_trend"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        [
+            (r.window_start, r.event_type, r.n_events, r.rank)
+            for r in sink
+            if r.event_type != "sentinel"
+        ]
+    )
+    batch_src = (
+        spark.read.parquet(str(data_dir))
+        .filter(F.col("event_type") != "sentinel")
+        .select("event_type", F.col("ts").alias("event_time"))
+    )
+    from flink_ad_analytics_spark.streaming.jobs import streaming_trending_topk as agg
+    batch = sorted(
+        (r.window_start, r.event_type, r.n_events, r.rank)
+        for r in rank_topk(agg(batch_src, window="1 hour"), k=2).collect()
+    )
+    assert got == batch
+    # hour-0 leader is view(5), hour-1 leader click(6), hour-2 purchase(3)
+    leaders = [(et, n) for (_w, et, n, rk) in got if rk == 1]
+    assert leaders == [("view", 5), ("click", 6), ("purchase", 3)]
