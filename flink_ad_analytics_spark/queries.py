@@ -2277,6 +2277,43 @@ GROUP BY user_id, start_us, slice_idx
 """
 
 
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.pivot (wide reshape): per-hour event counts, one
+    column per event type.
+
+    The FIXED value list is the scale-relevant choice: with it the
+    pivot compiles to a single-pass conditional aggregation (one
+    scan, one shuffle on the hour key); without it Spark must first
+    run a distinct-values job over the full stream. Missing
+    (hour, type) cells are 0, matching the oracle's SUM(CASE...).
+    """
+    ev = load_events(spark, sf_dir)
+    out = (
+        ev.groupBy(F.date_trunc("hour", F.col("event_time")).alias("hour"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+        .orderBy("hour")
+    )
+    return out
+
+
+EVENT_TYPE_PIVOT_SQL = f"""
+WITH ev AS ({EV_SQL})
+SELECT date_trunc('hour', event_time) AS hour,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+           f" AS {t}" for t in _EVENT_TYPES
+       )}
+FROM ev
+GROUP BY 1
+ORDER BY hour
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -2360,4 +2397,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
         PRIORITY_GROUPING_SETS_SQL,
     ),
     "capped_sessions": (q_capped_sessions, CAPPED_SESSIONS_SQL),
+    "event_type_pivot": (q_event_type_pivot, EVENT_TYPE_PIVOT_SQL),
 }

@@ -1105,7 +1105,108 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- end-to-end curation composition --------------------------------------
+
+from .operators.text import STOPWORDS as _STOPWORDS
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in _STOPWORDS)
+_CURATE_MIN_TOKENS, _CURATE_MAX_TOKENS, _CURATE_MIN_Q = 30, 400, 0.5
+
+
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship curation COMPOSITION: exact-dup keepers -> quality
+    gate -> benchmark decontamination -> split assignment, audited per
+    (split, lang). Every stage is an operator this engine already
+    value-gates in isolation; this query proves they compose into the
+    one pipeline a training run actually executes, with the oracle
+    recomputing the whole chain.
+
+    Scale: keeper selection is the fingerprint groupBy (one exchange);
+    the quality gate is a zero-shuffle projection; decontamination
+    shuffles grams once on the benchmark side only; the split is a
+    pure filter. The corpus flows through scan -> filters -> one
+    doc-id semi-join chain -- no stage re-shuffles the full corpus.
+    """
+    from .operators.dedup import exact_dedup
+    from .operators.text import text_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = exact_dedup(docs).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    feat = text_features(docs).filter(
+        F.col("n_tokens").between(_CURATE_MIN_TOKENS, _CURATE_MAX_TOKENS)
+        & (F.col("quality_score") >= _CURATE_MIN_Q)
+    ).select("doc_id")
+    survivors = docs.join(keepers, "doc_id", "left_semi").join(
+        feat, "doc_id", "left_semi"
+    )
+    is_bench = F.expr(_bench_pred("STRING"))
+    bench, cand = survivors.filter(is_bench), survivors.filter(~is_bench)
+    clean = decontaminate(cand, bench, n=_CONTAM_N)
+    assigned = hash_split(clean, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+CURATED_CORPUS_SQL = rf"""
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+feat AS (
+  SELECT t.doc_id,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(d.text, '\s', '', 'g')) AS BIGINT)
+           AS n_chars_nospace,
+         CAST(len(list_filter(ws, x -> x IN ({_STOP_LIST}))) AS BIGINT)
+           AS n_stopwords
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
+quality AS (
+  SELECT doc_id FROM feat
+  WHERE n_tokens BETWEEN {_CURATE_MIN_TOKENS} AND {_CURATE_MAX_TOKENS}
+    AND ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+          + 0.3 * (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+          + 0.2 * least((CAST(n_chars_nospace AS DOUBLE)
+                         / CAST(n_tokens AS DOUBLE)) / 10.0, 1.0), 6)
+        >= {_CURATE_MIN_Q}),
+survivors AS (
+  SELECT d.* FROM documents d
+  JOIN keepers USING (doc_id)
+  JOIN quality USING (doc_id)),
+stoks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM survivors),
+grams AS (
+  SELECT doc_id, unnest({_grams_sql(_CONTAM_N)}) AS gram FROM stoks),
+bench_grams AS MATERIALIZED (
+  SELECT DISTINCT gram FROM grams
+  WHERE {_bench_pred().replace('doc_id', 'grams.doc_id')}),
+dirty AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench_grams USING (gram))
+SELECT {hash_split_case_sql('doc_id', _SPLIT_WEIGHTS, _SPLIT_SEED)} AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM survivors s
+WHERE NOT ({_bench_pred().replace('doc_id', 's.doc_id')})
+  AND NOT EXISTS (SELECT 1 FROM dirty WHERE dirty.doc_id = s.doc_id)
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "curated_corpus": (q_curated_corpus, CURATED_CORPUS_SQL),
     "span_dedup": (q_span_dedup, SPAN_DEDUP_SQL),
     "rebalanced_mix": (q_rebalanced_mix, REBALANCED_MIX_SQL),
     "ann_pq_topk": (q_ann_pq_topk, None),
