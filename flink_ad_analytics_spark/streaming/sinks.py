@@ -95,6 +95,7 @@ def upsert_sink(
     order_col: str,
     tiebreak_col: str,
     n_buckets: int = 16,
+    output_mode: str = "append",
 ) -> StreamingQuery:
     """Keyed upsert (MERGE) sink: maintains a parquet table holding
     the LATEST row per key -- the warehouse primitive Flink spells as
@@ -158,7 +159,10 @@ def upsert_sink(
     return (
         df.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint)
-        .outputMode("append")
+        # "update" turns a streaming aggregation feeding this sink into
+        # an incrementally-maintained materialized view: each batch
+        # emits only the CHANGED groups, and the merge upserts them.
+        .outputMode(output_mode)
         .start()
     )
 

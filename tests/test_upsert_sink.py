@@ -126,3 +126,77 @@ def test_upsert_sink_out_of_order_batches(spark, tmp_path):
         (r.ver, r.payload) for r in read_upsert_table(spark, table).collect()
     ]
     assert (ver, payload) == (9, "v9")
+
+
+def test_update_mode_aggregation_is_incremental_matview(spark, tmp_path):
+    """UPDATE-mode streaming aggregation + keyed upsert = an
+    incrementally-maintained materialized view: each micro-batch emits
+    only the groups that changed, the merge upserts them, and the
+    final table equals the batch aggregate over all data."""
+    import datetime as dt
+
+    from flink_ad_analytics_spark.streaming.sinks import (
+        read_upsert_table,
+        upsert_sink,
+    )
+
+    feed = tmp_path / "ev_feed"
+    feed.mkdir()
+    table = str(tmp_path / "matview")
+    t0 = dt.datetime(2024, 5, 1)
+    schema = "event_id long, ts timestamp, event_type string"
+    batch1 = [(i, t0 + dt.timedelta(seconds=i), "view") for i in range(6)] + [
+        (10 + i, t0 + dt.timedelta(seconds=i), "click") for i in range(3)
+    ]
+    batch2 = [(20 + i, t0 + dt.timedelta(seconds=60 + i), "view") for i in range(2)] + [
+        (30, t0 + dt.timedelta(seconds=70), "purchase")
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(
+        str(feed)
+    )
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(feed)).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed))
+    )
+    counts = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("event_id").alias("max_id"),
+    )
+    q = upsert_sink(
+        counts,
+        path=table,
+        checkpoint=str(tmp_path / "ckpt_mv"),
+        keys=["event_type"],
+        order_col="n_events",  # counts only grow: latest == greatest
+        tiebreak_col="max_id",
+        n_buckets=4,
+        output_mode="update",
+    )
+    q.processAllAvailable()
+    mid = {
+        r.event_type: r.n_events
+        for r in read_upsert_table(spark, table).collect()
+    }
+    assert mid == {"view": 6, "click": 3}
+
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(
+        str(feed)
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {
+        r.event_type: r.n_events
+        for r in read_upsert_table(spark, table).collect()
+    }
+    batch_truth = {
+        r.event_type: r.n
+        for r in spark.read.parquet(str(feed))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == batch_truth == {"view": 8, "click": 3, "purchase": 1}
