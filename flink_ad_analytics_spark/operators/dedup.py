@@ -687,3 +687,61 @@ def span_dedup(
             ).alias("clean_tokens"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed shingle-set containment (asymmetric Jaccard):
+    containment(A in B) = |A n B| / |A| -- the quote/subset detector
+    symmetric Jaccard misses (a short doc fully embedded in a long one
+    scores high containment but low Jaccard).
+
+    Output: (inner_id, outer_id, containment) with containment >=
+    threshold, both directions of every pair considered.
+
+    Scale design: the SAME inverted-index self-join as
+    ngram_jaccard_pairs computes each unordered pair's intersection
+    ONCE; the two directed scores are then a post-aggregation explode
+    of two candidate rows -- no second join, no doubled shuffle.
+    Containment is an exact int/int division (engine-identical).
+    """
+    sh = doc_shingles(docs, id_col, text_col)
+    posting = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sizes = posting.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = posting.select(F.col(id_col).alias("doc_id_1"), "shingle")
+    b = posting.select(F.col(id_col).alias("doc_id_2"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    n1 = sizes.select(F.col(id_col).alias("doc_id_1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col(id_col).alias("doc_id_2"), F.col("n").alias("n2"))
+    both = pairs.join(n1, "doc_id_1").join(n2, "doc_id_2")
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id_1").alias("inner_id"),
+                    F.col("doc_id_2").alias("outer_id"),
+                    (F.col("shared").cast("double") / F.col("n1").cast("double")).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("doc_id_2").alias("inner_id"),
+                    F.col("doc_id_1").alias("outer_id"),
+                    (F.col("shared").cast("double") / F.col("n2").cast("double")).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("d")
+    ).select("d.inner_id", "d.outer_id", "d.containment")
+    return directed.filter(F.col("containment") >= threshold)

@@ -2314,6 +2314,96 @@ ORDER BY hour
 """
 
 
+#: (column, kind) profiled by q_table_profile; kind drives the
+#: cross-engine min/max representation (see _profile_repr).
+_PROFILE_COLS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_repr_spark(col: str, kind: str) -> F.Column:
+    c = F.col(col)
+    if kind == "int":
+        return c.cast("string")
+    if kind == "num":
+        # fixed 2dp C-style formatting: identical in both engines
+        return F.format_string("%.2f", c)
+    if kind == "ts":
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    return c
+
+
+def _profile_repr_sql(col: str, kind: str) -> str:
+    if kind == "int":
+        return f"CAST({col} AS VARCHAR)"
+    if kind == "num":
+        return f"printf('%.2f', {col})"
+    if kind == "ts":
+        return f"strftime({col}, '%Y-%m-%d %H:%M:%S')"
+    return col
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: per-column null count, exact distinct
+    count, and min/max (canonical string representation) over orders.
+
+    The observability primitive every pipeline runs before trusting a
+    new drop. ONE scan serves every column: the multi-countDistinct
+    aggregate compiles to a single Expand (|cols| replicas) + one
+    aggregation -- not a scan per column -- and the wide 1-row result
+    unpivots to the long (column, stats) shape driver-side for free.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, kind in _PROFILE_COLS:
+        rep = _profile_repr_spark(col, kind)
+        aggs += [
+            F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__nulls"),
+            F.count_distinct(F.col(col)).alias(f"{col}__distinct"),
+            F.min(rep).alias(f"{col}__min"),
+            F.max(rep).alias(f"{col}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+        for col, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(col_name, n_nulls, n_distinct, min_repr, max_repr)"
+        ),
+    ).orderBy("col_name")
+
+
+TABLE_PROFILE_SQL = f"""
+WITH wide AS (
+  SELECT COUNT(*) AS n_rows,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+             f" AS {c}__nulls, "
+             f"COUNT(DISTINCT {c}) AS {c}__distinct, "
+             f"MIN({_profile_repr_sql(c, k)}) AS {c}__min, "
+             f"MAX({_profile_repr_sql(c, k)}) AS {c}__max"
+             for c, k in _PROFILE_COLS
+         )}
+  FROM orders)
+{" UNION ALL ".join(
+    f"SELECT n_rows, '{c}' AS col_name, {c}__nulls AS n_nulls, "
+    f"{c}__distinct AS n_distinct, {c}__min AS min_repr, "
+    f"{c}__max AS max_repr FROM wide"
+    for c, _ in _PROFILE_COLS
+)}
+ORDER BY col_name
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -2398,4 +2488,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     ),
     "capped_sessions": (q_capped_sessions, CAPPED_SESSIONS_SQL),
     "event_type_pivot": (q_event_type_pivot, EVENT_TYPE_PIVOT_SQL),
+    "table_profile": (q_table_profile, TABLE_PROFILE_SQL),
 }

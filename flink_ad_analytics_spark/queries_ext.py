@@ -18,6 +18,7 @@ from .operators.dedup import (
     SIMHASH_BITS,
     SIMHASH_CHUNKS,
     SIMHASH_HAMMING,
+    containment_pairs,
     dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
@@ -717,8 +718,41 @@ WHERE rank <= 5
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment >= 0.8 (operators/dedup.py::
+    containment_pairs): the quote/subset detector -- one intersection
+    computation per unordered pair, two directed scores exploded from
+    it post-aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.8)
+
+
+CONTAINMENT_PAIRS_SQL = f"""
+WITH {_TOKS_SQL},
+{_SHINGLES_SQL},
+sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         len(list_intersect(a.shingles, b.shingles)) AS shared,
+         a.n AS n1, b.n AS n2
+  FROM sized a JOIN sized b ON a.doc_id < b.doc_id),
+directed AS (
+  SELECT doc_id_1 AS inner_id, doc_id_2 AS outer_id,
+         CAST(shared AS DOUBLE) / CAST(n1 AS DOUBLE) AS containment
+  FROM pairs
+  UNION ALL
+  SELECT doc_id_2 AS inner_id, doc_id_1 AS outer_id,
+         CAST(shared AS DOUBLE) / CAST(n2 AS DOUBLE) AS containment
+  FROM pairs)
+SELECT inner_id, outer_id, containment
+FROM directed
+WHERE containment >= 0.8
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
     "ann_filtered_topk": (q_ann_filtered_topk, ANN_FILTERED_TOPK_SQL),
+    "containment_pairs": (q_containment_pairs, CONTAINMENT_PAIRS_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_lsh_oracle()),

@@ -220,3 +220,28 @@ def test_span_dedup_matches_bruteforce_reference(spark):
             for r in span_dedup(sdf, span_tokens=K).collect()
         }
         assert got == expected, f"seed={seed}"
+
+
+def test_containment_catches_embedded_quote_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment(short in
+    long) = 1.0 while symmetric Jaccard stays below any useful
+    threshold -- the case this operator exists for. Direction matters:
+    the long doc is NOT contained in the short one."""
+    from flink_ad_analytics_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    filler = " ".join(f"f{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote}")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.inner_id, r.outer_id): r.containment
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert out == {(1, 2): 1.0}
+    jac = ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    assert jac == []  # symmetric Jaccard misses the embedding entirely
