@@ -129,3 +129,54 @@ def ctr_windows(
         "click_count",
         ctr.alias("ctr"),
     )
+
+
+def linear_attribution(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    *,
+    band: str = "10 minutes",
+    imp_time: str = "event_time",
+    clk_time: str = "click_time",
+) -> DataFrame:
+    """Multi-touch LINEAR attribution over the interval-join output:
+    each impression within ``band`` before a click shares the click's
+    credit equally; credit is integer basis points per click
+    (10000 * campaign_touches DIV total_touches -- exact, engine-
+    independent; float 1/n sums are order-dependent).
+
+    Output: (campaign_id, credit_bp, n_click_touches).
+
+    Scale: ONE user-keyed band join (the ctr interval-join shape);
+    per-click touch counts ride a window over the join output's
+    click partitioning; the campaign rollup is a small-key aggregate.
+    """
+    from pyspark.sql import Window
+
+    j = clicks.alias("c").join(
+        impressions.alias("i"),
+        (F.col("c.user_id") == F.col("i.user_id"))
+        & (F.col(f"i.{imp_time}") <= F.col(f"c.{clk_time}"))
+        & (
+            F.col(f"i.{imp_time}")
+            >= F.col(f"c.{clk_time}") - F.expr(f"INTERVAL {band}")
+        ),
+    )
+    w = Window.partitionBy("c.click_id")
+    credited = j.select(
+        F.col("c.click_id").alias("click_id"),
+        F.col("i.campaign_id").alias("campaign_id"),
+        F.count(F.lit(1)).over(w).alias("n_touch"),
+    )
+    per_click_camp = credited.groupBy("click_id", "campaign_id", "n_touch").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    credit_bp = F.expr("CAST(10000 * cnt AS BIGINT) DIV n_touch")
+    return (
+        per_click_camp.select("campaign_id", credit_bp.alias("credit_bp"))
+        .groupBy("campaign_id")
+        .agg(
+            F.sum("credit_bp").alias("credit_bp"),
+            F.count(F.lit(1)).alias("n_click_touches"),
+        )
+    )

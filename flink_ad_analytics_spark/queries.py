@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .functions.skew import salted_join
 from .operators.anomaly import detect_anomalies
 from .operators.asof import asof_join
-from .operators.ctr import ctr_windows
+from .operators.ctr import ctr_windows, linear_attribution
 from .operators.engagement import engagement_windows
 from .sources.batch import load_events, load_table
 
@@ -2404,6 +2404,122 @@ ORDER BY col_name
 """
 
 
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution (operators/ctr.py::
+    linear_attribution): every impression within the 10-minute band
+    before a click shares the click's credit equally -- the fractional
+    complement of the as-of join's last-touch model. Credit is integer
+    basis points per click (exact in both engines; the multi-campaign
+    split itself is pinned by test_linear_attribution_splits_credit,
+    since this fixture's campaign surrogate is user-derived).
+    """
+    imps, clicks = _impressions_clicks(spark, sf_dir)
+    return linear_attribution(imps, clicks, band="10 minutes").orderBy(
+        "campaign_id"
+    )
+
+
+LINEAR_ATTRIBUTION_SQL = f"""
+WITH ev AS ({EV_SQL}),
+imps AS (
+  SELECT event_id AS impression_id, user_id,
+         'camp-' || CAST(user_id % 10 AS VARCHAR) AS campaign_id,
+         event_time
+  FROM ev WHERE event_type = 'view'),
+clicks AS (
+  SELECT event_id AS click_id, user_id, event_time FROM ev
+  WHERE event_type = 'click'),
+j AS (
+  SELECT c.click_id, i.campaign_id,
+         COUNT(*) OVER (PARTITION BY c.click_id) AS n_touch
+  FROM clicks c JOIN imps i
+    ON c.user_id = i.user_id
+   AND i.event_time <= c.event_time
+   AND i.event_time >= c.event_time - INTERVAL 10 MINUTE),
+per_cc AS (
+  SELECT click_id, campaign_id, n_touch, COUNT(*) AS cnt
+  FROM j GROUP BY 1, 2, 3)
+SELECT campaign_id,
+       CAST(SUM(CAST(10000 * cnt AS BIGINT) // n_touch) AS BIGINT)
+         AS credit_bp,
+       COUNT(*) AS n_click_touches
+FROM per_cc
+GROUP BY campaign_id
+ORDER BY campaign_id
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    retention = share of the cohort active again N weeks later.
+
+    Two passes over events with ONE user_id exchange serving both: the
+    cohort week is a window MIN over the user partition (no separate
+    aggregate + join-back), then (cohort, offset) rolls up distinct
+    users. Ratios are exact int/int divisions.
+    """
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.date_trunc("week", F.col("event_time")).alias("wk")
+    )
+    w = Window.partitionBy("user_id")
+    marked = ev.withColumn("cohort_wk", F.min("wk").over(w))
+    active = (
+        marked.select(
+            "user_id",
+            "cohort_wk",
+            ((F.unix_micros(F.col("wk")) - F.unix_micros(F.col("cohort_wk")))
+             / F.lit(7 * 24 * 3600 * 1_000_000)).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = active.filter(F.col("week_offset") == 0).groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        active.groupBy("cohort_wk", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "cohort_wk")
+        .select(
+            "cohort_wk",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
+RETENTION_COHORTS_SQL = f"""
+WITH ev AS ({EV_SQL}),
+wks AS (
+  SELECT user_id, date_trunc('week', event_time) AS wk,
+         MIN(date_trunc('week', event_time))
+           OVER (PARTITION BY user_id) AS cohort_wk
+  FROM ev),
+active AS (
+  SELECT DISTINCT user_id, cohort_wk,
+         (epoch_ns(wk) // 1000 - epoch_ns(cohort_wk) // 1000)
+           // {7 * 24 * 3600 * 1_000_000} AS week_offset
+  FROM wks),
+sizes AS (
+  SELECT cohort_wk, COUNT(*) AS cohort_size FROM active
+  WHERE week_offset = 0 GROUP BY 1)
+SELECT a.cohort_wk, CAST(a.week_offset AS BIGINT) AS week_offset,
+       COUNT(*) AS n_active, ANY_VALUE(s.cohort_size) AS cohort_size,
+       CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(s.cohort_size) AS DOUBLE)
+         AS retention
+FROM active a JOIN sizes s USING (cohort_wk)
+GROUP BY 1, 2
+ORDER BY cohort_wk, week_offset
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -2489,4 +2605,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "capped_sessions": (q_capped_sessions, CAPPED_SESSIONS_SQL),
     "event_type_pivot": (q_event_type_pivot, EVENT_TYPE_PIVOT_SQL),
     "table_profile": (q_table_profile, TABLE_PROFILE_SQL),
+    "linear_attribution": (q_linear_attribution, LINEAR_ATTRIBUTION_SQL),
+    "retention_cohorts": (q_retention_cohorts, RETENTION_COHORTS_SQL),
 }

@@ -208,3 +208,34 @@ def test_capped_sessions_splits_marathon_and_gaps(spark):
     )
     assert [(r.slice_idx, r.n_events) for r in u2] == [(0, 2), (0, 1)]
     assert u2[1].session_start == t0 + dt.timedelta(minutes=36)
+
+
+def test_linear_attribution_splits_credit(spark):
+    """One click with 3 in-band touches across 2 campaigns: camp A
+    (2 touches) gets 6666 bp, camp B (1 touch) 3333 bp -- the integer
+    DIV spec, exercised with a multi-campaign user the driver
+    fixture's user-derived surrogate cannot produce. An out-of-band
+    impression earns nothing."""
+    import datetime as dt
+
+    from flink_ad_analytics_spark.operators.ctr import linear_attribution
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    imps = spark.createDataFrame(
+        [
+            ("i1", 1, "A", t0 - dt.timedelta(minutes=9)),
+            ("i2", 1, "A", t0 - dt.timedelta(minutes=5)),
+            ("i3", 1, "B", t0 - dt.timedelta(minutes=1)),
+            ("i4", 1, "C", t0 - dt.timedelta(minutes=11)),  # out of band
+        ],
+        "impression_id string, user_id long, campaign_id string, event_time timestamp",
+    )
+    clicks = spark.createDataFrame(
+        [("c1", 1, t0)],
+        "click_id string, user_id long, click_time timestamp",
+    )
+    out = {
+        r.campaign_id: (r.credit_bp, r.n_click_touches)
+        for r in linear_attribution(imps, clicks).collect()
+    }
+    assert out == {"A": (6666, 1), "B": (3333, 1)}
