@@ -1985,6 +1985,24 @@ def q_customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
             "c_acctbal",
             F.ntile(4).over(w).cast("long").alias("quartile"),
+            # ties by VALUE (no tiebreak): RANK/DENSE_RANK outputs are
+            # deterministic functions of the acctbal multiset
+            F.rank()
+            .over(
+                Window.partitionBy("c_mktsegment").orderBy(
+                    F.col("c_acctbal").desc()
+                )
+            )
+            .cast("long")
+            .alias("bal_rank"),
+            F.dense_rank()
+            .over(
+                Window.partitionBy("c_mktsegment").orderBy(
+                    F.col("c_acctbal").desc()
+                )
+            )
+            .cast("long")
+            .alias("bal_dense_rank"),
             F.percent_rank().over(w).alias("pct_rank"),
             F.cume_dist().over(w).alias("cum_dist"),
             F.first("c_custkey").over(w).alias("segment_top"),
@@ -1998,12 +2016,15 @@ CUSTOMER_VALUE_RANKS_SQL = """
 SELECT * FROM (
     SELECT c_custkey, c_mktsegment, c_acctbal,
            NTILE(4) OVER w AS quartile,
+           CAST(RANK() OVER wt AS BIGINT) AS bal_rank,
+           CAST(DENSE_RANK() OVER wt AS BIGINT) AS bal_dense_rank,
            PERCENT_RANK() OVER w AS pct_rank,
            CUME_DIST() OVER w AS cum_dist,
            FIRST_VALUE(c_custkey) OVER w AS segment_top
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment
-                 ORDER BY c_acctbal DESC, c_custkey)
+                 ORDER BY c_acctbal DESC, c_custkey),
+           wt AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
 )
 WHERE c_custkey % 5 = 0
 ORDER BY c_mktsegment, c_custkey

@@ -355,12 +355,15 @@ def test_small_qty_revenue_single_partkey_exchange(spark):
 
 
 def test_customer_value_ranks_single_window_operator(spark):
-    """All four rank functions share one partitioning+ordering ->
-    exactly one Window node, one exchange, one sort."""
+    """All six rank functions ride ONE c_mktsegment exchange: the
+    tiebreak-ordered group (ntile/percent_rank/cume_dist/first) and
+    the ties-by-value group (rank/dense_rank) differ only in ordering,
+    so they compile to two Window nodes over the same partitioning --
+    a local prefix re-sort, never a second shuffle."""
     from flink_ad_analytics_spark.queries import q_customer_value_ranks
 
     plan = plan_of(q_customer_value_ranks(spark, SF_CORRECT), "simple")
-    assert plan.count("Window") == 1
+    assert plan.count("Window [") == 2
     assert plan.count("hashpartitioning(c_mktsegment") == 1
 
 

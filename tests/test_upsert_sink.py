@@ -200,3 +200,62 @@ def test_update_mode_aggregation_is_incremental_matview(spark, tmp_path):
         .collect()
     }
     assert final == batch_truth == {"view": 8, "click": 3, "purchase": 1}
+
+
+def test_update_mode_matview_survives_restart(spark, tmp_path):
+    """Exactly-once under restart: stop the update-mode matview stream
+    after batch 1, start a NEW query from the same checkpoint, feed
+    more data -- the final table equals the batch aggregate with no
+    double-applied groups (merge idempotency + checkpoint replay)."""
+    import datetime as dt
+
+    from flink_ad_analytics_spark.streaming.sinks import (
+        read_upsert_table,
+        upsert_sink,
+    )
+
+    feed = tmp_path / "ev_feed_r"
+    feed.mkdir()
+    table = str(tmp_path / "matview_r")
+    ckpt = str(tmp_path / "ckpt_mv_r")
+    t0 = dt.datetime(2024, 5, 2)
+    schema = "event_id long, ts timestamp, event_type string"
+    spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=i), "view") for i in range(5)], schema
+    ).coalesce(1).write.mode("append").parquet(str(feed))
+
+    def start():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(str(feed)).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(feed))
+        )
+        counts = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("event_id").alias("max_id"),
+        )
+        return upsert_sink(
+            counts, path=table, checkpoint=ckpt, keys=["event_type"],
+            order_col="n_events", tiebreak_col="max_id", n_buckets=4,
+            output_mode="update",
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()  # simulated failure/stop between batches
+
+    spark.createDataFrame(
+        [(10 + i, t0 + dt.timedelta(seconds=60 + i), "click") for i in range(4)]
+        + [(20, t0 + dt.timedelta(seconds=70), "view")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(feed))
+
+    q2 = start()  # fresh query object, same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    final = {
+        r.event_type: r.n_events
+        for r in read_upsert_table(spark, table).collect()
+    }
+    assert final == {"view": 6, "click": 4}
