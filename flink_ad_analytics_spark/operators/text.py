@@ -485,3 +485,124 @@ def redact_pii(
         )
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return docs.select(*cols, red.alias("redacted"))
+
+
+# -- BPE tokenizer induction ----------------------------------------------
+
+#: end-of-word marker (classic BPE: keeps merges from crossing word
+#: boundaries while letting suffixes merge with the boundary itself)
+BPE_EOW = "</w>"
+
+
+def bpe_symbolize(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(word, n_occurrences, symbols array<string>): the corpus's word
+    histogram with each DISTINCT word split into characters + the
+    end-of-word marker -- BPE's working representation (Sennrich et
+    al., "Neural Machine Translation of Rare Words with Subword
+    Units", ACL 2016).
+
+    Aggregating to distinct words FIRST is the scale move: every merge
+    iteration then works on |vocab| rows weighted by count, not on the
+    corpus itself -- the corpus is scanned exactly once no matter how
+    many merges are learned.
+    """
+    words = docs.select(
+        F.explode(F.expr(TOKENS.format(col=text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    hist = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    syms = F.expr(
+        f"concat(transform(split(word, ''), c -> c), array('{BPE_EOW}'))"
+    )
+    return hist.select("word", "n", syms.alias("symbols"))
+
+
+def bpe_pair_counts(symbolized: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency: the
+    quantity one BPE step maximizes. (pair_left, pair_right, cnt).
+
+    Zero extra corpus work: pairs explode from the vocabulary
+    histogram; the aggregation key space is the pair vocabulary.
+    """
+    pairs = symbolized.select(
+        "n",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(symbols) - 1), "
+                "i -> struct(symbols[i - 1] AS l, symbols[i] AS r))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.l").alias("pair_left"), F.col("p.r").alias("pair_right")).agg(
+        F.sum("n").alias("cnt")
+    )
+
+
+def _apply_merge(symbolized: DataFrame, left: str, right: str) -> DataFrame:
+    """Replace every adjacent (left, right) with the fused symbol via
+    a left-to-right array fold (same greedy order as reference BPE)."""
+    l_lit = left.replace("\\", "\\\\").replace("'", "\\'")
+    r_lit = right.replace("\\", "\\\\").replace("'", "\\'")
+    fold = (
+        "aggregate(symbols, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
+        f"IF(size(acc) > 0 AND element_at(acc, -1) = '{l_lit}' AND x = '{r_lit}', "
+        f"concat(slice(acc, 1, size(acc) - 1), array('{l_lit}{r_lit}')), "
+        "concat(acc, array(x))))"
+    )
+    return symbolized.withColumn("symbols", F.expr(fold))
+
+
+def bpe_fit(
+    docs: DataFrame,
+    n_merges: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges over the corpus.
+
+    Iterative like kmeans_fit: each merge is one job over the CACHED
+    |vocab|-row symbol table (count pairs -> argmax with lexicographic
+    tiebreak -> fold-apply), so cost is n_merges x O(|vocab|), corpus
+    scanned once. The argmax is a 1-row TakeOrdered collect -- the
+    only driver state is the merge list itself.
+    """
+    syms = bpe_symbolize(docs, id_col, text_col).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            bpe_pair_counts(syms)
+            .orderBy(F.desc("cnt"), F.asc("pair_left"), F.asc("pair_right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].cnt < 2:
+            break
+        left, right = top[0].pair_left, top[0].pair_right
+        merges.append((left, right))
+        syms = _apply_merge(syms, left, right).localCheckpoint()
+    return merges
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list: (id, n_words, n_symbols) -- the
+    compression audit (symbols/word falls as merges are learned)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(TOKENS.format(col=text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    syms = toks.withColumn(
+        "symbols",
+        F.expr(f"concat(transform(split(word, ''), c -> c), array('{BPE_EOW}'))"),
+    )
+    for left, right in merges:
+        syms = _apply_merge(syms, left, right)
+    return syms.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("symbols")).alias("n_symbols"),
+    )

@@ -1205,7 +1205,60 @@ ORDER BY split, lang
 """
 
 
+# -- BPE tokenizer induction ----------------------------------------------
+
+
+def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-0 BPE pair statistics (operators/text.py::bpe_pair_counts):
+    the exact quantity each merge step maximizes, value-gated; the
+    iterative fit (bpe_vocab) composes exactly this computation."""
+    from .operators.text import bpe_pair_counts, bpe_symbolize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bpe_pair_counts(bpe_symbolize(docs))
+        .orderBy(F.desc("cnt"), F.asc("pair_left"), F.asc("pair_right"))
+        .limit(20)
+    )
+
+
+BPE_TOP_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+  FROM documents),
+hist AS (
+  SELECT word, COUNT(*) AS n FROM toks WHERE word <> '' GROUP BY word),
+syms AS (
+  SELECT n, list_append(string_split(word, ''), '</w>') AS symbols
+  FROM hist),
+pairs AS (
+  SELECT n, symbols[i] AS pair_left, symbols[i + 1] AS pair_right
+  FROM syms, UNNEST(range(1, len(symbols))) AS u(i))
+SELECT pair_left, pair_right, CAST(SUM(n) AS BIGINT) AS cnt
+FROM pairs
+GROUP BY 1, 2
+ORDER BY cnt DESC, pair_left, pair_right
+LIMIT 20
+"""
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE fit audit (rows-only: the merge loop is the
+    non-SQL part; its per-step math is value-gated by bpe_top_pairs):
+    learned merge list with rank."""
+    from .operators.text import bpe_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_fit(docs, n_merges=8)
+    return spark.createDataFrame(
+        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
+        "merge_rank long, pair_left string, pair_right string, new_symbol string",
+    )
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "bpe_top_pairs": (q_bpe_top_pairs, BPE_TOP_PAIRS_SQL),
+    "bpe_vocab": (q_bpe_vocab, None),
     "curated_corpus": (q_curated_corpus, CURATED_CORPUS_SQL),
     "span_dedup": (q_span_dedup, SPAN_DEDUP_SQL),
     "rebalanced_mix": (q_rebalanced_mix, REBALANCED_MIX_SQL),

@@ -152,3 +152,52 @@ def test_bigram_logprob_flags_improbable_docs(spark):
         for r in bigram_logprob(corpus).filter(F.col("doc_id") > 900000).collect()
     }
     assert scores[900001] > scores[900002]
+
+
+# -- BPE tokenizer induction ----------------------------------------------
+
+
+def test_bpe_learns_classic_merges(spark):
+    """Sennrich's toy corpus shape: 'low' x5 + 'lower' x2 + 'newest'
+    x6 + 'widest' x3. The first merges must fuse the most frequent
+    adjacent pairs ('es' at 9, then 'est' at 9, then 'est</w>')."""
+    from flink_ad_analytics_spark.operators.text import bpe_fit
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = bpe_fit(docs, n_merges=3)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "</w>")
+
+
+def test_bpe_segment_compresses_monotonically(spark):
+    """More merges -> fewer symbols, never more; 0 merges = chars+1
+    per word."""
+    from flink_ad_analytics_spark.operators.text import bpe_fit, bpe_segment
+
+    text = " ".join(["sharing"] * 4 + ["shared"] * 4 + ["caring"] * 4)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    base = bpe_segment(docs, []).collect()[0]
+    assert base.n_words == 12
+    assert base.n_symbols == sum(len(w) + 1 for w in text.split())
+    prev = base.n_symbols
+    merges = bpe_fit(docs, n_merges=6)
+    assert len(merges) >= 3
+    for k in (2, len(merges)):
+        n = bpe_segment(docs, merges[:k]).collect()[0].n_symbols
+        assert n < prev or k == 0
+        prev = n
+
+
+def test_bpe_merge_fold_handles_overlaps(spark):
+    """'aaaa' with merge (a,a): greedy left-to-right gives [aa, aa,
+    </w>], not [aa, a, a, </w>] or a crash."""
+    from flink_ad_analytics_spark.operators.text import (
+        _apply_merge,
+        bpe_symbolize,
+    )
+
+    docs = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    out = _apply_merge(bpe_symbolize(docs), "a", "a").collect()
+    assert list(out[0].symbols) == ["aa", "aa", "</w>"]
