@@ -63,3 +63,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every driver table as a temp view for spark.sql use."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def load_evolving_table(
+    spark: SparkSession, path: str, *, defaults: dict | None = None
+) -> DataFrame:
+    """Read a parquet directory whose files span SCHEMA VERSIONS
+    (columns added over time -- the normal life of a lake table).
+
+    ``mergeSchema`` unions the per-file footers (a metadata operation,
+    not a data scan: each footer is read once, distributed); files
+    missing a newer column yield NULL there, and ``defaults`` fills
+    business defaults ONLY where the column is null -- old rows keep
+    their semantics, new rows keep their values.
+
+    At 100 TB: schema merge cost is O(#files) footer reads, so tables
+    with millions of files should pin a table schema instead
+    (spark.read.schema(...)); this loader is the discovery path.
+    """
+    ensure_engine_conf(spark)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for col, default in (defaults or {}).items():
+        if col in df.columns:
+            df = df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+    return df

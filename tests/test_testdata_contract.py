@@ -74,3 +74,27 @@ def test_money_columns_are_fixed_point(sf_dir: str) -> None:
             f"(max scaled error {err}); the DECIMAL casts in queries.py "
             f"are no longer value-exact"
         )
+
+
+def test_schema_evolution_merge_and_defaults(spark, tmp_path):
+    """A lake table grows a column mid-life: mergeSchema reads v1+v2
+    files as one table, v1 rows get NULL->default for the new column,
+    v2 rows keep real values, and column pruning still works."""
+    from pyspark.sql import functions as F
+
+    from flink_ad_analytics_spark.sources.batch import load_evolving_table
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, payload string"
+    ).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(3, "c", "en"), (4, "d", "fr")],
+        "id long, payload string, lang string",
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    df = load_evolving_table(spark, d, defaults={"lang": "unknown"})
+    rows = {r.id: r.lang for r in df.collect()}
+    assert rows == {1: "unknown", 2: "unknown", 3: "en", 4: "fr"}
+    # pruned single-column read still resolves across versions
+    assert df.select("id").count() == 4
