@@ -2541,6 +2541,122 @@ ORDER BY cohort_wk, week_offset
 """
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: revenue delta from a quantity/discount/date
+    what-if -- the canonical pure-scan aggregate.
+
+    The whole query is predicates + one sum: every filter pushes into
+    the parquet reader (row-group min/max skipping at scale), the scan
+    reads 3 columns of 11, and no shuffle exists except the 1-row
+    partial-aggregate gather. The plan IS the point: anything beyond
+    scan -> filter -> partial agg -> final agg here is a regression
+    (gated in test_plan_quality).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & F.col("l_discount").cast("decimal(4,2)").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev), 4).cast("double").alias("revenue_delta"),
+        )
+    )
+
+
+FORECAST_REVENUE_CHANGE_SQL = """
+SELECT COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(4,2))), 4) AS DOUBLE)
+         AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: one nation's share of yearly revenue within a
+    region's customer market.
+
+    The share denominator is a window SUM over the (year) aggregate
+    output -- tiny, no second fact pass -- and the fact shuffles once
+    on (year, nation) after all dims broadcast. The share is the only
+    double op, an exact ratio of two 4dp-rounded decimal sums.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nations_in_region = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    per = (
+        # orders and customer are fact-sized at scale: co-partitioned
+        # shuffle joins on their keys (no broadcast gamble); only the
+        # region-filtered nation list broadcasts
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nations_in_region), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("o_year"),
+            F.col("n_name").alias("nation"),
+        )
+        # keep the 4dp-rounded sum as DECIMAL through the window: the
+        # share's numerator/denominator stay exact and order-free; the
+        # only doubles are two round-then-cast conversions + one divide
+        .agg(F.round(F.sum(_rev()), 4).alias("rev_dec"))
+    )
+    w = Window.partitionBy("o_year")
+    tot_dec = F.sum("rev_dec").over(w)
+    return per.select(
+        "o_year",
+        "nation",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.col("rev_dec").cast("double") / tot_dec.cast("double")).alias(
+            "mkt_share"
+        ),
+    ).orderBy("o_year", "nation")
+
+
+MARKET_SHARE_SQL = f"""
+WITH per AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS o_year, n_name AS nation,
+         ROUND(SUM({_REV_SQL}), 4) AS rev_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY 1, 2)
+SELECT o_year, nation,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE)
+         / CAST(SUM(rev_dec) OVER (PARTITION BY o_year) AS DOUBLE)
+         AS mkt_share
+FROM per
+ORDER BY o_year, nation
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -2628,4 +2744,9 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "table_profile": (q_table_profile, TABLE_PROFILE_SQL),
     "linear_attribution": (q_linear_attribution, LINEAR_ATTRIBUTION_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_COHORTS_SQL),
+    "forecast_revenue_change": (
+        q_forecast_revenue_change,
+        FORECAST_REVENUE_CHANGE_SQL,
+    ),
+    "market_share": (q_market_share, MARKET_SHARE_SQL),
 }

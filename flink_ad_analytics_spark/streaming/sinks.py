@@ -171,3 +171,48 @@ def read_upsert_table(spark, path: str) -> DataFrame:
     """Current snapshot of an upsert_sink table (drops the bucket
     column)."""
     return spark.read.parquet(path).drop("__bucket")
+
+
+def compact_upsert_table(
+    spark, path: str, *, files_per_bucket: int = 1
+) -> dict[str, int]:
+    """Small-file compaction for an upsert_sink table: rewrite each
+    bucket partition down to ``files_per_bucket`` files.
+
+    Merge-on-write accretes one file set per touching micro-batch;
+    thousands of batches mean thousands of small files per bucket --
+    the lakehouse small-file problem. Compaction is a pure LAYOUT
+    rewrite (same rows, fewer files): per bucket, read -> coalesce ->
+    dynamic-partition-overwrite, so concurrent readers of other
+    buckets are untouched and the operation is idempotent (rerun =
+    same layout). Run it from a maintenance schedule, not the hot
+    path.
+
+    Returns {"files_before": n, "files_after": m}.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    def count_files() -> int:
+        n = 0
+        for b in os.listdir(path):
+            if b.startswith("__bucket="):
+                n += sum(
+                    1
+                    for f in os.listdir(os.path.join(path, b))
+                    if f.endswith(".parquet")
+                )
+        return n
+
+    before = count_files()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    cur = spark.read.parquet(path)
+    # one output file set per bucket: repartition on the partition
+    # column so the dynamic overwrite writes files_per_bucket files
+    # into each bucket directory it touches
+    compacted = cur.repartition(files_per_bucket * max(
+        1, cur.select("__bucket").distinct().count()
+    ), F.col("__bucket")).localCheckpoint()
+    compacted.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    return {"files_before": before, "files_after": count_files()}

@@ -445,3 +445,18 @@ def test_ann_filtered_pushes_label_predicate_to_scan(spark):
 
     plan = plan_of(q_ann_filtered_topk(spark, SF_CORRECT), "simple")
     assert "EqualTo(label,3)" in plan, plan
+
+
+def test_forecast_revenue_change_is_pure_scan_aggregate(spark):
+    """Q6 shape: scan -> filter -> partial agg -> 1-row gather. All
+    three predicates pushed to the reader; 3 of 11 columns read; the
+    only exchange is the SinglePartition gather."""
+    from flink_ad_analytics_spark.queries import q_forecast_revenue_change
+
+    plan = plan_of(q_forecast_revenue_change(spark, SF_CORRECT), "simple")
+    shuffles = plan.count("Exchange ") - plan.count("BroadcastExchange")
+    assert shuffles == 1 and "SinglePartition" in plan
+    assert "PushedFilters: [IsNotNull" in plan
+    assert plan.count("FileScan parquet") == 1
+    rs = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_extendedprice" in rs and "l_orderkey" not in rs
