@@ -2657,6 +2657,65 @@ ORDER BY o_year, nation
 """
 
 
+def q_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join: every order joined to the SCD2
+    priority-history row VALID AT its order date -- the feature-store
+    correctness primitive (training features must reflect state as of
+    the event, never the future).
+
+    The versioned dimension is the q_priority_history_scd2 output;
+    validity is [valid_from, valid_to) with an open current row, so the
+    PIT predicate (ts >= from AND (to IS NULL OR ts < to)) matches
+    EXACTLY ONE interval per event -- asserted by n_orders matching
+    the orders table. Join shape: equi on custkey + the interval band,
+    shuffled co-partitioned on custkey (dimension histories are fact-
+    sized at scale); per-customer fan-out is bounded by that
+    customer's change count before the band filter prunes it.
+
+    Audit output per priority: order count and how many orders' own
+    priority equals their PIT feature (change points make them equal;
+    later orders inherit until the next change).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    hist = q_priority_history_scd2(spark, sf_dir)
+    j = o.join(
+        hist,
+        (F.col("o_custkey") == F.col("custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy(F.col("priority").alias("pit_priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                (F.col("priority") == F.col("o_orderpriority")).cast("long")
+            ).alias("n_matching_own"),
+            F.sum("o_orderkey").alias("sum_orderkeys"),
+        )
+        .orderBy("pit_priority")
+    )
+
+
+PIT_FEATURE_JOIN_SQL = f"""
+WITH hist AS ({PRIORITY_HISTORY_SCD2_SQL.strip()})
+SELECT h.priority AS pit_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN h.priority = o.o_orderpriority
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matching_own,
+       CAST(SUM(o.o_orderkey) AS BIGINT) AS sum_orderkeys
+FROM orders o
+JOIN hist h
+  ON o.o_custkey = h.custkey
+ AND o.o_orderdate >= h.valid_from
+ AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+GROUP BY 1
+ORDER BY pit_priority
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -2749,4 +2808,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
         FORECAST_REVENUE_CHANGE_SQL,
     ),
     "market_share": (q_market_share, MARKET_SHARE_SQL),
+    "pit_feature_join": (q_pit_feature_join, PIT_FEATURE_JOIN_SQL),
 }

@@ -239,3 +239,22 @@ def test_linear_attribution_splits_credit(spark):
         for r in linear_attribution(imps, clicks).collect()
     }
     assert out == {"A": (6666, 1), "B": (3333, 1)}
+
+
+def test_pit_join_covers_every_order_exactly_once(spark):
+    """PIT correctness invariant the cross-engine oracle CANNOT see
+    (a fan-out bug would reproduce on both sides): the half-open SCD2
+    validity intervals tile each customer's timeline, so the join
+    matches every order exactly once -- total joined rows == |orders|.
+    Also: an order AT a change date takes the new value (>= from,
+    < to), never the outgoing one."""
+    from flink_ad_analytics_spark.queries import q_pit_feature_join
+    from flink_ad_analytics_spark.sources.batch import load_table
+    from tests.conftest import SF_CORRECT
+
+    out = q_pit_feature_join(spark, SF_CORRECT).collect()
+    n_orders = load_table(spark, SF_CORRECT, "orders").count()
+    assert sum(r.n_orders for r in out) == n_orders
+    # change points exist: some orders' own priority differs from the
+    # PIT feature (inherited from an earlier change)
+    assert any(r.n_matching_own < r.n_orders for r in out)
