@@ -327,3 +327,59 @@ w AS (SELECT {strata_col},
 def hash_int_sql(id_col: str, seed: int) -> str:
     """DuckDB fragment: the hash prefix as an unsigned integer."""
     return f"CAST('0x' || {bucket_hash_sql(id_col, seed)} AS BIGINT)"
+
+
+def negative_samples(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    id_col: str = "doc_id",
+    seed: int = 17,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive pair building:
+    k pseudo-random OTHER rows per anchor, a pure function of
+    (seed, anchor id, slot) -- reproducible across engines, reruns,
+    and cluster sizes, like every sampler in this module.
+
+    Requires a dense id space 0..n-1 (the driver tables' layout; at
+    scale a dense surrogate comes free from corpus_shuffle's shard
+    ordinals). negative = (id + 1 + h % (n-1)) % n with h the md5
+    prefix integer: the offset lives in [1, n-1], so a negative NEVER
+    equals its anchor; slots sample with replacement (collisions
+    across k are possible and standard).
+
+    Output: (anchor id, neg_rank, neg_id). One scalar count broadcast;
+    the k-fan-out is a zero-shuffle generator expression.
+    """
+    counted = df.select(F.col(id_col)).withColumn(
+        "__total", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    slots = counted.select(
+        id_col,
+        "__total",
+        F.explode(F.expr(f"sequence(0, {k - 1})")).alias("neg_rank"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("neg_rank").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    neg = (
+        F.col(id_col) + 1 + h % (F.col("__total") - 1)
+    ) % F.col("__total")
+    return slots.select(
+        F.col(id_col),
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+        neg.cast("long").alias("neg_id"),
+    )

@@ -1280,7 +1280,64 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEG_SEED, _NEG_K = 17, 4
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative sampling audit (operators/sampling.py::
+    negative_samples): k deterministic negatives per anchor, enriched
+    with the negative's language and whether the pair crosses
+    languages -- the pair-building pass of a contrastive training set.
+    """
+    from .operators.sampling import negative_samples
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = negative_samples(docs, k=_NEG_K, seed=_NEG_SEED)
+    anchor = docs.select(
+        F.col("doc_id"), F.col("lang").alias("anchor_lang")
+    )
+    neg = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang")
+    )
+    return (
+        pairs.join(anchor, "doc_id")
+        .join(neg, "neg_id")
+        .groupBy("anchor_lang", "neg_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("neg_id").alias("sum_neg_ids"),
+        )
+        .orderBy("anchor_lang", "neg_lang")
+    )
+
+
+NEGATIVE_SAMPLES_SQL = f"""
+WITH counted AS (
+  SELECT doc_id, (SELECT COUNT(*) FROM documents) AS total
+  FROM documents),
+slots AS (
+  SELECT doc_id, total, unnest(range(0, {_NEG_K})) AS neg_rank
+  FROM counted),
+pairs AS (
+  SELECT doc_id, neg_rank,
+         (doc_id + 1 + CAST('0x' || substr(md5('{_NEG_SEED}:'
+             || CAST(doc_id AS VARCHAR) || ':'
+             || CAST(neg_rank AS VARCHAR)), 1, 8) AS BIGINT)
+           % (total - 1)) % total AS neg_id
+  FROM slots)
+SELECT a.lang AS anchor_lang, b.lang AS neg_lang,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(p.neg_id) AS BIGINT) AS sum_neg_ids
+FROM pairs p
+JOIN documents a ON p.doc_id = a.doc_id
+JOIN documents b ON p.neg_id = b.doc_id
+GROUP BY 1, 2
+ORDER BY anchor_lang, neg_lang
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "negative_samples": (q_negative_samples, NEGATIVE_SAMPLES_SQL),
     "bpe_top_pairs": (q_bpe_top_pairs, BPE_TOP_PAIRS_SQL),
     "bpe_vocab": (q_bpe_vocab, None),
     "curated_corpus": (q_curated_corpus, CURATED_CORPUS_SQL),

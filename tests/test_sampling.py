@@ -186,3 +186,25 @@ def test_rebalance_to_mix_hits_target_and_is_stable(spark):
         .collect()
     )
     assert ids1 == ids2
+
+
+def test_negative_samples_never_self_and_deterministic(spark):
+    """Invariants the oracle cannot distinguish from a shared bug: no
+    negative equals its anchor; every anchor gets exactly k slots; the
+    map is identical across reruns and row orders."""
+    from flink_ad_analytics_spark.operators.sampling import negative_samples
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    out = negative_samples(docs, k=4, seed=17).collect()
+    n = docs.count()
+    assert len(out) == 4 * n
+    assert all(r.neg_id != r.doc_id for r in out)
+    assert all(0 <= r.neg_id < n for r in out)
+    m1 = {(r.doc_id, r.neg_rank): r.neg_id for r in out}
+    m2 = {
+        (r.doc_id, r.neg_rank): r.neg_id
+        for r in negative_samples(
+            docs.orderBy(F.desc("doc_id")), k=4, seed=17
+        ).collect()
+    }
+    assert m1 == m2
