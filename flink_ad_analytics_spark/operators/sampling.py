@@ -351,9 +351,10 @@ def negative_samples(
     Output: (anchor id, neg_rank, neg_id). One scalar count broadcast;
     the k-fan-out is a zero-shuffle generator expression.
     """
-    counted = df.select(F.col(id_col)).withColumn(
-        "__total", F.count(F.lit(1)).over(Window.partitionBy())
-    )
+    # scalar count as a 1-row broadcast (an empty-partition window
+    # here would funnel the whole id column through one task)
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    counted = df.select(F.col(id_col)).crossJoin(F.broadcast(total))
     slots = counted.select(
         id_col,
         "__total",
