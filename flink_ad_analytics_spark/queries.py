@@ -2716,6 +2716,200 @@ ORDER BY pit_priority
 """
 
 
+def q_priority_late_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of H1-2000 orders with at
+    least one line shipped more than 60 days after the order date
+    (the schema's analogue of Q4's receipt-after-commit lateness --
+    the driver's lineitem has no commit/receipt dates).
+
+    Executes as a LEFT SEMI join with a mixed equi + non-equi
+    condition: the equi component (orderkey) drives the shuffle, the
+    date comparison rides along as the join residual, and the
+    six-month filter on orders is pushed to the parquet scan. Semi
+    semantics mean no fan-out and no distinct -- each order is emitted
+    at most once regardless of how many late lines it has.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("2000-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+    )
+
+
+PRIORITY_LATE_COUNTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+  AND o_orderdate < TIMESTAMP '2000-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+"""
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue over
+    a one-quarter ship window -- Q15's CREATE VIEW + scalar-max
+    subquery, decorrelated by hand into an aggregate reused twice.
+
+    The per-supplier revenue aggregate is computed ONCE; its scalar
+    max is a 1-row broadcast joined back against the same aggregate
+    (Catalyst reuses the exchange under the two consumers, so the
+    lineitem scan+shuffle happens once). Max-equality is tested on the
+    EXACT decimal sum -- bit-stable in both engines -- and only the
+    reported revenue is rounded to double.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-04-01 00:00:00").cast("timestamp_ntz"))
+        # explicit, so BOTH consumers of `rev` (the max branch and the
+        # join branch) see byte-identical scan subtrees -- without it
+        # the inner join pushes isnotnull(l_suppkey) into only one
+        # branch and ReuseExchange misses, doubling the lineitem scan.
+        & F.col("l_suppkey").isNotNull()
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("r"))
+    mx = rev.agg(F.max("r").alias("mx"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("r") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("r"), 4).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+TOP_REVENUE_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+    AND l_shipdate < TIMESTAMP '1999-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(ROUND(r, 4) AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+"""
+
+
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, size) for
+    a part subset, excluding a blacklist via NOT IN. The driver schema
+    has no partsupp table, so lineitem is the part<->supplier bridge
+    and negative-balance suppliers stand in for Q16's
+    'Customer Complaints' set.
+
+    Both dimension sides broadcast: the filtered part subset prunes
+    the fact scan's partkeys, and the blacklist executes as a
+    broadcast LEFT ANTI join (null-safe NOT IN is safe here because
+    s_suppkey is non-null by contract). The only shuffle is the final
+    distinct-count aggregate on (brand, size).
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
+PART_SUPPLIER_VARIETY_SQL = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped MORE THAN HALF of some
+    'small%' part's total 1999 volume -- Q20's correlated
+    availqty > 0.5 * sum(l_quantity) test, re-based on shipped
+    quantity since the driver schema has no partsupp.
+
+    Plan: one (partkey, suppkey) aggregate, then the per-part total as
+    a WINDOW sum over the same rows -- one shuffle on partkey replaces
+    the self-join a literal Q20 translation would do (agg + join =
+    two exchanges of the same data). The dominance test is exact
+    decimal `2*q > total` -- no 0.5 literal, no double rounding.
+    """
+    from pyspark.sql import Window
+
+    part_small = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    per = (
+        li.join(F.broadcast(part_small), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q"))
+    )
+    tot = F.sum("q").over(Window.partitionBy("l_partkey"))
+    dom = per.withColumn("tq", tot).filter(F.col("q") * 2 > F.col("tq"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_dominated_parts")
+    )
+
+
+DOMINANT_SUPPLIERS_SQL = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1999-01-01'
+    AND l_shipdate < TIMESTAMP '2000-01-01'
+  GROUP BY 1, 2
+), dom AS (
+  SELECT l_suppkey, COUNT(*) AS n_dominated_parts
+  FROM (SELECT l_suppkey,
+               q, SUM(q) OVER (PARTITION BY l_partkey) AS tq
+        FROM per)
+  WHERE q * 2 > tq
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, n_dominated_parts
+FROM dom JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
 #: name -> (spark_builder, oracle_sql | None)
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "ctr_hourly": (q_ctr_hourly, CTR_HOURLY_SQL),
@@ -2757,6 +2951,13 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
         LARGE_VOLUME_CUSTOMERS_SQL,
     ),
     "sole_late_suppliers": (q_sole_late_suppliers, SOLE_LATE_SUPPLIERS_SQL),
+    "priority_late_counts": (q_priority_late_counts, PRIORITY_LATE_COUNTS_SQL),
+    "top_revenue_supplier": (q_top_revenue_supplier, TOP_REVENUE_SUPPLIER_SQL),
+    "part_supplier_variety": (
+        q_part_supplier_variety,
+        PART_SUPPLIER_VARIETY_SQL,
+    ),
+    "dominant_suppliers": (q_dominant_suppliers, DOMINANT_SUPPLIERS_SQL),
     "rolling_user_value": (q_rolling_user_value, ROLLING_USER_VALUE_SQL),
     "lineitem_cube": (q_lineitem_cube, LINEITEM_CUBE_SQL),
     "lineitem_unpivot": (q_lineitem_unpivot, LINEITEM_UNPIVOT_SQL),

@@ -460,3 +460,31 @@ def test_forecast_revenue_change_is_pure_scan_aggregate(spark):
     assert plan.count("FileScan parquet") == 1
     rs = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "l_extendedprice" in rs and "l_orderkey" not in rs
+
+
+def test_top_revenue_supplier_single_lineitem_scan(spark):
+    """Q15 shape: the per-supplier revenue aggregate feeds BOTH the
+    scalar-max branch and the join branch; ReuseExchange must collapse
+    them to ONE lineitem scan + one supplier-key shuffle (the explicit
+    isNotNull(l_suppkey) in the builder keeps the two subtrees
+    byte-identical -- this gate catches anything that re-splits them)."""
+    from flink_ad_analytics_spark.queries import q_top_revenue_supplier
+
+    df = q_top_revenue_supplier(spark, SF_CORRECT)
+    df.collect()
+    plan = plan_of(df, "simple")
+    final = plan.split("Initial Plan")[0] if "Initial Plan" in plan else plan
+    assert final.count("FileScan parquet") <= 2  # lineitem once + supplier
+    assert "Reused" in final, final
+
+
+def test_dominant_suppliers_window_replaces_self_join(spark):
+    """Q20 shape: the per-part total is a window sum over the
+    (partkey, suppkey) aggregate -- one partkey shuffle, not an
+    agg+self-join (two exchanges of the same rows)."""
+    from flink_ad_analytics_spark.queries import q_dominant_suppliers
+
+    plan = plan_of(q_dominant_suppliers(spark, SF_CORRECT), "simple")
+    assert "Window" in plan
+    # lineitem scanned exactly once
+    assert plan.count("lineitem.parquet") == 1
