@@ -21,7 +21,7 @@ from .operators.clustering import (
     kmeans_update_stats,
 )
 from .operators.clustering import pq_codes_stats, pq_fit, pq_topk
-from .operators.dedup import decontaminate, span_dedup
+from .operators.dedup import decontaminate, decontaminate_bloom, span_dedup
 from .operators.packing import (
     chunk_documents,
     pack_sequences_greedy,
@@ -238,6 +238,25 @@ def q_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = F.expr(_bench_pred("STRING"))
     bench, cand = docs.filter(is_bench), docs.filter(~is_bench)
     clean = decontaminate(cand, bench, n=_CONTAM_N)
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_decontaminated_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same audit as q_decontaminated through the Bloom-prefilter
+    engine path (operators/dedup.py:decontaminate_bloom): benchmark
+    grams -> distributed bit-array -> k zero-shuffle broadcast
+    bit-test joins -> exact verify. The final answer is EXACTLY the
+    broadcast-semi-join path's (the bloom only ever admits false
+    positives, which the verify stage kills), so the oracle is
+    literally DECONTAMINATED_SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.expr(_bench_pred("STRING"))
+    bench, cand = docs.filter(is_bench), docs.filter(~is_bench)
+    clean = decontaminate_bloom(cand, bench, n=_CONTAM_N, m_bits=1 << 16, k=5)
     return clean.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_clean"),
         F.sum("doc_id").alias("sum_ids"),
@@ -1350,6 +1369,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "kfold_balance": (q_kfold_balance, KFOLD_BALANCE_SQL),
     "repetition_quality": (q_repetition_quality, REPETITION_QUALITY_SQL),
     "decontaminated": (q_decontaminated, DECONTAMINATED_SQL),
+    "decontaminated_bloom": (q_decontaminated_bloom, DECONTAMINATED_SQL),
     "pii_redaction": (q_pii_redaction, PII_REDACTION_SQL),
     "embedding_quantization": (q_embedding_quantization, EMBEDDING_QUANTIZATION_SQL),
     "ann_quantized_topk": (q_ann_quantized_topk, ANN_QUANTIZED_TOPK_SQL),
