@@ -469,17 +469,24 @@ def connected_components(
     primitive ops.
 
     Output: (``id_col``, cluster_id) for EVERY vertex; singletons are
-    their own cluster.
+    their own cluster. ``vertices`` must carry unique ids (the
+    documents contract) -- they are not re-deduplicated here.
     """
     e = edges.select(
         F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
     )
     e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.persist()
+    # Iterate over EDGE-TOUCHED vertices only: near-dup graphs are
+    # sparse (most of a 100 TB corpus is singletons), and a label row
+    # per corpus doc would make every round shuffle O(|corpus|) when
+    # the propagation only ever moves labels along edges. Isolated
+    # vertices are stamped label=self AFTER convergence with one
+    # left join -- O(|endpoints|) per round instead.
     labels = (
-        vertices.select(F.col(id_col))
+        e.select(F.col("src").alias("v"))  # both directions unioned, so src covers all endpoints
         .distinct()
-        .select(F.col(id_col).alias("v"), F.col(id_col).alias("label"))
+        .select("v", F.col("v").alias("label"))
         .persist()
     )
     try:
@@ -505,7 +512,15 @@ def connected_components(
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
-        return labels.select(F.col("v").alias(id_col), F.col("label").alias("cluster_id"))
+        # stamp singletons: one broadcast-or-shuffle left join (AQE
+        # decides -- the converged label set is usually tiny relative
+        # to the corpus) instead of having carried them every round.
+        return vertices.select(F.col(id_col)).join(
+            labels.select(F.col("v").alias(id_col), "label"), id_col, "left"
+        ).select(
+            id_col,
+            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+        )
     finally:
         e.unpersist()
 
