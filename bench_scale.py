@@ -142,6 +142,29 @@ def run_size(spark, n_docs: int) -> dict:
 
         run("span_dedup", lambda: span_dedup(docs).count())
 
+        # connected components over the LSH pair graph: per-round cost
+        # must track edge ENDPOINTS (sparse), not corpus size -- the
+        # singleton-exclusion property this curve demonstrates
+        from flink_ad_analytics_spark.operators.dedup import (
+            connected_components,
+            decontaminate_bloom,
+        )
+
+        run(
+            "connected_components",
+            lambda: connected_components(
+                minhash_lsh_pairs(docs, threshold=0.5), docs
+            ).count(),
+        )
+        # bloom-prefiltered decontamination: same answer as the exact
+        # path above, zero probe-side shuffle
+        run(
+            "decontaminate_bloom",
+            lambda: decontaminate_bloom(
+                docs.filter(~is_bench), docs.filter(is_bench), n=8
+            ).count(),
+        )
+
         n = len(corpus)
         return {
             "n_docs": n,
