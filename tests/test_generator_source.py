@@ -204,3 +204,36 @@ def test_e2e_ctr_pipeline_from_source(spark, tmp_path):
             b.click_count,
         ), r
         assert abs(r.ctr - b.ctr) < 1e-12
+
+
+def test_generated_phases_fire_reference_alerts(spark):
+    """Semantic fidelity end-to-end: the generated camp-1 DROP (boost
+    0.1 at t=300s) and SPIKE (boost 4.0 at t=600s) phases must fire
+    the reference's anomaly alerts when run through the actual
+    CTR -> LAG -> SPIKE/DROP operator chain (anomaly_job.sql)."""
+    from flink_ad_analytics_spark.operators.anomaly import detect_anomalies
+    from flink_ad_analytics_spark.operators.ctr import ctr_windows
+
+    imp = _imp(spark, duration_sec=1200)
+    clk = (
+        spark.read.format("ad_events")
+        .option("kind", "clicks")
+        .option("duration_sec", 1200)
+        .load()
+    )
+    ctr = ctr_windows(
+        imp.withColumn("event_time", F.timestamp_millis("event_timestamp")),
+        clk.withColumn("click_time", F.timestamp_millis("event_timestamp"))
+        .drop("event_timestamp"),
+        window="1 minute",
+        band="10 minutes",
+    )
+    alerts = detect_anomalies(ctr).filter(F.col("campaign_id") == "camp-1")
+    kinds = {
+        (r.alert_type, (r.alert_time.minute // 5))
+        for r in alerts.collect()
+    }
+    # DROP fires entering minute 5 (t=300s), SPIKE entering minute 10,
+    # and the return to boost 1.0 at t=900s shows as a DROP at minute 15
+    types = {t for t, _ in kinds}
+    assert "DROP" in types and "SPIKE" in types, kinds
