@@ -315,3 +315,55 @@ def test_bloom_probe_zero_shuffle(spark):
     # word_idx) and ngram_set's pinned doc-id repartition -- none may
     # partition on the probe's gram
     assert "hashpartitioning(gram" not in plan
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property: on random sparse pair-graphs (the near-dup shape,
+    including isolated vertices and multi-edge chains), the iterative
+    min-label propagation must agree with a driver-side union-find
+    computing min-reachable-id per vertex."""
+    from hypothesis import given, settings, strategies as st
+
+    from flink_ad_analytics_spark.operators.dedup import connected_components
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 39), st.integers(0, 39)).filter(
+                lambda p: p[0] != p[1]
+            ),
+            min_size=0,
+            max_size=25,
+        ),
+        st.integers(40, 60),
+    )
+    def check(edge_list, n_vertices):
+        parent = list(range(n_vertices))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {v: find(v) for v in range(n_vertices)}
+
+        vertices = spark.createDataFrame(
+            [(v,) for v in range(n_vertices)], ["doc_id"]
+        )
+        edges = spark.createDataFrame(
+            edge_list or [(0, 0)], ["doc_id_1", "doc_id_2"]
+        )
+        if not edge_list:
+            edges = edges.filter("doc_id_1 != doc_id_2")  # empty edge set
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(edges, vertices).collect()
+        }
+        assert got == expected
+
+    check()
