@@ -679,23 +679,33 @@ def bloom_probe(
     word_idx joins to NULL and the bit test is NULL -> filtered: an
     all-zero word correctly rejects.
     """
+    # ONE materialization of the (tiny) bit array feeds all k probe
+    # joins: the per-j renamed projections (needed to avoid ambiguous
+    # self-join references) defeat ReuseExchange, so without the
+    # checkpoint each BroadcastExchange re-ran the whole build --
+    # measured 5x the build cost in the plan audit. localCheckpoint
+    # truncates the lineage; the k broadcasts then each read the
+    # already-materialized bit array.
+    bloom = bloom.localCheckpoint(eager=False)
     out = probe
-    b = F.broadcast(bloom)
     for j in range(k):
         pos = F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(m_bits))
         widx = (pos / 64).cast("long")
         mask = F.call_function(
             "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
         )
-        bj = b.select(
+        bj = bloom.select(
             F.col("word_idx").alias(f"_bw_idx_{j}"),
             F.col("word").alias(f"_bw_{j}"),
         )
         out = (
             out.withColumn(f"_widx_{j}", widx)
             .withColumn(f"_mask_{j}", mask)
-            .join(bj, F.col(f"_widx_{j}") == F.col(f"_bw_idx_{j}"), "left")
-            .filter(F.col(f"_bw_{j}").bitwiseAND(F.col(f"_mask_{j}")) == F.col(f"_mask_{j}"))
+            .join(F.broadcast(bj), F.col(f"_widx_{j}") == F.col(f"_bw_idx_{j}"), "left")
+            .filter(
+                F.col(f"_bw_{j}").bitwiseAND(F.col(f"_mask_{j}"))
+                == F.col(f"_mask_{j}")
+            )
             .drop(f"_widx_{j}", f"_mask_{j}", f"_bw_idx_{j}", f"_bw_{j}")
         )
     return out
