@@ -240,9 +240,17 @@ def sparse_cosine_pairs(
     vocab_tf = tf.join(
         df_.filter(F.col("df") <= max_df).select("term"), "term"
     )
+    # The pruned postings feed FOUR consumers (norm2 + both join
+    # sides + their renamed descendants), and the per-consumer renames
+    # defeat ReuseExchange, so without a materialization barrier the
+    # tokenize+tf+df chain re-ran per consumer (8 corpus scans in the
+    # plan audit). One localCheckpoint = one inverted-index build,
+    # disk-backed per executor -- at lake scale strictly cheaper than
+    # recomputing two shuffles per consumer.
+    vocab_tf = vocab_tf.localCheckpoint(eager=False)
     norm2 = vocab_tf.groupBy(id_col).agg(
         F.sum(F.col("tf") * F.col("tf")).alias("n2")
-    )
+    ).localCheckpoint(eager=False)
     a = vocab_tf.select(
         F.col("term"), F.col(id_col).alias("doc1"), F.col("tf").alias("tf1")
     )
