@@ -144,25 +144,38 @@ def run_size(spark, n_docs: int) -> dict:
 
         # connected components over the LSH pair graph: per-round cost
         # must track edge ENDPOINTS (sparse), not corpus size -- the
-        # singleton-exclusion property this curve demonstrates
+        # singleton-exclusion property this curve demonstrates. The
+        # pair set was already computed above (lsh_found, on the
+        # driver); feed it back as a small DataFrame so the timing
+        # measures CC ALONE, not a re-run of the LSH pipeline.
         from flink_ad_analytics_spark.operators.dedup import (
             connected_components,
             decontaminate_bloom,
         )
 
+        pairs_df = spark.createDataFrame(
+            sorted(lsh_found) or [(-1, -1)], ["doc_id_1", "doc_id_2"]
+        )
         run(
             "connected_components",
-            lambda: connected_components(
-                minhash_lsh_pairs(docs, threshold=0.5), docs
-            ).count(),
+            lambda: connected_components(pairs_df, docs).count(),
         )
         # bloom-prefiltered decontamination: same answer as the exact
-        # path above, zero probe-side shuffle
-        run(
+        # path (asserted below), zero probe-side shuffle. m_bits sized
+        # from the benchmark gram count (~1/16 of docs x ~96 grams/doc
+        # at 10 bits/gram) so the sweep exercises the ~1% FP design
+        # regime rather than a saturated filter.
+        n_bench_grams = int(n_docs / 16 * 100)
+        m_bits = 1 << max(16, (n_bench_grams * 10).bit_length())
+        n_clean_bloom = run(
             "decontaminate_bloom",
             lambda: decontaminate_bloom(
-                docs.filter(~is_bench), docs.filter(is_bench), n=8
+                docs.filter(~is_bench), docs.filter(is_bench), n=8,
+                m_bits=m_bits,
             ).count(),
+        )
+        assert n_clean_bloom == n_clean, (
+            f"bloom path diverged: {n_clean_bloom} != exact {n_clean}"
         )
 
         n = len(corpus)

@@ -35,16 +35,25 @@ DEVICES = ["mobile", "desktop", "tablet"]
 BROWSERS = ["chrome", "safari", "firefox", "edge"]
 
 
+#: camp-1 anomaly schedule (generate_events.py:108-121): list of
+#: (phase_end_sec, boost). The SINGLE source of truth -- both the
+#: scalar form below and the vectorized form in sources/generator.py
+#: consume it, so the fixture and the registered source cannot drift.
+ANOMALY_PHASES: list[tuple[float, float]] = [
+    (300.0, 1.0),
+    (600.0, 0.1),  # -> DROP
+    (900.0, 4.0),  # -> SPIKE
+    (float("inf"), 1.0),
+]
+
+
 def phase_boost(campaign: str, t_sec: float) -> float:
     """camp-1 anomaly schedule; all other campaigns flat 1.0."""
     if campaign != "camp-1":
         return 1.0
-    if t_sec < 300:
-        return 1.0
-    if t_sec < 600:
-        return 0.1  # -> DROP
-    if t_sec < 900:
-        return 4.0  # -> SPIKE
+    for end, boost in ANOMALY_PHASES:
+        if t_sec < end:
+            return boost
     return 1.0
 
 

@@ -3,10 +3,13 @@ data source (batch + streaming), via the Spark 4 Python DataSource API.
 
 The reference produces its workload with a single-process Kafka
 producer (`/root/reference/data-generator/generate_events.py`): 50
-impressions/s, campaigns camp-1..10, ads 1..100, devices with 5%
-NULLs, cost uniform(0.01, 0.50), clicks with probability
+impressions/s, campaigns camp-1..10, ads 1..100, cost
+uniform(0.01, 0.50), clicks with probability
 min(0.6, 0.1 * phase_boost) and delay uniform 500..10000 ms, and the
-camp-1 DROP/SPIKE anomaly schedule (generate_events.py:108-121).
+camp-1 DROP/SPIKE anomaly schedule (generate_events.py:108-121) --
+plus this repo's OWN fixture extension of ~5% NULL device_type rows
+(FIXTURES.md edge-case trap; the reference generator never emits
+nulls, fixtures.py added them so null-handling is always exercised).
 This module re-expresses that generator as a REGISTERED SOURCE, so
 the jobs that would read Kafka in production (`streaming/sources.py`)
 can be driven end-to-end in-process -- `spark.read.format("ad_events")`
@@ -58,6 +61,7 @@ from pyspark.sql.types import (
 )
 
 from ..fixtures import (
+    ANOMALY_PHASES,
     BROWSERS,
     CLICK_RATIO,
     DEVICES,
@@ -117,11 +121,15 @@ def _u01(idx: np.ndarray, seed: int, salt: int) -> np.ndarray:
 
 
 def _phase_boost_vec(camp_no: np.ndarray, t_sec: np.ndarray) -> np.ndarray:
-    """camp-1 DROP/SPIKE schedule (generate_events.py:108-121), vectorized."""
+    """fixtures.ANOMALY_PHASES (the single source of truth for the
+    camp-1 DROP/SPIKE schedule), vectorized."""
     boost = np.ones_like(t_sec)
     c1 = camp_no == 1
-    boost = np.where(c1 & (t_sec >= 300) & (t_sec < 600), 0.1, boost)
-    boost = np.where(c1 & (t_sec >= 600) & (t_sec < 900), 4.0, boost)
+    prev_end = 0.0
+    for end, b in ANOMALY_PHASES:
+        if b != 1.0:
+            boost = np.where(c1 & (t_sec >= prev_end) & (t_sec < end), b, boost)
+        prev_end = end
     return boost
 
 
@@ -147,23 +155,50 @@ def _gen_impressions(start: int, end: int, seed: int) -> dict[str, np.ndarray]:
     }
 
 
+def _prefixed(prefix: str, nums: np.ndarray) -> "object":
+    """Vectorized '<prefix>-<n>' string column as a pyarrow array."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(
+        prefix, pc.cast(pa.array(nums), pa.string()), "-"
+    )
+
+
 def _iter_impressions(start: int, end: int, seed: int):
+    """Yield ONE pyarrow RecordBatch for the range: the DataSource API
+    accepts arrow batches, which keeps generation fully vectorized --
+    no per-row Python loop, no per-field scalar extraction. This is
+    the path that lets 1000 executors synthesize 100 TB: per-task cost
+    is a handful of numpy/arrow kernel calls over the whole slice."""
+    import pyarrow as pa
+
     g = _gen_impressions(start, end, seed)
-    for j in range(len(g["i"])):
-        i = int(g["i"][j])
-        yield (
-            f"imp-{i}",
-            f"user-{int(g['user_no'][j])}",
-            f"camp-{int(g['camp_no'][j])}",
-            f"ad-{int(g['ad_no'][j])}",
-            None if bool(g["dev_null"][j]) else DEVICES[int(g["dev_no"][j])],
-            BROWSERS[int(g["brw_no"][j])],
-            int(g["ts"][j]),
-            float(g["cost"][j]),
-        )
+    if len(g["i"]) == 0:
+        return
+    devices = pa.array(
+        [None if n else DEVICES[d] for n, d in zip(g["dev_null"].tolist(), g["dev_no"].tolist())],
+        pa.string(),
+    )
+    browsers = pa.array([BROWSERS[b] for b in g["brw_no"].tolist()], pa.string())
+    yield pa.RecordBatch.from_arrays(
+        [
+            _prefixed("imp", g["i"]),
+            _prefixed("user", g["user_no"]),
+            _prefixed("camp", g["camp_no"]),
+            _prefixed("ad", g["ad_no"]),
+            devices,
+            browsers,
+            pa.array(g["ts"], pa.int64()),
+            pa.array(g["cost"], pa.float64()),
+        ],
+        names=[f.name for f in IMPRESSIONS_SCHEMA.fields],
+    )
 
 
 def _iter_clicks(start: int, end: int, seed: int):
+    import pyarrow as pa
+
     g = _gen_impressions(start, end, seed)
     i = g["i"]
     t_sec = (i * _STEP_MS) / 1000.0
@@ -171,14 +206,18 @@ def _iter_clicks(start: int, end: int, seed: int):
     p_click = np.minimum(MAX_CTR_CAP, CLICK_RATIO * boost)
     clicked = _u01(i, seed, 8) < p_click
     delay = (500 + _u01(i, seed, 9) * 9500).astype(np.int64)
-    for j in np.flatnonzero(clicked):
-        idx = int(i[j])
-        yield (
-            f"clk-{idx}",
-            f"imp-{idx}",
-            f"user-{int(g['user_no'][j])}",
-            int(g["ts"][j]) + int(delay[j]),
-        )
+    sel = np.flatnonzero(clicked)
+    if len(sel) == 0:
+        return
+    yield pa.RecordBatch.from_arrays(
+        [
+            _prefixed("clk", i[sel]),
+            _prefixed("imp", i[sel]),
+            _prefixed("user", g["user_no"][sel]),
+            pa.array(g["ts"][sel] + delay[sel], pa.int64()),
+        ],
+        names=[f.name for f in CLICKS_SCHEMA.fields],
+    )
 
 
 class _Range(InputPartition):
@@ -251,6 +290,14 @@ class AdEventsStreamReader(DataSourceStreamReader):
         return {"idx": self.o.max_events}
 
     def partitions(self, start: dict, end: dict):
+        if end["idx"] < start["idx"]:
+            # A shrunken max_events would silently regress the offset
+            # (empty batch commits the SMALLER offset; a later pass
+            # would then re-emit rows the sink already has). Refuse.
+            raise ValueError(
+                f"ad_events: max_events={end['idx']} is behind the "
+                f"committed offset {start['idx']}; offsets must not regress"
+            )
         return _split(start["idx"], end["idx"], self.o.num_partitions)
 
     def read(self, partition: _Range):
