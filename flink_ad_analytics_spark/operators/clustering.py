@@ -104,7 +104,9 @@ def kmeans_fit(
         dtype=np.float64,
     )
     spark = emb.sparkSession
-    data = emb.select(F.col(id_col), F.col(vec_col).alias("vec"))
+    # vec only: the id column would be Arrow-shipped through every
+    # Lloyd iteration unread (pq_fit's loop already selects this way).
+    data = emb.select(F.col(vec_col).alias("vec"))
     history: list[float] = []
     for _ in range(max_iter):
         bc = spark.sparkContext.broadcast(cents)
@@ -572,14 +574,24 @@ def pq_topk(
             scores = tabs[:, np.arange(codes.shape[1])[None, :], codes].sum(
                 axis=2
             )  # [nq, nb]
-            # local top-(k + slack): the slack absorbs 6dp-rounding
-            # ties so the global rank never misses a tied candidate
-            top = min(len(c_ids), k + 16)
-            part = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            # local top-k by the FINAL total order (6dp-rounded score
+            # desc, c_id asc): under a total order, per-batch top-k
+            # merge is exact, and the output cannot depend on batch
+            # boundaries -- raw-score argpartition could cut a tied
+            # low-c_id candidate when > slack candidates tie at 6dp.
+            # +1 slack covers the self-hit removed downstream.
+            scores_r = np.round(scores, 6)
+            top = min(len(c_ids), k + 1)
+            out_q, out_c, out_s = [], [], []
+            for t in range(len(ids)):
+                order = np.lexsort((c_ids, -scores_r[t]))[:top]
+                out_q.append(np.full(len(order), ids[t]))
+                out_c.append(c_ids[order])
+                out_s.append(scores[t][order])
             rows = {
-                "q_id": np.repeat(ids, top),
-                "c_id": c_ids[part].ravel(),
-                "score": np.take_along_axis(scores, part, axis=1).ravel(),
+                "q_id": np.concatenate(out_q),
+                "c_id": np.concatenate(out_c),
+                "score": np.concatenate(out_s),
             }
             yield pd.DataFrame(rows)
 

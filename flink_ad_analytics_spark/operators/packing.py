@@ -51,6 +51,8 @@ def chunk_documents(
     chunk_md5 (portable hash of the re-joined window text -- the
     cross-engine fingerprint idiom used throughout this repo).
     """
+    if stride is not None and stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
     stride = stride or chunk_tokens
     toks = docs.select(
         F.col(id_col), F.expr(TOKENS.format(col=text_col)).alias("ws")
@@ -141,9 +143,14 @@ def pack_sequences_greedy(
         pdf["bin_id"] = pd.Series(bins, dtype="int64")
         return pdf
 
+    # derive the shard/order/id field types from the INPUT schema: a
+    # hardcoded "string/bigint" triple would break any non-default
+    # shard (e.g. a numeric file-group id or date) at the Arrow
+    # boundary, despite the generic parameter surface.
+    in_types = {f.name: f.dataType.simpleString() for f in toks.schema.fields}
     out_schema = (
-        "__shard string, __ord bigint, __id bigint, "
-        "n_tokens bigint, bin_id bigint"
+        f"__shard {in_types['__shard']}, __ord {in_types['__ord']}, "
+        f"__id {in_types['__id']}, n_tokens bigint, bin_id bigint"
     )
     packed = toks.groupBy("__shard").applyInPandas(pack, schema=out_schema)
     return packed.select(

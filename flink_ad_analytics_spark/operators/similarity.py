@@ -444,7 +444,12 @@ def quantized_topk(
     cosine (recall vs the exact path asserted in tests), ranking by
     (rounded score desc, c_id).
     """
-    qv = quantized_vecs(emb, id_col, vec_col)
+    # all-zero vectors quantize to NULL (scale=0 -> no otherwise
+    # branch): cosine is undefined for them, so they are excluded from
+    # BOTH sides -- matching the oracle, where a NULL q vanishes from
+    # the unnest. Without this, a zero vector in the corpus emits
+    # NULL-scored rank rows the oracle does not have.
+    qv = quantized_vecs(emb, id_col, vec_col).filter(F.col("q").isNotNull())
     queries = F.broadcast(
         qv.filter(query_filter).select(
             F.col(id_col).alias("q_id"), F.col("q").alias("qq")

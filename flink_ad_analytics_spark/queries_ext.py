@@ -387,6 +387,17 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
 
+#: The one SQL definition of the composite quality score (weights
+#: 0.5/0.3/0.2 over length, non-stopword ratio, avg token length) --
+#: consumed by TEXT_QUALITY_SQL here and CURATED_CORPUS_SQL in
+#: queries_pipeline.py, so the weights cannot drift between the
+#: standalone feature query and the composed curation chain. Operates
+#: on a relation exposing n_tokens, n_stopwords, n_chars_nospace.
+QUALITY_SCORE_SQL = """ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             + 0.2 * least((CAST(n_chars_nospace AS DOUBLE)
+                            / CAST(n_tokens AS DOUBLE)) / 10.0, 1.0), 6)"""
+
 TEXT_QUALITY_SQL = f"""
 WITH {_TOKS_SQL},
 feat AS (
@@ -402,10 +413,7 @@ feat AS (
 SELECT doc_id, n_tokens, n_bpe_tokens, n_chars_nospace,
        CAST(n_chars_nospace AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
        CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
-       ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-             + 0.3 * (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-             + 0.2 * least((CAST(n_chars_nospace AS DOUBLE)
-                            / CAST(n_tokens AS DOUBLE)) / 10.0, 1.0), 6)
+       {QUALITY_SCORE_SQL}
          AS quality_score
 FROM feat
 """

@@ -56,15 +56,30 @@ from .sources.batch import load_table
 _FIT_MEMO: dict[tuple, object] = {}
 
 
+def _dir_stamp(sf_dir: str) -> tuple:
+    """Content stamp for the embeddings file, so a REGENERATED parquet
+    under the same path invalidates the memo (path alone would
+    silently serve centroids fit on the old data -- and the iterative
+    queries are the rows-only-gated ones with no oracle to catch it)."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
+
+
 def _kmeans_fit_cached(emb, sf_dir: str, k: int, max_iter: int, seed: int):
-    key = ("km", sf_dir, k, max_iter, seed)
+    key = ("km", sf_dir, _dir_stamp(sf_dir), k, max_iter, seed)
     if key not in _FIT_MEMO:
         _FIT_MEMO[key] = kmeans_fit(emb, k=k, max_iter=max_iter, seed=seed)
     return _FIT_MEMO[key]
 
 
 def _pq_fit_cached(emb, sf_dir: str, m: int, k: int, max_iter: int, seed: int):
-    key = ("pq", sf_dir, m, k, max_iter, seed)
+    key = ("pq", sf_dir, _dir_stamp(sf_dir), m, k, max_iter, seed)
     if key not in _FIT_MEMO:
         _FIT_MEMO[key] = pq_fit(emb, m=m, k=k, max_iter=max_iter, seed=seed)
     return _FIT_MEMO[key]
@@ -1151,6 +1166,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- end-to-end curation composition --------------------------------------
 
 from .operators.text import STOPWORDS as _STOPWORDS
+from .queries_ext import QUALITY_SCORE_SQL as _QUALITY_SCORE_SQL
 
 _STOP_LIST = ", ".join(f"'{s}'" for s in _STOPWORDS)
 _CURATE_MIN_TOKENS, _CURATE_MAX_TOKENS, _CURATE_MIN_Q = 30, 400, 0.5
@@ -1217,10 +1233,7 @@ feat AS (
 quality AS (
   SELECT doc_id FROM feat
   WHERE n_tokens BETWEEN {_CURATE_MIN_TOKENS} AND {_CURATE_MAX_TOKENS}
-    AND ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-          + 0.3 * (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-          + 0.2 * least((CAST(n_chars_nospace AS DOUBLE)
-                         / CAST(n_tokens AS DOUBLE)) / 10.0, 1.0), 6)
+    AND {_QUALITY_SCORE_SQL}
         >= {_CURATE_MIN_Q}),
 survivors AS (
   SELECT d.* FROM documents d
