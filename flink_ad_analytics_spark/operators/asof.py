@@ -52,9 +52,17 @@ def asof_join(
     semantics, like pandas ``merge_asof(tolerance=...)``).
 
     Output: all `left` columns, then `right`'s non-key columns
-    (including `right_time`).
+    (including `right_time`). The two sides' non-key column names must
+    be disjoint -- a shared name would emit two identically-named
+    output columns (unusable downstream), so it raises here instead.
     """
     payload_cols = [c for c in right.columns if c not in on]
+    clash = set(payload_cols) & {c for c in left.columns if c not in on}
+    if clash:
+        raise ValueError(
+            f"asof_join: column name(s) {sorted(clash)} exist on both "
+            "sides; rename one side (e.g. right.withColumnRenamed) first"
+        )
     payload = F.struct(*[F.col(c) for c in payload_cols])
 
     left_cols = [c for c in left.columns if c not in on]

@@ -44,8 +44,11 @@ def cms_build(
     depth: int = DEFAULT_DEPTH,
     width: int = DEFAULT_WIDTH,
 ) -> DataFrame:
-    """Count-min sketch of `key_col` frequencies: (d, bucket, cnt),
-    depth x width rows."""
+    """Count-min sketch of `key_col` frequencies: (d, bucket, cnt,
+    width), at most depth x width rows. The `width` column rides along
+    (constant) so `cms_estimate` can VALIDATE its probe geometry
+    against the sketch's -- a silent depth/width mismatch would probe
+    the wrong cells and break the never-undercount guarantee."""
     rows = df.select(
         F.explode(
             F.array(
@@ -61,7 +64,7 @@ def cms_build(
     )
     return rows.groupBy("cell.d", "cell.bucket").agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).withColumn("width", F.lit(width))
 
 
 def cms_estimate(
@@ -74,7 +77,23 @@ def cms_estimate(
 ) -> DataFrame:
     """Frequency estimates for each distinct key in `keys`: the min
     over depths of the sketch cells the key hashes to. The sketch side
-    is broadcast (depth x width rows, fixed size)."""
+    is broadcast (depth x width rows, fixed size).
+
+    Keys absent from the build input estimate 0 (an empty cell means
+    count 0; the LEFT join + coalesce keeps the key in the output --
+    an inner join would silently drop it, and a PARTIAL cell miss
+    would take the min over only non-empty cells, inflating it).
+    Probe geometry is validated against the sketch's recorded
+    depth/width -- a mismatch raises instead of silently breaking the
+    est >= true guarantee."""
+    geo = cms.agg(
+        F.max("d").alias("max_d"), F.max("width").alias("w")
+    ).collect()[0]
+    if geo.max_d is not None and (geo.max_d != depth - 1 or geo.w != width):
+        raise ValueError(
+            f"cms_estimate(depth={depth}, width={width}) does not match "
+            f"the sketch (depth={geo.max_d + 1}, width={geo.w})"
+        )
     k = keys.select(key_col).distinct()
     probes = k.select(
         key_col,
@@ -91,9 +110,9 @@ def cms_estimate(
         ).alias("cell"),
     ).select(key_col, "cell.d", "cell.bucket")
     return (
-        probes.join(F.broadcast(cms), ["d", "bucket"])
+        probes.join(F.broadcast(cms), ["d", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
 
 

@@ -111,10 +111,18 @@ def upsert_sink(
       batch, keeps row_number()==1 per key ordered by (order_col,
       tiebreak_col) DESC, and dynamic-partition-overwrites just those
       buckets. Untouched buckets are never read or written.
-    * exactly-once: batch replay recomputes the same buckets from the
-      same inputs -- idempotent by construction. The merged frame is
-      localCheckpoint'ed before the write so the scan of the old
-      partition data completes before the overwrite clobbers it.
+    * idempotent under foreachBatch REPLAY: re-running a batch whose
+      overwrite COMPLETED recomputes the same buckets from the same
+      inputs. The merged frame is localCheckpoint'ed before the write
+      so the scan of the old partition data completes before the
+      overwrite clobbers it. CAVEAT (the honest limit of parquet
+      merge-on-write): the dynamic overwrite itself is not atomic --
+      a crash BETWEEN partition delete and file publish can lose the
+      touched buckets' prior rows, and replay then merges against the
+      damaged table. True exactly-once under mid-write crashes needs
+      an atomic-commit table format (a Delta/Iceberg-style manifest),
+      which is exactly what those formats exist for; this sink is the
+      engine-level primitive beneath them.
 
     At 100 TB, n_buckets scales with the table (thousands), and a
     micro-batch touching k keys rewrites O(k/n_buckets of the table),
@@ -133,10 +141,14 @@ def upsert_sink(
         from pyspark.sql import Window
 
         spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        tagged = batch.withColumn("__bucket", bucket)
+        # persist: the batch plan is evaluated twice (bucket collect +
+        # merged write); without this an expensive upstream (e.g. a
+        # streaming aggregation) recomputes per action (dual_sink
+        # applies the same rule)
+        tagged = batch.withColumn("__bucket", bucket).persist()
         touched = [r[0] for r in tagged.select("__bucket").distinct().collect()]
         if not touched:
+            tagged.unpersist()
             return
         if os.path.isdir(path) and any(
             e.startswith("__bucket=") for e in os.listdir(path)
@@ -154,7 +166,13 @@ def upsert_sink(
             .drop("__rn")
             .localCheckpoint()  # materialize BEFORE overwriting the source partitions
         )
-        latest.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+        # writer-scoped dynamic mode: setting the SESSION conf would
+        # leak dynamic-overwrite semantics to every other write on the
+        # shared SparkSession for the lifetime of the stream
+        (latest.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__bucket").parquet(path))
+        tagged.unpersist()
 
     return (
         df.writeStream.foreachBatch(merge)
@@ -183,10 +201,15 @@ def compact_upsert_table(
     thousands of batches mean thousands of small files per bucket --
     the lakehouse small-file problem. Compaction is a pure LAYOUT
     rewrite (same rows, fewer files): per bucket, read -> coalesce ->
-    dynamic-partition-overwrite, so concurrent readers of other
+    dynamic-partition-overwrite, so concurrent READERS of other
     buckets are untouched and the operation is idempotent (rerun =
-    same layout). Run it from a maintenance schedule, not the hot
-    path.
+    same layout). It must NOT race a live upsert_sink on the same
+    table: compaction snapshots all buckets then overwrites all
+    buckets, so a merge committed in between would be clobbered with
+    pre-snapshot rows -- run it with the stream stopped (or between
+    batches from the stream's own foreachBatch), the same discipline
+    every lakehouse compactor without a commit log requires. Run it
+    from a maintenance schedule, not the hot path.
 
     Returns {"files_before": n, "files_after": m}.
     """
@@ -206,13 +229,19 @@ def compact_upsert_table(
         return n
 
     before = count_files()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     cur = spark.read.parquet(path)
-    # one output file set per bucket: repartition on the partition
-    # column so the dynamic overwrite writes files_per_bucket files
-    # into each bucket directory it touches
-    compacted = cur.repartition(files_per_bucket * max(
-        1, cur.select("__bucket").distinct().count()
-    ), F.col("__bucket")).localCheckpoint()
-    compacted.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    n_buckets = max(1, cur.select("__bucket").distinct().count())
+    # repartition on (__bucket, salt): partitioning on __bucket alone
+    # hashes each bucket's rows into ONE task -> one file, making
+    # files_per_bucket > 1 a no-op and un-splittable oversized
+    # buckets; the salt spreads each bucket over files_per_bucket
+    # tasks so the parameter actually controls the file count
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                  F.lit(files_per_bucket))
+    compacted = cur.withColumn("__salt", salt).repartition(
+        files_per_bucket * n_buckets, F.col("__bucket"), F.col("__salt")
+    ).drop("__salt").localCheckpoint()
+    (compacted.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("__bucket").parquet(path))
     return {"files_before": before, "files_after": count_files()}

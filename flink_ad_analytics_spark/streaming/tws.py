@@ -60,8 +60,14 @@ class RunningSpendProcessor(StatefulProcessor):
         cents, n = (self._state.get() or (0, 0)) if self._state.exists() else (0, 0)
         for pdf in rows:
             # exact per-ROW decimal->cents (costs carry 2dp): rounding
-            # each value before the sum keeps the ledger integer-exact
-            cents += int((pdf["cost"] * 100).round().astype("int64").sum())
+            # each value before the sum keeps the ledger integer-exact.
+            # NULL costs (NaN after Arrow->pandas) are dropped, not
+            # cast: .astype('int64') on NaN raises, and a raising task
+            # is a poison pill -- the replayed batch fails identically
+            # forever. Malformed rows still count toward n (they were
+            # impressions; they had no cost).
+            cost = pdf["cost"].dropna()
+            cents += int((cost * 100).round().astype("int64").sum())
             n += len(pdf)
         self._state.update((cents, n))
         yield pd.DataFrame(

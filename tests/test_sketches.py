@@ -80,3 +80,21 @@ def test_approx_percentile_close_to_exact(spark, events):
     ).collect()[0]
     for a, e in zip(row.ap, row.ex):
         assert abs(a - e) <= 0.02 * max(abs(e), 1.0), (a, e)
+
+
+def test_cms_absent_key_estimates_zero_and_geometry_validated(spark):
+    """A key never seen at build time must estimate 0 (not vanish from
+    the output), and a depth/width mismatch must raise rather than
+    silently probe the wrong cells."""
+    import pytest
+
+    from flink_ad_analytics_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
+    cms = cms_build(df, "k", depth=4, width=512)
+    probe = spark.createDataFrame([("a",), ("zzz-never-seen",)], ["k"])
+    est = {r.k: r.est_count for r in cms_estimate(cms, probe, "k", depth=4, width=512).collect()}
+    assert est["a"] >= 2
+    assert est["zzz-never-seen"] == 0  # present in output, floor 0
+    with pytest.raises(ValueError, match="does not match"):
+        cms_estimate(cms, probe, "k", depth=4, width=2048).collect()
