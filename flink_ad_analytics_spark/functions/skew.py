@@ -32,14 +32,28 @@ def salted_join(
     """Equi-join with the large side salted across ``n_salts`` sub-keys.
 
     ``how`` may be inner or left (left preserves large-side rows).
-    The salt is uniform-random per large-side row (seeded -- stable
-    within a run); the small side is exploded once per salt value, so
-    every (key, salt) combination finds its match.
+    The salt is a DETERMINISTIC content hash of the whole large-side
+    row, not rand(): rand(seed) is seeded per (partition, row
+    position), so a fetch-failure retry that recomputes upstream map
+    tasks can re-deal different salts to rows that re-arrive in a
+    different order -- duplicating or losing join rows against the
+    surviving shuffle outputs (the rule corpus_writer.py documents).
+    Content hashing keeps identical rows co-salted (fine -- duplicates
+    colocate) while spreading a hot KEY by its other columns. The
+    small side is exploded once per salt value, so every (key, salt)
+    combination finds its match.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
+    if SALT_COL in large.columns or SALT_COL in small.columns:
+        raise ValueError(
+            f"salted_join: input already carries a {SALT_COL!r} column; "
+            "rename it first (it would be clobbered and dropped)"
+        )
     salted_large = large.withColumn(
-        SALT_COL, F.floor(F.rand(seed) * n_salts).cast("int")
+        SALT_COL,
+        F.pmod(F.xxhash64(*[F.col(c) for c in large.columns], F.lit(seed)),
+               F.lit(n_salts)).cast("int"),
     )
     replicated_small = small.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

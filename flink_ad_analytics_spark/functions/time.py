@@ -19,10 +19,15 @@ def epoch_millis_to_ts(col: Column) -> Column:
 
 def epoch_nanos_to_ts(col_name: str) -> Column:
     """Epoch nanoseconds (BIGINT, as surfaced by nanosAsLong parquet
-    reads) -> microsecond timestamp via integer floor division --
+    reads) -> microsecond timestamp via integer FLOOR division --
     exact on int64, unlike float division which loses precision above
-    2^53."""
-    return F.timestamp_micros(F.expr(f"{col_name} DIV 1000"))
+    2^53. DIV alone truncates toward zero, which would shift PRE-EPOCH
+    (negative) nanos one microsecond late vs the oracle's true floor
+    (epoch_ns // 1000); subtracting pmod first makes the numerator
+    exactly divisible, so DIV and floor agree for every sign."""
+    return F.timestamp_micros(
+        F.expr(f"({col_name} - pmod({col_name}, 1000)) DIV 1000")
+    )
 
 
 def tumble(col: Column, width: str) -> Column:

@@ -118,12 +118,16 @@ def cosine_topk(
     strictly above it in rounded cosine and cannot be in the exact
     top-k.
     """
+    # zero-norm vectors have no defined cosine and, under ANSI mode
+    # (this session's default), would abort the whole job with
+    # DIVIDE_BY_ZERO -- excluded from both sides, like the quantized
+    # path (where scale=0 quantizes to NULL)
     queries = F.broadcast(
         embeddings.filter(query_filter).select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
             F.sqrt(_dot_fast("embedding", "embedding")).alias("qnf"),
-        )
+        ).filter(F.col("qnf") > 0)
     )
     base = (
         embeddings.filter(candidate_filter)
@@ -134,7 +138,7 @@ def cosine_topk(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_emb"),
         F.sqrt(_dot_fast("embedding", "embedding")).alias("cnf"),
-    )
+    ).filter(F.col("cnf") > 0)
     pairs = (
         cands.crossJoin(queries)
         .filter(F.col("q_id") != F.col("c_id"))
@@ -193,20 +197,47 @@ def ivf_topk(
     cosine_topk is the exact reference. Output adds the bucket id.
     """
     bucketed = embeddings.withColumn("bucket", sign_bucket())
+    # same two-stage scoring as cosine_topk: the exact decimal fold is
+    # interpreted (~100x the codegen double fold), so every same-bucket
+    # pair is first scored with the fast double cosine, each query
+    # keeps pairs within the proven 2e-6 margin of its k-th approx
+    # score, and the decimal-exact cosine runs on the ~k survivors.
+    # Zero-norm vectors excluded (undefined cosine; ANSI div-by-zero).
     queries = bucketed.filter(query_filter).select(
         F.col("vec_id").alias("q_id"),
         F.col("bucket"),
         F.col("embedding").alias("q_emb"),
-        _norm("embedding").alias("qn"),
-    )
+        F.sqrt(_dot_fast("embedding", "embedding")).alias("qnf"),
+    ).filter(F.col("qnf") > 0)
     cands = bucketed.select(
         F.col("vec_id").alias("c_id"),
         F.col("bucket"),
         F.col("embedding").alias("c_emb"),
-        _norm("embedding").alias("cn"),
+        F.sqrt(_dot_fast("embedding", "embedding")).alias("cnf"),
+    ).filter(F.col("cnf") > 0)
+    pairs = (
+        cands.join(F.broadcast(queries), ["bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "approx",
+            _dot_fast("q_emb", "c_emb") / (F.col("qnf") * F.col("cnf")),
+        )
     )
-    scored = _scored_pairs(cands, F.broadcast(queries), on=["bucket"]).filter(
-        F.col("q_id") != F.col("c_id")
+    wq = Window.partitionBy("q_id")
+    wr = wq.orderBy(F.col("approx").desc())
+    pruned = (
+        pairs.withColumn("__ar", F.row_number().over(wr))
+        .withColumn(
+            "__kth", F.max(F.when(F.col("__ar") == k, F.col("approx"))).over(wq)
+        )
+        .filter(
+            F.col("__kth").isNull()
+            | (F.col("approx") >= F.col("__kth") - F.lit(2e-6))
+        )
+    )
+    scored = pruned.withColumn(
+        "cosine",
+        F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
@@ -250,16 +281,33 @@ def cosine_topk_vectorized(
         )
     q_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     q = np.array([r.embedding for r in rows], dtype=np.float64)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # zero-norm queries have no defined cosine: numpy would emit NaN
+    # rows (and Spark ranks NaN FIRST in desc order) -- drop them,
+    # consistent with the SQL paths
+    qnorm = np.linalg.norm(q, axis=1)
+    keep = qnorm > 0
+    q_ids, q, qnorm = q_ids[keep], q[keep], qnorm[keep]
+    if len(q_ids) == 0:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], "q_id long, c_id long, cosine double, rank long"
+        )
+    qn = q / qnorm[:, None]
     bq = embeddings.sparkSession.sparkContext.broadcast((q_ids, qn))
 
     def score(batches):
         ids, qmat = bq.value
         for pdf in batches:
             cand = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            cand /= np.linalg.norm(cand, axis=1, keepdims=True)
+            cnorm = np.linalg.norm(cand, axis=1)
+            ok = cnorm > 0  # zero-norm candidates: cosine undefined, drop
+            if not ok.all():
+                cand, cnorm = cand[ok], cnorm[ok]
+            if len(cand) == 0:
+                continue
+            cand /= cnorm[:, None]
             sims = qmat @ cand.T  # (n_queries, batch)
-            c_ids = pdf["vec_id"].to_numpy()
+            c_ids = pdf["vec_id"].to_numpy()[ok]
             for qi, qid in enumerate(ids):
                 yield pd.DataFrame(
                     {"q_id": qid, "c_id": c_ids, "cosine": sims[qi]}
@@ -371,17 +419,14 @@ def quantize_int8(
 
     Zero vectors (scale = 0) keep NULL q/l1 rather than dividing.
     """
-    ax = F.expr(f"transform({vec_col}, x -> abs(CAST(x AS DOUBLE)))")
+    ax = _ABS_EXPR.format(v=vec_col)
     base = emb.select(
         F.col(id_col),
         F.size(vec_col).cast("long").alias("n_dims"),
-        F.array_max(ax).alias("scale"),
+        F.array_max(F.expr(ax)).alias("scale"),
         F.col(vec_col),
     )
-    q = (
-        "transform({v}, x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0D"
-        " + 0.5D) AS BIGINT))"
-    ).format(v=vec_col)
+    q = _QUANT_EXPR.format(v=vec_col)
     quant = base.select(
         id_col,
         "n_dims",
@@ -397,32 +442,44 @@ def quantize_int8(
     )
 
 
-def quantized_vecs(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """(id, scale, q array<bigint>): int8-quantized vectors (see
-    quantize_int8) kept as arrays for search-side use."""
-    ax = F.expr(f"transform({vec_col}, x -> abs(CAST(x AS DOUBLE)))")
-    base = emb.select(
-        F.col(id_col),
-        F.array_max(ax).alias("scale"),
-        F.col(vec_col),
-    )
-    q = (
-        "transform({v}, x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0D"
-        " + 0.5D) AS BIGINT))"
-    ).format(v=vec_col)
-    return base.select(
-        id_col, "scale", F.when(F.col("scale") > 0, F.expr(q)).alias("q")
-    )
-
-
 #: Integer dot product: every term and the fold are exact BIGINT math,
 #: so the result is engine-independent by construction -- no decimal
 #: tricks needed. (127*127*dims*|values| stays far inside int64.)
 _IDOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, t) -> acc + t)"
 )
+
+
+#: Shared quantization expressions -- ONE definition consumed by both
+#: quantize_int8 (the audited projection) and quantized_vecs (the
+#: search-side form), so a rounding-rule tweak cannot desynchronize
+#: the audited output from the vectors actually searched.
+_ABS_EXPR = "transform({v}, x -> abs(CAST(x AS DOUBLE)))"
+_QUANT_EXPR = (
+    "transform({v}, x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0D"
+    " + 0.5D) AS BIGINT))"
+)
+
+
+def quantized_vecs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, scale, q array<bigint>, n2 bigint): int8-quantized vectors
+    (see quantize_int8) kept as arrays for search-side use, with the
+    exact integer self-dot precomputed ONCE per vector (recomputing it
+    inside a pair expression would fold it |other side| times on the
+    quadratic join)."""
+    ax = _ABS_EXPR.format(v=vec_col)
+    base = emb.select(
+        F.col(id_col),
+        F.array_max(F.expr(ax)).alias("scale"),
+        F.col(vec_col),
+    )
+    q = _QUANT_EXPR.format(v=vec_col)
+    qd = base.select(
+        id_col, "scale", F.when(F.col("scale") > 0, F.expr(q)).alias("q")
+    )
+    return qd.withColumn("n2", F.expr(_IDOT.format(a="q", b="q")))
 
 
 def quantized_topk(
@@ -449,16 +506,27 @@ def quantized_topk(
     # BOTH sides -- matching the oracle, where a NULL q vanishes from
     # the unnest. Without this, a zero vector in the corpus emits
     # NULL-scored rank rows the oracle does not have.
-    qv = quantized_vecs(emb, id_col, vec_col).filter(F.col("q").isNotNull())
+    # query_filter applies to the RAW emb frame (before the quantized
+    # projection drops metadata columns), so label/metadata predicates
+    # work exactly as they do in cosine_topk's filtered search
+    def _qv(frame):
+        return quantized_vecs(frame, id_col, vec_col).filter(
+            F.col("q").isNotNull()
+        )
+
     queries = F.broadcast(
-        qv.filter(query_filter).select(
-            F.col(id_col).alias("q_id"), F.col("q").alias("qq")
+        _qv(emb.filter(query_filter)).select(
+            F.col(id_col).alias("q_id"),
+            F.col("q").alias("qq"),
+            F.col("n2").alias("qn2"),
         )
     )
-    cands = qv.select(F.col(id_col).alias("c_id"), F.col("q").alias("cq"))
+    cands = _qv(emb).select(
+        F.col(id_col).alias("c_id"),
+        F.col("q").alias("cq"),
+        F.col("n2").alias("cn2"),
+    )
     idot = _IDOT.format(a="qq", b="cq")
-    nq = _IDOT.format(a="qq", b="qq")
-    nc = _IDOT.format(a="cq", b="cq")
     scored = (
         cands.crossJoin(queries)
         .filter(F.col("q_id") != F.col("c_id"))
@@ -467,7 +535,7 @@ def quantized_topk(
             F.round(
                 F.expr(
                     f"CAST({idot} AS DOUBLE) / "
-                    f"(sqrt(CAST({nq} AS DOUBLE)) * sqrt(CAST({nc} AS DOUBLE)))"
+                    "(sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE)))"
                 ),
                 6,
             ),

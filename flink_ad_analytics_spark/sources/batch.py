@@ -86,4 +86,10 @@ def load_evolving_table(
     for col, default in (defaults or {}).items():
         if col in df.columns:
             df = df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+        else:
+            # column absent from EVERY file (directory predates it
+            # entirely): add it as the default rather than silently
+            # ignoring the caller's schema expectation -- downstream
+            # select(col) would otherwise die on UNRESOLVED_COLUMN
+            df = df.withColumn(col, F.lit(default))
     return df
