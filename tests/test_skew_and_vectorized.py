@@ -64,3 +64,48 @@ def test_vectorized_topk_empty_queries(spark):
     emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
     out = cosine_topk_vectorized(emb, query_filter=F.col("vec_id") < -1, k=5)
     assert out.count() == 0
+
+
+def test_zero_norm_vectors_excluded_everywhere(spark):
+    """A single all-zero embedding must not crash (ANSI DIVIDE_BY_ZERO)
+    or outrank real candidates (NaN sorts first in desc order) in ANY
+    cosine path -- it is excluded, like the quantized path's NULL-q."""
+    from flink_ad_analytics_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_vectorized,
+        ivf_topk,
+        quantized_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 2.0, 3.0, 4.0]),
+            (2, [1.0, 2.0, 3.0, 3.9]),
+            (3, [-1.0, 0.5, 2.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for fn, score_col in (
+        (cosine_topk, "cosine"),
+        (ivf_topk, "cosine"),
+        (cosine_topk_vectorized, "cosine"),
+        (quantized_topk, "qcosine"),
+    ):
+        rows = fn(emb, query_filter=F.col("vec_id") < 2, k=2).collect()
+        assert all(r.q_id != 0 and r.c_id != 0 for r in rows), fn.__name__
+        assert all(r[score_col] is not None for r in rows), fn.__name__
+
+
+def test_evolving_table_defaults_absent_column(spark, tmp_path):
+    """A default for a column absent from EVERY file must be added,
+    not silently ignored."""
+    from flink_ad_analytics_spark.sources.batch import load_evolving_table
+
+    spark.createDataFrame([(1, "a")], "id long, txt string").write.parquet(
+        str(tmp_path / "t")
+    )
+    df = load_evolving_table(
+        spark, str(tmp_path / "t"), defaults={"split": "train"}
+    )
+    assert df.select("split").collect()[0].split == "train"
