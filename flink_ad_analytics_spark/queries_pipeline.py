@@ -27,6 +27,7 @@ from .operators.packing import (
     pack_sequences_greedy,
     pack_sequences_offset,
 )
+from .operators.range_join import binned_range_join
 from .operators.similarity import quantize_int8, quantized_topk
 from .operators.text import redact_pii, repetition_features
 from .operators.sampling import (
@@ -1368,7 +1369,58 @@ ORDER BY anchor_lang, neg_lang
 """
 
 
+# -- keyless band join: burst co-occurrence --------------------------------
+
+
+def q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event, how many click events landed within +-30s --
+    corpus-wide, NO equi key, the join shape Spark degenerates to a
+    nested-loop O(|L| x |R|) plan on. Runs through
+    operators/range_join.py::binned_range_join (bucket-replicated
+    equi-join, shuffle-linear); zero-match errors restored by a
+    post-aggregate left join so the band operator itself stays inner
+    (its bucket replicas make in-join null extension ambiguous).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 30 SECONDS")).alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 SECONDS")).alias("hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    matched = binned_range_join(
+        errors,
+        clicks,
+        left_lo="lo",
+        left_hi="hi",
+        right_point="click_ts",
+        bin_width="1 minute",
+    )
+    counts = matched.groupBy("event_id").agg(
+        F.count("click_id").alias("n_nearby_clicks")
+    )
+    return errors.join(counts, "event_id", "left").select(
+        "event_id",
+        F.coalesce("n_nearby_clicks", F.lit(0)).cast("long").alias("n_nearby_clicks"),
+    )
+
+
+EVENT_BURSTS_SQL = """
+SELECT e.event_id,
+       CAST(COUNT(c.event_id) AS BIGINT) AS n_nearby_clicks
+FROM events e
+LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND c.ts BETWEEN e.ts - INTERVAL 30 SECOND AND e.ts + INTERVAL 30 SECOND
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "event_bursts": (q_event_bursts, EVENT_BURSTS_SQL),
     "negative_samples": (q_negative_samples, NEGATIVE_SAMPLES_SQL),
     "bpe_top_pairs": (q_bpe_top_pairs, BPE_TOP_PAIRS_SQL),
     "bpe_vocab": (q_bpe_vocab, None),
