@@ -614,3 +614,116 @@ def bpe_segment(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.size("symbols")).alias("n_symbols"),
     )
+
+
+# -- hashed-feature linear classifier ---------------------------------------
+
+#: Hashed feature-space dimensionality and weight scale for
+#: hashed_linear_score. 2001 odd keeps the integer weight range
+#: symmetric: md5-int % 2001 - 1000 is uniform on [-1000, 1000].
+LINEAR_DIM = 512
+LINEAR_WEIGHT_MOD = 2001
+LINEAR_WEIGHT_SHIFT = 1000
+
+
+def linear_weights(dim: int = LINEAR_DIM) -> list[int]:
+    """The deterministic stand-in weight vector, materialized.
+
+    In a real deployment these integers come from an offline trainer
+    (logistic regression over hashed bags of words -- the fastText /
+    CCNet quality-filter shape); here they are derived from md5 so the
+    DuckDB oracle can recompute them arithmetically. The contract the
+    tests pin: `hashed_linear_score` (weights folded into expressions)
+    == scoring against THIS materialized vector via an array literal
+    lookup (`hashed_linear_score_from_vector`, the swap-in point for
+    learned weights).
+    """
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16)
+        % LINEAR_WEIGHT_MOD
+        - LINEAR_WEIGHT_SHIFT
+        for b in range(dim)
+    ]
+
+
+def _bucket_expr(tok: str, dim: int) -> str:
+    """SQL for md5-hash-bucketing one token into [0, dim).
+
+    conv() returns STRING; the explicit bigint() cast keeps the modulo
+    in exact integer arithmetic (string % int would coerce to double,
+    whose string form '123.0' then diverges from the oracle's '123')."""
+    return f"bigint(conv(substring(md5({tok}), 1, 8), 16, 10)) % {dim}"
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = LINEAR_DIM,
+) -> DataFrame:
+    """Linear quality-classifier scoring as pure codegen SQL.
+
+    Each whitespace token hashes into a `dim`-bucket feature space;
+    the bucket's integer weight is accumulated exactly (BIGINT), and
+    the final score is one double division: score = sum_w / (1000 *
+    n_tokens). No UDF, no shuffle -- a projection the parquet scan
+    streams through, which is why this filter costs ~nothing at 100 TB
+    next to everything it gates.
+
+    Output: (id, n_tokens, weight_sum, lr_score) with weight_sum exact
+    across engines (integer accumulation is order-free).
+    """
+    weight = (
+        f"bigint(conv(substring(md5(concat('w:', string("
+        f"{_bucket_expr('t', dim)}))), 1, 8), 16, 10)) "
+        f"% {LINEAR_WEIGHT_MOD} - {LINEAR_WEIGHT_SHIFT}"
+    )
+    toks = docs.select(
+        F.col(id_col), F.expr(TOKENS.format(col=text_col)).alias("ws")
+    )
+    return toks.select(
+        F.col(id_col),
+        F.expr("size(ws)").alias("n_tokens"),
+        F.expr(f"aggregate(ws, bigint(0), (acc, t) -> acc + ({weight}))").alias(
+            "weight_sum"
+        ),
+    ).withColumn(
+        "lr_score",
+        F.col("weight_sum").cast("double")
+        / (F.lit(float(LINEAR_WEIGHT_SHIFT)) * F.col("n_tokens").cast("double")),
+    )
+
+
+def hashed_linear_score_from_vector(
+    docs: DataFrame,
+    weights: list[int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Same scoring against an explicit weight vector (array-literal
+    lookup) -- the production form once weights are actually learned.
+    The vector rides into executors inside the serialized plan (a few
+    KB); for 1e6+-dim models broadcast a weights DataFrame and
+    aggregate over an exploded token join instead.
+    """
+    dim = len(weights)
+    arr = f"array({', '.join(str(w) for w in weights)})"
+    weight = f"element_at({arr}, int({_bucket_expr('t', dim)}) + 1)"
+    toks = docs.select(
+        F.col(id_col), F.expr(TOKENS.format(col=text_col)).alias("ws")
+    )
+    return toks.select(
+        F.col(id_col),
+        F.expr("size(ws)").alias("n_tokens"),
+        F.expr(
+            f"aggregate(ws, bigint(0), (acc, t) -> acc + bigint({weight}))"
+        ).alias("weight_sum"),
+    ).withColumn(
+        "lr_score",
+        F.col("weight_sum").cast("double")
+        / (F.lit(float(LINEAR_WEIGHT_SHIFT)) * F.col("n_tokens").cast("double")),
+    )

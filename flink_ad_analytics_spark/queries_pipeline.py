@@ -29,7 +29,14 @@ from .operators.packing import (
 )
 from .operators.range_join import binned_range_join
 from .operators.similarity import quantize_int8, quantized_topk
-from .operators.text import redact_pii, repetition_features
+from .operators.text import (
+    LINEAR_DIM,
+    LINEAR_WEIGHT_MOD,
+    LINEAR_WEIGHT_SHIFT,
+    hashed_linear_score,
+    redact_pii,
+    repetition_features,
+)
 from .operators.sampling import (
     group_sample_fixed,
     hash_int_sql,
@@ -1369,6 +1376,42 @@ ORDER BY anchor_lang, neg_lang
 """
 
 
+# -- hashed-feature linear quality classifier -------------------------------
+
+
+def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText/CCNet shape) as pure
+    codegen SQL: md5 token hashing into a 512-bucket feature space,
+    exact BIGINT weight accumulation, one terminal double division.
+    operators/text.py::hashed_linear_score; the learned-weights
+    swap-in (array-literal lookup) is proven equivalent in
+    tests/test_classifier.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_linear_score(docs)
+
+
+CLASSIFIER_SCORES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+scored AS (
+  SELECT doc_id, len(ws) AS n_tokens,
+         coalesce(list_sum([
+             CAST('0x' || substr(md5('w:' ||
+                 CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)
+                      % {LINEAR_DIM} AS VARCHAR)), 1, 8) AS BIGINT)
+             % {LINEAR_WEIGHT_MOD} - {LINEAR_WEIGHT_SHIFT}
+             for t in ws]), 0) AS weight_sum
+  FROM toks)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(weight_sum AS BIGINT) AS weight_sum,
+       CAST(weight_sum AS DOUBLE) / ({LINEAR_WEIGHT_SHIFT}.0 * n_tokens)
+         AS lr_score
+FROM scored
+"""
+
+
 # -- keyless band join: burst co-occurrence --------------------------------
 
 
@@ -1421,6 +1464,7 @@ GROUP BY e.event_id
 
 PIPELINE_QUERIES: dict[str, tuple] = {
     "event_bursts": (q_event_bursts, EVENT_BURSTS_SQL),
+    "classifier_scores": (q_classifier_scores, CLASSIFIER_SCORES_SQL),
     "negative_samples": (q_negative_samples, NEGATIVE_SAMPLES_SQL),
     "bpe_top_pairs": (q_bpe_top_pairs, BPE_TOP_PAIRS_SQL),
     "bpe_vocab": (q_bpe_vocab, None),
