@@ -178,3 +178,36 @@ def rank_topk(closed_windows: DataFrame, *, k: int = 3) -> DataFrame:
         closed_windows.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def streaming_ingest_dedup(
+    docs_stream: DataFrame,
+    *,
+    text_col: str = "text",
+    event_time_col: str = "event_time",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Exact content dedup at ingest time: md5 of the normalized text,
+    first arrival per fingerprint kept, later copies dropped.
+
+    The streaming counterpart of `operators/dedup.py::exact_dedup`
+    (same fingerprint definition -- one normalization, both modes):
+    `dropDuplicatesWithinWatermark` keeps per-fingerprint state only
+    until the watermark passes, so state is bounded by the dedup
+    horizon, not corpus size. That is the semantic a continuously-
+    ingesting corpus wants: "no duplicates within the reordering
+    window"; cross-horizon dedup remains the batch operator's job
+    (run `exact_dedup` over the compacted table).
+
+    Batch parity: exact_dedup keeps the min-id row per fingerprint;
+    this keeps the FIRST-ARRIVED row. When arrival order follows id
+    order (the append-only ingest norm) the two agree row-for-row --
+    asserted in tests/test_streaming_ingest_dedup.py.
+    """
+    from ..operators.dedup import normalized_text
+
+    return (
+        docs_stream.withWatermark(event_time_col, watermark)
+        .withColumn("fingerprint", F.md5(normalized_text(text_col)))
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )

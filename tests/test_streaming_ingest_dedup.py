@@ -1,0 +1,82 @@
+"""Streaming at-ingest exact dedup == batch exact_dedup keepers when
+arrival follows id order; later-arriving duplicate content is dropped
+across micro-batch boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+from flink_ad_analytics_spark.operators.dedup import exact_dedup
+from flink_ad_analytics_spark.streaming.jobs import streaming_ingest_dedup
+
+BASE = dt.datetime(2024, 1, 1)
+
+# files carry epoch millis (parquet INT64 -- robust under the engine's
+# nanosAsLong conf); the stream derives the timestamp, as the event
+# sources do (S5).
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("event_time_ms", T.LongType()),
+    ]
+)
+
+
+def _docs() -> list[tuple[int, str]]:
+    uniq = [f"document body number {i} with distinct content" for i in range(12)]
+    rows = [(i, uniq[i]) for i in range(12)]
+    # same-batch duplicate (normalized: case/whitespace-insensitive)
+    rows.append((12, uniq[3].upper()))
+    # cross-batch duplicates land in the second file
+    rows.append((13, "  " + uniq[5] + "  "))
+    rows.append((14, uniq[0]))
+    return rows
+
+
+def test_streaming_ingest_dedup_equals_batch(spark, tmp_path):
+    rows = _docs()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    base_ms = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    pdf["event_time_ms"] = [base_ms + 1000 * i for i in range(len(pdf))]
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    # id-ordered arrival: first file ids 0-11, second file the dup tail
+    pdf.iloc[:12].to_parquet(src / "part-0.parquet", index=False)
+    pdf.iloc[12:].to_parquet(src / "part-1.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("event_time", F.timestamp_millis(F.col("event_time_ms")))
+    )
+    deduped = streaming_ingest_dedup(stream, watermark="10 seconds")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ingest_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = spark.table("ingest_dedup").select("doc_id", "fingerprint").collect()
+    kept_ids = sorted(r.doc_id for r in kept)
+    kept_fps = {r.fingerprint for r in kept}
+    assert len(kept_fps) == len(kept), "one survivor per fingerprint"
+
+    batch = exact_dedup(
+        spark.createDataFrame(pdf, schema=SCHEMA)
+    ).collect()
+    assert kept_ids == sorted(r.keeper_doc_id for r in batch)
+    assert kept_fps == {r.fingerprint for r in batch}
+    # the three planted duplicates (12, 13, 14) were all dropped
+    assert set(kept_ids) == set(range(12))
