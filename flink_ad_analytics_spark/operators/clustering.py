@@ -671,3 +671,100 @@ def pq_codes_stats(
             F.round(F.col("d2"), 6).cast("double").alias("d2"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    k: int = 10,
+    seed: int = 11,
+    threshold: float = 0.8,
+    n_salts: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv 2303.09540): cluster the embedding
+    space, then within each cluster drop every item whose cosine to a
+    smaller-id item is >= threshold.
+
+    This is the semantic complement of the lexical dedup family:
+    MinHash/SimHash catch near-identical TEXT, SemDeDup catches
+    near-identical MEANING (translations, templated rewrites,
+    boilerplate paraphrases). Clustering bounds the pair space to
+    within-cluster candidates -- the O(n^2) all-pairs problem becomes
+    k * O((n/k)^2), with k the scale lever; at 100 TB, k grows with
+    the corpus so cluster populations (and the per-cluster quadratic)
+    stay bounded, and one hot cluster is split across n_salts tasks.
+
+    The keep rule is greedy in id order (an item is dropped iff a
+    KEPT-or-dropped smaller-id near-dup exists), the order-free
+    parallel form of the paper's sequential greedy scan -- exactly one
+    EXISTS per item, no iteration. Transitive chains thus behave like
+    the paper's implementation: b~a drops b, c~b drops c even if
+    c!~a.
+
+    Assignment uses the exact-decimal nearest-init-centroid step
+    (`_assign_to_init`, the oracle-proven Lloyd half); scoring uses
+    the double-fold prescreen + exact-decimal rescore idiom from
+    `similarity.cosine_near_dup_pairs`, so the whole operator is
+    value-exact across engines. Zero-norm vectors (cosine undefined)
+    never pair and are always kept.
+
+    Output: (id, cluster_id, keep) -- filter keep for the survivors.
+    """
+    from .similarity import _dot, _dot_fast, _norm
+
+    assigned = _assign_to_init(emb, k, id_col, vec_col, seed).select(
+        F.col(id_col), F.col("centroid_id").cast("long").alias("cluster_id")
+    )
+    base = assigned.join(emb.select(id_col, vec_col), id_col).select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.col(vec_col),
+        _norm(vec_col).alias("nrm"),
+    )
+    scorable = base.filter(F.col("nrm") > 0)
+    n_part = max(k, 1) * n_salts
+    a = scorable.select(
+        F.col(id_col).alias("q_id"),
+        "cluster_id",
+        F.col(vec_col).alias("q_emb"),
+        F.col("nrm").alias("qn"),
+        (F.col(id_col) % n_salts).cast("int").alias("__salt"),
+    ).repartition(n_part, "cluster_id", "__salt")
+    b = (
+        scorable.select(
+            F.col(id_col).alias("c_id"),
+            "cluster_id",
+            F.col(vec_col).alias("c_emb"),
+            F.col("nrm").alias("cn"),
+        )
+        .withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        )
+        .repartition(n_part, "cluster_id", "__salt")
+    )
+    cand = (
+        a.join(b, ["cluster_id", "__salt"])
+        .filter(F.col("q_id") < F.col("c_id"))
+        .drop("__salt")
+    )
+    approx = _dot_fast("q_emb", "c_emb") / (F.col("qn") * F.col("cn"))
+    near = (
+        cand.filter(approx >= F.lit(threshold - 1e-5))
+        .withColumn(
+            "cosine",
+            F.round(_dot("q_emb", "c_emb") / (F.col("qn") * F.col("cn")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    dropped = (
+        near.select(F.col("c_id").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return base.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.col("__dup").isNull().alias("keep"),
+    )

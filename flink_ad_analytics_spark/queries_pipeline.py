@@ -20,7 +20,7 @@ from .operators.clustering import (
     kmeans_step_stats,
     kmeans_update_stats,
 )
-from .operators.clustering import pq_codes_stats, pq_fit, pq_topk
+from .operators.clustering import pq_codes_stats, pq_fit, pq_topk, semantic_dedup
 from .operators.dedup import decontaminate, decontaminate_bloom, span_dedup
 from .operators.packing import (
     chunk_documents,
@@ -1376,6 +1376,97 @@ ORDER BY anchor_lang, neg_lang
 """
 
 
+# -- SemDeDup: semantic (embedding-space) dedup ------------------------------
+
+_SEMDEDUP_THRESHOLD = 0.4
+_DOT_TERM = "CAST(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE) AS DECIMAL(20,16))"
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/clustering.py::semantic_dedup): exact-
+    decimal kmeans-init assignment partitions the corpus; within each
+    cluster, items cosine-similar (>= 0.4) to a smaller-id item are
+    dropped. Same k/seed as the kmeans_step oracle bridge, so the
+    assignment half is independently value-proven there."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, k=_KM_K, seed=_KM_SEED, threshold=_SEMDEDUP_THRESHOLD
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY md5('{{KM_SEED}}:' || CAST(vec_id AS VARCHAR)), vec_id
+         ) AS r
+  FROM embeddings
+),
+cents AS (
+  SELECT r - 1 AS centroid_id, embedding AS centroid
+  FROM ranked WHERE r <= {{KM_K}}
+),
+v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+cv AS (
+  SELECT centroid_id, generate_subscripts(centroid, 1) AS pos,
+         CAST(unnest(centroid) AS DOUBLE) AS c
+  FROM cents
+),
+d AS (
+  SELECT vec_id, centroid_id,
+         CAST(round(SUM(CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
+                             AS DECIMAL(20,16))), 12) AS DECIMAL(38,12)) AS d2
+  FROM v JOIN cv USING (pos)
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, CAST(centroid_id AS BIGINT) AS cluster_id
+  FROM (SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, centroid_id ASC) AS rr
+        FROM d)
+  WHERE rr = 1
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(ROUND(SUM({_DOT_TERM.format(a='x', b='x')}), 12) AS DOUBLE))
+           AS nrm
+  FROM v GROUP BY 1
+),
+e AS (
+  SELECT v.vec_id, a.cluster_id, v.pos, v.x
+  FROM v
+  JOIN assign a ON v.vec_id = a.vec_id
+  JOIN norms n ON v.vec_id = n.vec_id AND n.nrm > 0
+),
+dots AS (
+  SELECT e1.cluster_id, e1.vec_id AS id1, e2.vec_id AS id2,
+         CAST(ROUND(SUM({_DOT_TERM.format(a='e1.x', b='e2.x')}), 12) AS DOUBLE)
+           AS dot
+  FROM e e1
+  JOIN e e2 ON e1.cluster_id = e2.cluster_id AND e1.pos = e2.pos
+  WHERE e1.vec_id < e2.vec_id
+  GROUP BY 1, 2, 3
+),
+dropped AS (
+  SELECT DISTINCT id2 AS vec_id
+  FROM dots
+  JOIN norms n1 ON id1 = n1.vec_id
+  JOIN norms n2 ON id2 = n2.vec_id
+  WHERE ROUND(dot / (n1.nrm * n2.nrm), 6) >= {{THRESHOLD}}
+)
+SELECT a.vec_id, a.cluster_id, (dr.vec_id IS NULL) AS keep
+FROM assign a
+LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+""".replace("{KM_SEED}", str(_KM_SEED)).replace("{KM_K}", str(_KM_K)).replace(
+    "{THRESHOLD}", str(_SEMDEDUP_THRESHOLD)
+)
+
+
 # -- hashed-feature linear quality classifier -------------------------------
 
 
@@ -1465,6 +1556,7 @@ GROUP BY e.event_id
 PIPELINE_QUERIES: dict[str, tuple] = {
     "event_bursts": (q_event_bursts, EVENT_BURSTS_SQL),
     "classifier_scores": (q_classifier_scores, CLASSIFIER_SCORES_SQL),
+    "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
     "negative_samples": (q_negative_samples, NEGATIVE_SAMPLES_SQL),
     "bpe_top_pairs": (q_bpe_top_pairs, BPE_TOP_PAIRS_SQL),
     "bpe_vocab": (q_bpe_vocab, None),
