@@ -1376,6 +1376,84 @@ ORDER BY anchor_lang, neg_lang
 """
 
 
+# -- declarative data-quality constraint suite -------------------------------
+
+
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-shape constraint suite over orders
+    (operators/quality.py::check): five row-local rules share ONE
+    aggregation pass; Unique adds one groupBy; ReferencedIn one
+    broadcast anti-join against customer. The suite mixes passing and
+    violated rules so the counting paths (not just the zeros) are
+    value-gated."""
+    from .operators.quality import (
+        InRange,
+        InSet,
+        Matches,
+        NotNull,
+        Predicate,
+        ReferencedIn,
+        Unique,
+        check,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rules = [
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0, 150000),
+        InSet("o_orderstatus", ("F", "O")),
+        Matches("o_orderpriority", "^[1-3]-"),
+        Predicate(
+            "orderdate_in_window",
+            "o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '2001-01-01'",
+        ),
+        Unique(("o_orderkey",)),
+        ReferencedIn("o_custkey", "customer", "c_custkey"),
+    ]
+    return check(orders, rules, refs={"customer": customer})
+
+
+DATA_QUALITY_SQL = """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+SELECT 'not_null:o_custkey' AS rule, n_rows,
+       (SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) FROM orders) AS n_violations FROM n
+UNION ALL
+SELECT 'in_range:o_totalprice', n_rows,
+       (SELECT CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                         AND o_totalprice NOT BETWEEN 0 AND 150000
+                        THEN 1 ELSE 0 END) AS BIGINT) FROM orders) FROM n
+UNION ALL
+SELECT 'in_set:o_orderstatus', n_rows,
+       (SELECT CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                         AND o_orderstatus NOT IN ('F', 'O')
+                        THEN 1 ELSE 0 END) AS BIGINT) FROM orders) FROM n
+UNION ALL
+SELECT 'matches:o_orderpriority', n_rows,
+       (SELECT CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                         AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                        THEN 1 ELSE 0 END) AS BIGINT) FROM orders) FROM n
+UNION ALL
+SELECT 'predicate:orderdate_in_window', n_rows,
+       (SELECT CAST(SUM(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1995-01-01'
+                               AND o_orderdate < TIMESTAMP '2001-01-01')
+                        THEN 1 ELSE 0 END) AS BIGINT) FROM orders) FROM n
+UNION ALL
+SELECT 'unique:o_orderkey', n_rows,
+       (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT)
+        FROM (SELECT COUNT(*) AS c FROM orders
+              GROUP BY o_orderkey HAVING COUNT(*) > 1)) FROM n
+UNION ALL
+SELECT 'referenced_in:o_custkey->customer.c_custkey', n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey IS NOT NULL)) FROM n
+"""
+
+
 # -- SemDeDup: semantic (embedding-space) dedup ------------------------------
 
 _SEMDEDUP_THRESHOLD = 0.4
@@ -1557,6 +1635,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "event_bursts": (q_event_bursts, EVENT_BURSTS_SQL),
     "classifier_scores": (q_classifier_scores, CLASSIFIER_SCORES_SQL),
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "data_quality": (q_data_quality, DATA_QUALITY_SQL),
     "negative_samples": (q_negative_samples, NEGATIVE_SAMPLES_SQL),
     "bpe_top_pairs": (q_bpe_top_pairs, BPE_TOP_PAIRS_SQL),
     "bpe_vocab": (q_bpe_vocab, None),
