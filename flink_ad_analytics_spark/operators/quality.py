@@ -150,6 +150,11 @@ def check(
     for r in row_local:
         aggs.append(F.sum(r.violation().cast("long")).alias(r.name))
     wide = df.agg(*aggs)
+    if fks:
+        # The FK reports cross-join this 1-row frame for n_rows; without
+        # the persist each cross-join re-aggregates (= rescans the
+        # table), turning a k-rule suite back into k scans.
+        wide = wide.persist()
 
     spark = df.sparkSession
     stack_terms = ", ".join(f"'{r.name}', `{r.name}`" for r in row_local)
@@ -167,16 +172,20 @@ def check(
     n_rows_df = wide.select(F.col("__n_rows").alias("n_rows"))
 
     for r in uniques:
+        # self-contained: n_rows = SUM of the per-key counts, so the
+        # Unique report needs no second pass over the table
         dup_rows = (
             df.groupBy(*r.columns)
             .agg(F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") > 1)
-            .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("n_violations"))
+            .agg(
+                F.coalesce(F.sum("__c"), F.lit(0)).alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__c") > 1, F.col("__c"))), F.lit(0)
+                ).alias("n_violations"),
+            )
         )
         reports.append(
-            n_rows_df.crossJoin(dup_rows).select(
-                F.lit(r.name).alias("rule"), "n_rows", "n_violations"
-            )
+            dup_rows.select(F.lit(r.name).alias("rule"), "n_rows", "n_violations")
         )
 
     for r in fks:
