@@ -730,7 +730,10 @@ def semantic_dedup(
         "cluster_id",
         F.col(vec_col).alias("q_emb"),
         F.col("nrm").alias("qn"),
-        (F.col(id_col) % n_salts).cast("int").alias("__salt"),
+        # pmod, not %: Spark's % is sign-preserving, so a signed hash
+        # id would salt outside [0, n_salts) and silently never join
+        # the candidate side's {0..n_salts-1} replicas
+        F.pmod(F.col(id_col), F.lit(n_salts)).cast("int").alias("__salt"),
     ).repartition(n_part, "cluster_id", "__salt")
     b = (
         scorable.select(

@@ -115,11 +115,17 @@ class Unique:
 
 @dataclass(frozen=True)
 class ReferencedIn:
-    """Foreign key: every non-null value must exist in ref[ref_column]."""
+    """Foreign key: every non-null value must exist in ref[ref_column].
+
+    ``broadcast=True`` ships the distinct ref keys to every task
+    (right for dimension-sized refs); set False for fact-sized refs so
+    Catalyst picks a shuffle join -- the hint is honored
+    unconditionally, and a forced multi-GB broadcast fails the suite."""
 
     column: str
     ref_name: str  # for the report only
     ref_column: str
+    broadcast: bool = True
 
     @property
     def name(self) -> str:
@@ -135,26 +141,39 @@ def check(
     """Evaluate a rule suite; returns (rule, n_rows, n_violations).
 
     Row-local rules (NotNull/InRange/InSet/Matches/Predicate) share a
-    single aggregation over one scan. Each Unique rule adds one
-    groupBy on its key columns; each ReferencedIn adds one anti-join
-    against `refs[ref_name]` (broadcast it for dimension-sized refs).
-    n_rows is the table's row count on every output row, so a report
-    consumer can compute violation rates without a second query.
+    single aggregation over one scan. Each Unique rule is one groupBy
+    on its key columns; each ReferencedIn one outer join against
+    `refs[ref_name]` -- every report computes its own n_rows in the
+    same pass, so a k-rule suite never rescans the table for
+    bookkeeping. n_rows rides on every output row so a consumer can
+    compute violation rates without a second query.
+
+    Unknown rule objects raise: a gate that silently skips a
+    mis-constructed rule would pass while the constraint was never
+    evaluated.
     """
     refs = refs or {}
     row_local = [r for r in rules if hasattr(r, "violation")]
     uniques = [r for r in rules if isinstance(r, Unique)]
     fks = [r for r in rules if isinstance(r, ReferencedIn)]
+    unknown = [
+        r for r in rules
+        if not hasattr(r, "violation") and not isinstance(r, (Unique, ReferencedIn))
+    ]
+    if unknown:
+        raise ValueError(
+            f"check(): unsupported rule object(s) {unknown!r} -- row-local "
+            "rules must expose .violation(); otherwise use Unique/ReferencedIn"
+        )
 
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for r in row_local:
-        aggs.append(F.sum(r.violation().cast("long")).alias(r.name))
+        # coalesce: SUM over an empty table is NULL, and an empty drop
+        # must report 0 violations, not a null that breaks the gate
+        aggs.append(
+            F.coalesce(F.sum(r.violation().cast("long")), F.lit(0)).alias(r.name)
+        )
     wide = df.agg(*aggs)
-    if fks:
-        # The FK reports cross-join this 1-row frame for n_rows; without
-        # the persist each cross-join re-aggregates (= rescans the
-        # table), turning a k-rule suite back into k scans.
-        wide = wide.persist()
 
     spark = df.sparkSession
     stack_terms = ", ".join(f"'{r.name}', `{r.name}`" for r in row_local)
@@ -169,7 +188,6 @@ def check(
                 F.col("__n_rows").alias("n_rows"),
             ).select("rule", "n_rows", "n_violations")
         )
-    n_rows_df = wide.select(F.col("__n_rows").alias("n_rows"))
 
     for r in uniques:
         # self-contained: n_rows = SUM of the per-key counts, so the
@@ -191,18 +209,31 @@ def check(
     for r in fks:
         if r.ref_name not in refs:
             raise ValueError(f"ReferencedIn rule {r.name}: refs[{r.ref_name!r}] missing")
-        ref_keys = refs[r.ref_name].select(
-            F.col(r.ref_column).alias(r.column)
-        ).distinct()
-        orphans = (
-            df.filter(F.col(r.column).isNotNull())
-            .join(F.broadcast(ref_keys), r.column, "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_violations"))
+        ref_keys = (
+            refs[r.ref_name]
+            .select(F.col(r.ref_column).alias(r.column))
+            .filter(F.col(r.column).isNotNull())
+            .distinct()
+            .withColumn("__hit", F.lit(True))
+        )
+        if r.broadcast:
+            ref_keys = F.broadcast(ref_keys)
+        # LEFT join (not anti) so one pass yields BOTH counts: n_rows
+        # over all rows, orphans = non-null keys with no ref hit.
+        joined = df.select(r.column).join(ref_keys, r.column, "left")
+        fk_report = joined.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col(r.column).isNotNull() & F.col("__hit").isNull()
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("n_violations"),
         )
         reports.append(
-            n_rows_df.crossJoin(orphans).select(
-                F.lit(r.name).alias("rule"), "n_rows", "n_violations"
-            )
+            fk_report.select(F.lit(r.name).alias("rule"), "n_rows", "n_violations")
         )
 
     if not reports:

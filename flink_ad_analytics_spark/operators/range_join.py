@@ -70,39 +70,56 @@ def binned_range_join(
     replica, so the operator stays inner and unambiguous.
     """
     extra_on = extra_on or []
-    clash = (set(right.columns) - set(extra_on)) & set(left.columns)
-    if clash:
-        raise ValueError(
-            f"binned_range_join: column name(s) {sorted(clash)} exist on "
-            "both sides; rename one side first"
-        )
-
+    check_column_clash(left, right, extra_on, "binned_range_join")
     width_us = _interval_micros(bin_width)
-
-    def bucket_of(col: Column) -> Column:
-        # Exact integer floor-division on epoch micros: subtract the
-        # positive modulus, then divide the exact multiple. All values
-        # stay exactly representable (micros ~1.7e15 < 2^53), so a
-        # band edge can never round into the wrong bucket.
-        # NTZ columns cast through the session zone first; the cast is
-        # monotone and applied identically to both sides, so bucket
-        # alignment (the only thing micros are used for) is preserved.
-        x = F.unix_micros(col.cast("timestamp"))
-        return ((x - F.pmod(x, F.lit(width_us))) / F.lit(width_us)).cast("long")
 
     l_binned = left.withColumn(
         "__bucket",
         F.explode(
-            F.sequence(bucket_of(F.col(left_lo)), bucket_of(F.col(left_hi)))
+            F.sequence(
+                floor_bucket(F.col(left_lo), width_us),
+                floor_bucket(F.col(left_hi), width_us),
+            )
         ),
     )
-    r_binned = right.withColumn("__bucket", bucket_of(F.col(right_point)))
+    r_binned = right.withColumn(
+        "__bucket", floor_bucket(F.col(right_point), width_us)
+    )
 
     joined = l_binned.join(r_binned, ["__bucket", *extra_on]).filter(
         F.col(right_point).between(F.col(left_lo), F.col(left_hi))
     )
     out_cols = [*left.columns, *[c for c in right.columns if c not in extra_on]]
     return joined.select(*out_cols)
+
+
+def floor_bucket(col: Column, width_us: int) -> Column:
+    """Time bucket index of `col` for a `width_us`-microsecond grid.
+
+    Exact integer floor-division on epoch micros: subtract the
+    positive modulus, then divide the exact multiple. All values stay
+    exactly representable (micros ~1.7e15 < 2^53), so a band edge can
+    never round into the wrong bucket. NTZ columns cast through the
+    session zone first; the cast is monotone and applied identically
+    to both sides, so bucket alignment (the only thing micros are used
+    for) is preserved. Shared by the batch and streaming band joins --
+    one definition, so the two modes cannot drift.
+    """
+    x = F.unix_micros(col.cast("timestamp"))
+    return ((x - F.pmod(x, F.lit(width_us))) / F.lit(width_us)).cast("long")
+
+
+def check_column_clash(
+    left: DataFrame, right: DataFrame, extra_on: list[str], opname: str
+) -> None:
+    """Reject non-key output column collisions up front (two
+    identically-named columns are unusable downstream)."""
+    clash = (set(right.columns) - set(extra_on)) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"{opname}: column name(s) {sorted(clash)} exist on "
+            "both sides; rename one side first"
+        )
 
 
 def _interval_micros(duration: str) -> int:

@@ -357,7 +357,9 @@ def cosine_near_dup_pairs(
         F.col("bucket"),
         F.col("embedding").alias("q_emb"),
         _norm("embedding").alias("qn"),
-        (F.col("vec_id") % n_salts).cast("int").alias("__salt"),
+        # pmod, not %: a signed id would salt outside [0, n_salts) and
+        # silently skip the candidate side's {0..n_salts-1} replicas
+        F.pmod(F.col("vec_id"), F.lit(n_salts)).cast("int").alias("__salt"),
     ).repartition(n_part, "bucket", "__salt")
     b = bucketed.select(
         F.col("vec_id").alias("c_id"),

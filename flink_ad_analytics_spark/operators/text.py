@@ -681,20 +681,7 @@ def hashed_linear_score(
         f"{_bucket_expr('t', dim)}))), 1, 8), 16, 10)) "
         f"% {LINEAR_WEIGHT_MOD} - {LINEAR_WEIGHT_SHIFT}"
     )
-    toks = docs.select(
-        F.col(id_col), F.expr(TOKENS.format(col=text_col)).alias("ws")
-    )
-    return toks.select(
-        F.col(id_col),
-        F.expr("size(ws)").alias("n_tokens"),
-        F.expr(f"aggregate(ws, bigint(0), (acc, t) -> acc + ({weight}))").alias(
-            "weight_sum"
-        ),
-    ).withColumn(
-        "lr_score",
-        F.col("weight_sum").cast("double")
-        / (F.lit(float(LINEAR_WEIGHT_SHIFT)) * F.col("n_tokens").cast("double")),
-    )
+    return _linear_scored(docs, weight, id_col, text_col)
 
 
 def hashed_linear_score_from_vector(
@@ -712,15 +699,31 @@ def hashed_linear_score_from_vector(
     """
     dim = len(weights)
     arr = f"array({', '.join(str(w) for w in weights)})"
-    weight = f"element_at({arr}, int({_bucket_expr('t', dim)}) + 1)"
+    weight = f"bigint(element_at({arr}, int({_bucket_expr('t', dim)}) + 1))"
+    return _linear_scored(docs, weight, id_col, text_col)
+
+
+def _linear_scored(
+    docs: DataFrame, weight_sql: str, id_col: str, text_col: str
+) -> DataFrame:
+    """One scoring scaffold for both weight forms (folded-arithmetic
+    and array-lookup), so the contract cannot drift between them.
+
+    NULL text mirrors the DuckDB oracle exactly: n_tokens NULL (not
+    the legacy size(NULL) = -1), weight_sum 0 (the empty accumulation),
+    lr_score NULL via the NULL divisor.
+    """
     toks = docs.select(
         F.col(id_col), F.expr(TOKENS.format(col=text_col)).alias("ws")
     )
     return toks.select(
         F.col(id_col),
-        F.expr("size(ws)").alias("n_tokens"),
+        F.expr("CASE WHEN ws IS NULL THEN NULL ELSE size(ws) END").alias(
+            "n_tokens"
+        ),
         F.expr(
-            f"aggregate(ws, bigint(0), (acc, t) -> acc + bigint({weight}))"
+            f"coalesce(aggregate(ws, bigint(0), "
+            f"(acc, t) -> acc + ({weight_sql})), bigint(0))"
         ).alias("weight_sum"),
     ).withColumn(
         "lr_score",

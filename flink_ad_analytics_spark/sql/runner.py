@@ -37,7 +37,7 @@ def split_statements(script: str) -> list[str]:
         if mode is None:
             if ch == ";":
                 stmt = "".join(buf).strip()
-                if stmt:
+                if stmt and not _only_comments(stmt):
                     out.append(stmt)
                 buf = []
                 i += 1
@@ -83,9 +83,24 @@ def split_statements(script: str) -> list[str]:
 
 
 def _only_comments(stmt: str) -> bool:
-    for line in stmt.splitlines():
-        s = line.strip()
-        if s and not s.startswith("--"):
+    """True when the fragment holds no SQL content -- only whitespace,
+    `--` line comments, and `/* */` block comments. Such fragments
+    (a trailing `/* end of job */`, a comment between semicolons) must
+    be dropped, not handed to spark.sql(), which would ParseException
+    on them."""
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        nxt = stmt[i + 1] if i + 1 < n else ""
+        if ch in " \t\r\n":
+            i += 1
+        elif ch == "-" and nxt == "-":
+            j = stmt.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif ch == "/" and nxt == "*":
+            j = stmt.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
             return False
     return True
 

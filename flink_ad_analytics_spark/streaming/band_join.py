@@ -21,9 +21,13 @@ duplicates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-from ..operators.range_join import _interval_micros
+from ..operators.range_join import (
+    _interval_micros,
+    check_column_clash,
+    floor_bucket,
+)
 
 
 def streaming_band_join(
@@ -48,24 +52,20 @@ def streaming_band_join(
     for left semantics, as in the batch query.
     """
     extra_on = extra_on or []
-    clash = (set(right.columns) - set(extra_on)) & set(left.columns)
-    if clash:
-        raise ValueError(
-            f"streaming_band_join: column name(s) {sorted(clash)} exist on "
-            "both sides; rename one side first"
-        )
+    check_column_clash(left, right, extra_on, "streaming_band_join")
     width_us = _interval_micros(bin_width)
-
-    def bucket_of(col: Column) -> Column:
-        x = F.unix_micros(col.cast("timestamp"))
-        return ((x - F.pmod(x, F.lit(width_us))) / F.lit(width_us)).cast("long")
 
     lo = F.col(left_time) - F.expr(f"INTERVAL {band_before}")
     hi = F.col(left_time) + F.expr(f"INTERVAL {band_after}")
     l_binned = left.withColumn(
-        "__bucket", F.explode(F.sequence(bucket_of(lo), bucket_of(hi)))
+        "__bucket",
+        F.explode(
+            F.sequence(floor_bucket(lo, width_us), floor_bucket(hi, width_us))
+        ),
     )
-    r_binned = right.withColumn("__bucket", bucket_of(F.col(right_time)))
+    r_binned = right.withColumn(
+        "__bucket", floor_bucket(F.col(right_time), width_us)
+    )
 
     # The band condition references both raw event-time columns, so the
     # streaming planner derives join-state watermarks from it.

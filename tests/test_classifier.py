@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F, types as T
 
 from flink_ad_analytics_spark.operators.text import (
     LINEAR_DIM,
@@ -81,3 +81,27 @@ def test_score_bounds_and_zero_shuffle_plan(spark):
         | (F.abs(F.col("lr_score")) > 1.0)
     ).count()
     assert out_of_range == 0
+
+
+def test_null_text_matches_oracle_semantics(spark):
+    """NULL text: n_tokens NULL (not legacy size(NULL) = -1),
+    weight_sum 0, lr_score NULL -- the DuckDB oracle's exact behavior,
+    in both weight forms."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, "real text")],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    for fn in (
+        lambda d: hashed_linear_score(d),
+        lambda d: hashed_linear_score_from_vector(d, linear_weights()),
+    ):
+        row = {r.doc_id: r for r in fn(docs).collect()}
+        assert row[0].n_tokens is None
+        assert row[0].weight_sum == 0
+        assert row[0].lr_score is None
+        assert row[1].n_tokens == 2 and row[1].weight_sum != 0

@@ -78,3 +78,33 @@ def test_row_local_rules_share_one_scan(spark):
 
 def test_empty_suite(spark, table):
     assert check(table, []).count() == 0
+
+
+def test_unknown_rule_object_raises(spark, table):
+    class Bogus:
+        pass
+
+    with pytest.raises(ValueError, match="unsupported rule"):
+        check(table, [NotNull("status"), Bogus()])
+
+
+def test_referenced_in_without_broadcast_hint(spark, table):
+    """broadcast=False must not force the hint (fact-sized refs)."""
+    ref = spark.createDataFrame([(1,), (2,), (3,)], ["ref_id"])
+    rule = ReferencedIn("id", "dim", "ref_id", broadcast=False)
+    out = check(table, [rule], refs={"dim": ref})
+    assert [(r.n_rows, r.n_violations) for r in out.collect()] == [(5, 1)]
+
+
+def test_counts_on_empty_table(spark):
+    empty = spark.createDataFrame([], "id long, status string")
+    ref = spark.createDataFrame([(1,)], ["ref_id"])
+    out = {
+        r.rule: (r.n_rows, r.n_violations)
+        for r in check(
+            empty,
+            [NotNull("status"), Unique(("id",)), ReferencedIn("id", "dim", "ref_id")],
+            refs={"dim": ref},
+        ).collect()
+    }
+    assert all(v == (0, 0) for v in out.values()), out

@@ -86,3 +86,19 @@ def test_every_input_row_appears_exactly_once(spark):
     assert out.select("vec_id").distinct().count() == emb.count()
     clusters = out.select("cluster_id").distinct().count()
     assert 1 <= clusters <= 5
+
+
+def test_negative_ids_still_pair(spark):
+    """Signed (e.g. hashed) ids: salting must use pmod so negative-id
+    query rows still meet the candidate replicas; min-id keep rule
+    orders over the signed values."""
+    rows = [
+        (-5, [1.0, 0.0]),
+        (-1, [0.999, 0.01]),   # near-dup of -5; -5 < -1 so -1 drops
+        (7, [0.0, 1.0]),
+    ]
+    out = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(_df(spark, rows), k=1, threshold=0.9).collect()
+    }
+    assert out == {-5: True, -1: False, 7: True}

@@ -96,3 +96,14 @@ def test_run_script_params_and_inline_text(spark):
         params={"x": "41"},
     )
     assert [df.collect()[0][0] for df in dfs] == [41, 42]
+
+
+def test_comment_only_fragments_dropped():
+    """Trailing block comments and comment-only fragments between
+    semicolons must not reach spark.sql (ParseException otherwise)."""
+    stmts = split_statements(
+        "SELECT 1; -- note\n; /* mid */ ; SELECT 2;\n/* end of job */"
+    )
+    assert len(stmts) == 2
+    assert stmts[0].strip() == "SELECT 1"
+    assert stmts[1].strip().endswith("SELECT 2")
