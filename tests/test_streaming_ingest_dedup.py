@@ -80,3 +80,63 @@ def test_streaming_ingest_dedup_equals_batch(spark, tmp_path):
     assert kept_fps == {r.fingerprint for r in batch}
     # the three planted duplicates (12, 13, 14) were all dropped
     assert set(kept_ids) == set(range(12))
+
+
+def test_streaming_curation_chain_equals_batch(spark, tmp_path):
+    """Composed streaming curation: ingest dedup -> model-based quality
+    gate (hashed_linear_score, stateless codegen -- runs unchanged on
+    the stream) -> append sink. Final output == the batch chain
+    (exact_dedup keepers -> score -> same filter) row-for-row."""
+    from flink_ad_analytics_spark.operators.text import hashed_linear_score
+
+    rows = _docs()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    base_ms = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    pdf["event_time_ms"] = [base_ms + 1000 * i for i in range(len(pdf))]
+    src = tmp_path / "cur_in"
+    src.mkdir()
+    pdf.iloc[:12].to_parquet(src / "part-0.parquet", index=False)
+    pdf.iloc[12:].to_parquet(src / "part-1.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("event_time", F.timestamp_millis(F.col("event_time_ms")))
+    )
+    deduped = streaming_ingest_dedup(stream, watermark="10 seconds")
+    scored = hashed_linear_score(deduped.select("doc_id", "text"))
+    gated = scored.filter(F.col("lr_score") > -0.36)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("curation_chain")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cur"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.doc_id, r.n_tokens, r.weight_sum)
+        for r in spark.table("curation_chain").collect()
+    }
+
+    batch_docs = spark.createDataFrame(pdf, schema=SCHEMA).withColumn(
+        "event_time", F.timestamp_millis(F.col("event_time_ms"))
+    )
+    keepers = exact_dedup(batch_docs).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    batch = {
+        (r.doc_id, r.n_tokens, r.weight_sum)
+        for r in hashed_linear_score(
+            batch_docs.join(keepers, "doc_id").select("doc_id", "text")
+        )
+        .filter(F.col("lr_score") > -0.36)
+        .collect()
+    }
+    assert streamed == batch
+    assert streamed, "gate must pass at least one document"
+    assert len(streamed) < 12, "gate must also reject some documents"
