@@ -178,6 +178,81 @@ def run_size(spark, n_docs: int) -> dict:
             f"bloom path diverged: {n_clean_bloom} != exact {n_clean}"
         )
 
+        # SemDeDup: k grows with n so cluster population stays ~250 and
+        # the per-cluster quadratic is CONSTANT -- total work linear in
+        # n. 5% planted near-identical vectors; the rest well-separated
+        # so the double-fold prescreen kills their pairs cheaply.
+        from flink_ad_analytics_spark.operators.clustering import semantic_dedup
+
+        rng2 = np.random.default_rng(7)
+        n_vecs = max(1000, n_docs // 8)
+        k_sem = max(8, n_vecs // 250)
+        centers = rng2.normal(size=(k_sem, 16))
+        cassign = rng2.integers(0, k_sem, n_vecs)
+        vecs = centers[cassign] + rng2.normal(scale=0.6, size=(n_vecs, 16))
+        n_planted_vec = n_vecs // 20
+        vecs[n_vecs - n_planted_vec:] = vecs[:n_planted_vec] + rng2.normal(
+            scale=1e-3, size=(n_planted_vec, 16)
+        )
+        emb_pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(n_vecs),
+                "embedding": [v.astype(np.float32) for v in vecs],
+            }
+        )
+        emb_path = f"{tmp}/emb.parquet"
+        emb_pdf.to_parquet(emb_path, index=False)
+        emb = spark.read.parquet(emb_path)
+        sem_drops = run(
+            "semantic_dedup",
+            lambda: semantic_dedup(emb, k=k_sem, threshold=0.999)
+            .filter(~F.col("keep"))
+            .count(),
+        )
+
+        # binned range join at CONSTANT event density: span grows with
+        # n, so per-bucket population is flat and runtime must track n,
+        # not the n^2/2 all-pairs curve.
+        from flink_ad_analytics_spark.operators.range_join import binned_range_join
+
+        span_s = max(600, n_docs // 10)
+        n_right_ev = n_docs
+        n_left_ev = n_docs // 10
+        base_ms = 1_704_067_200_000
+        l_pdf = pd.DataFrame(
+            {
+                "lid": np.arange(n_left_ev),
+                "lo_ms": base_ms
+                + rng2.integers(0, span_s * 1000, n_left_ev),
+            }
+        )
+        r_pdf = pd.DataFrame(
+            {
+                "rid": np.arange(n_right_ev),
+                "pt_ms": base_ms
+                + rng2.integers(0, span_s * 1000, n_right_ev),
+            }
+        )
+        l_pdf.to_parquet(f"{tmp}/l.parquet", index=False)
+        r_pdf.to_parquet(f"{tmp}/r.parquet", index=False)
+        lev = spark.read.parquet(f"{tmp}/l.parquet").select(
+            "lid",
+            F.timestamp_millis(F.col("lo_ms")).alias("lo"),
+            (
+                F.timestamp_millis(F.col("lo_ms")) + F.expr("INTERVAL 60 SECONDS")
+            ).alias("hi"),
+        )
+        rev = spark.read.parquet(f"{tmp}/r.parquet").select(
+            "rid", F.timestamp_millis(F.col("pt_ms")).alias("pt")
+        )
+        band_matches = run(
+            "range_join",
+            lambda: binned_range_join(
+                lev, rev, left_lo="lo", left_hi="hi", right_point="pt",
+                bin_width="1 minute",
+            ).count(),
+        )
+
         n = len(corpus)
         return {
             "n_docs": n,
@@ -192,6 +267,10 @@ def run_size(spark, n_docs: int) -> dict:
             "simhash_pairs_found": sim_pairs,
             "sparse_cosine_pairs": sparse_pairs,
             "n_clean": n_clean,
+            "semantic_n_vecs": n_vecs,
+            "semantic_k": k_sem,
+            "semantic_drops": sem_drops,
+            "band_matches": band_matches,
             "ops": timings,
             "total_sec": round(sum(timings.values()), 2),
         }

@@ -691,10 +691,17 @@ def semantic_dedup(
     MinHash/SimHash catch near-identical TEXT, SemDeDup catches
     near-identical MEANING (translations, templated rewrites,
     boilerplate paraphrases). Clustering bounds the pair space to
-    within-cluster candidates -- the O(n^2) all-pairs problem becomes
-    k * O((n/k)^2), with k the scale lever; at 100 TB, k grows with
-    the corpus so cluster populations (and the per-cluster quadratic)
-    stay bounded, and one hot cluster is split across n_salts tasks.
+    within-cluster candidates, and one hot cluster is split across
+    n_salts tasks.
+
+    Cost model (honest): assignment is O(n*k) distance folds, pair
+    scoring O(n^2/k) prescreens -- total minimized at k ~ sqrt(n)
+    (O(n^1.5)), NOT linear; the committed scale curve
+    (.benchmarks/scale_curve.json) measures exactly this superlinear
+    growth with 100% planted-dup recovery at every size. At 100 TB,
+    swap the exact-decimal assignment (kept here for the oracle gate)
+    for `kmeans_predict`'s Arrow+BLAS pass -- same O(n*k) shape, ~2
+    orders cheaper constants -- and raise k toward sqrt(n).
 
     The keep rule is greedy in id order (an item is dropped iff a
     KEPT-or-dropped smaller-id near-dup exists), the order-free
