@@ -230,3 +230,123 @@ def sample_frames(
             yield out
 
     return assets.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+# -- perceptual near-dup (aHash) --------------------------------------------
+
+PHASH_BITS = 60  # positive in a BIGINT; divisible by 4/6/12 band schemes
+
+
+def decode_pixels(
+    assets: DataFrame, *, fake: bool = False, n_pixels: int = PHASH_BITS
+) -> DataFrame:
+    """Decode each payload to a fixed grid of grayscale pixels
+    (real pipelines: decode -> resize to 8x8 -> luminance). Media libs
+    are absent here, so ``fake=True`` derives pixels from chained md5
+    digests of the payload -- deterministic and SQL-reproducible, so
+    the WHOLE perceptual pipeline stays under the value-exact oracle
+    gate. Note the fake is locality-DESTROYING (md5): only byte-exact
+    payloads produce nearby hashes; true perceptual locality needs the
+    real decoder and is tested instead on synthetic pixel grids
+    (tests/test_phash.py).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decoding requires image libraries not available "
+                    "in this container; use fake=True for the deterministic "
+                    "stub"
+                )
+
+            def px(payload: bytes) -> list[int]:
+                buf = b""
+                k = 0
+                while len(buf) < n_pixels:
+                    suffix = b"" if k == 0 else bytes([k])
+                    buf += hashlib.md5(payload + suffix).digest()
+                    k += 1
+                return list(buf[:n_pixels])
+
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "pixels": pdf["payload"].map(px)}
+            )
+
+    return assets.mapInPandas(
+        decode, schema="asset_id long, pixels array<int>"
+    )
+
+
+def ahash_signatures(
+    pixels: DataFrame, id_col: str = "asset_id", px_col: str = "pixels"
+) -> DataFrame:
+    """Average-hash: bit p set iff pixel_p is strictly above the image
+    mean. The comparison is the exact integer cross-multiply
+    ``pixel * n > total`` -- no float mean, so the signature is
+    bit-identical across engines. Zero shuffle: one projection."""
+    n = f"size({px_col})"
+    total = (
+        f"aggregate({px_col}, bigint(0), (acc, x) -> acc + bigint(x))"
+    )
+    sig = (
+        f"aggregate(zip_with({px_col}, sequence(0, {n} - 1), "
+        f"(x, p) -> IF(bigint(x) * {n} > __total, "
+        f"shiftleft(bigint(1), p), bigint(0))), "
+        f"bigint(0), (acc, b) -> acc + b)"
+    )
+    return pixels.withColumn("__total", F.expr(total)).select(
+        F.col(id_col), F.expr(sig).alias("phash")
+    )
+
+
+def phash_pairs(
+    sigs: DataFrame,
+    *,
+    id_col: str = "asset_id",
+    n_bands: int = 6,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Banded Hamming candidate pairs over aHash signatures -- the
+    simhash_pairs scheme (operators/dedup.py) applied to the
+    perceptual signature. ``n_bands`` equal slices of the 60-bit hash
+    key the self-join; pigeonhole: pairs with hamming < n_bands always
+    share an intact band, so recall is complete up to n_bands - 1
+    flipped bits (and partial beyond). Output (id_1, id_2, hamming),
+    optionally thresholded.
+    """
+    if PHASH_BITS % n_bands:
+        raise ValueError(f"n_bands must divide {PHASH_BITS}, got {n_bands}")
+    width = PHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        F.col(id_col),
+        "phash",
+        F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band"),
+    ).withColumn(
+        "band_key",
+        F.expr(f"shiftright(phash, band * {width}) & {mask}"),
+    )
+    a = banded.select(
+        F.col(id_col).alias(f"{id_col}_1"),
+        F.col("phash").alias("h1"),
+        "band",
+        "band_key",
+    )
+    b = banded.select(
+        F.col(id_col).alias(f"{id_col}_2"),
+        F.col("phash").alias("h2"),
+        "band",
+        "band_key",
+    )
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col(f"{id_col}_1") < F.col(f"{id_col}_2"))
+        .select(f"{id_col}_1", f"{id_col}_2", "h1", "h2")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(h1 ^ h2)"))
+        .select(f"{id_col}_1", f"{id_col}_2", F.col("hamming").cast("long").alias("hamming"))
+    )
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs

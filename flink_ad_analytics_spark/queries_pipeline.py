@@ -1376,6 +1376,64 @@ ORDER BY anchor_lang, neg_lang
 """
 
 
+# -- perceptual near-dup over multimodal assets ------------------------------
+
+
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-dedup pipeline over binary assets: Arrow decode (the
+    deterministic fake decoder -- md5-derived pixel grid), integer-
+    exact aHash, 6x10-bit banded Hamming candidate join. Emits ALL
+    band-collision candidates with their Hamming distances so the
+    oracle value-gates the banding AND the distances, not just a
+    thresholded (mostly empty) survivor set.
+    """
+    from .operators.multimodal import (
+        ahash_signatures,
+        assets_from_documents,
+        decode_pixels,
+        phash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = assets_from_documents(docs)
+    sigs = ahash_signatures(decode_pixels(assets, fake=True))
+    return phash_pairs(sigs, n_bands=6)
+
+
+def _phash_pixel_terms() -> str:
+    """The 60 fake-pixel bytes as DuckDB SQL: chained md5 digests of
+    the utf8 payload (md5(text), md5(text||chr(1)), ...), two hex
+    chars per byte -- byte-for-byte the Spark fake decoder."""
+    terms = []
+    for p in range(60):
+        d, i = divmod(p, 16)
+        h = "md5(text)" if d == 0 else f"md5(text || chr({d}))"
+        terms.append(f"CAST('0x' || substr({h}, {2 * i + 1}, 2) AS BIGINT)")
+    return ", ".join(terms)
+
+
+MULTIMODAL_PHASH_SQL = f"""
+WITH px AS (
+  SELECT doc_id AS asset_id, [{_phash_pixel_terms()}] AS p
+  FROM documents),
+sigs AS (
+  SELECT asset_id,
+         list_sum([CASE WHEN p[i + 1] * 60 > list_sum(p)
+                        THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END
+                   for i in range(60)]) AS phash
+  FROM px),
+banded AS (
+  SELECT asset_id, phash, b,
+         (phash >> CAST(b * 10 AS INT)) & 1023 AS band_key
+  FROM sigs, UNNEST(range(0, 6)) AS t(b))
+SELECT DISTINCT a.asset_id AS asset_id_1, c.asset_id AS asset_id_2,
+       CAST(bit_count(xor(a.phash, c.phash)) AS BIGINT) AS hamming
+FROM banded a
+JOIN banded c ON a.b = c.b AND a.band_key = c.band_key
+            AND a.asset_id < c.asset_id
+"""
+
+
 # -- declarative data-quality constraint suite -------------------------------
 
 
@@ -1636,6 +1694,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "classifier_scores": (q_classifier_scores, CLASSIFIER_SCORES_SQL),
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
     "data_quality": (q_data_quality, DATA_QUALITY_SQL),
+    "multimodal_phash": (q_multimodal_phash, MULTIMODAL_PHASH_SQL),
     "negative_samples": (q_negative_samples, NEGATIVE_SAMPLES_SQL),
     "bpe_top_pairs": (q_bpe_top_pairs, BPE_TOP_PAIRS_SQL),
     "bpe_vocab": (q_bpe_vocab, None),
