@@ -384,3 +384,26 @@ def negative_samples(
         F.col("neg_rank").cast("long").alias("neg_rank"),
         neg.cast("long").alias("neg_id"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 31,
+) -> DataFrame:
+    """Per-ROW probabilistic keep: row survives iff
+    hash(seed:id) < floor(clamp(weight, 0, 1) * 2^32).
+
+    The continuous generalization of rebalance_to_mix's per-stratum
+    weights -- soft quality filtering (keep probability derived from a
+    classifier score, the DCLM-style recipe) instead of a hard
+    threshold. Pure scan + filter: each row's fate is a function of
+    (seed, id, its own weight column); no shuffle, reproducible across
+    engines, partitionings, and corpus growth. Weights outside [0, 1]
+    are clamped (NULL weight drops the row: no weight, no lottery).
+    """
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(weight_col)))
+    h_int = F.conv(_bucket_hash(id_col, seed), 16, 10).cast("long")
+    return df.filter(h_int < F.floor(w * F.lit(float(_SPACE))))

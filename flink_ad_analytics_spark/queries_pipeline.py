@@ -39,6 +39,7 @@ from .operators.text import (
 )
 from .operators.sampling import (
     group_sample_fixed,
+    weighted_sample,
     hash_int_sql,
     hash_split,
     hash_split_case_sql,
@@ -1376,6 +1377,90 @@ ORDER BY anchor_lang, neg_lang
 """
 
 
+# -- data-recipe operators: soft quality sampling + token budget -------------
+
+_QW_SEED = 31
+
+
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filtering (the DCLM-shape recipe): keep probability
+    = clamp(0.5 + lr_score, 0, 1) per document, applied as the
+    deterministic hash lottery (operators/sampling.py::weighted_sample)
+    -- scan + filter, no shuffle, reproducible anywhere."""
+    scored = q_classifier_scores(spark, sf_dir).withColumn(
+        "weight",
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.lit(0.5) + F.col("lr_score"))),
+    )
+    return weighted_sample(
+        scored, weight_col="weight", id_col="doc_id", seed=_QW_SEED
+    ).select("doc_id", "lr_score", "weight")
+
+
+QUALITY_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, lr_score, weight
+FROM (
+  SELECT doc_id, lr_score,
+         LEAST(1.0, GREATEST(0.0, 0.5 + lr_score)) AS weight,
+         CAST('0x' || substr(md5('{_QW_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS h
+  FROM ({{CLASSIFIER}}) s)
+WHERE h < floor(weight * 4294967296.0)
+"""
+
+
+_BUDGET_TOKENS = 20000
+_MAX_EPOCHS = 2.0
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget allocation (the data-recipe step that
+    turns corpus stats into sampling weights): each source gets an
+    equal share of the global budget, capped at max_epochs passes over
+    its own tokens -- undersized sources cap out, large ones
+    downsample. One corpus scan + a |sources|-row aggregate; the
+    scalar source count rides a single-partition window over that tiny
+    aggregate, not a second corpus pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.expr(r"size(split(trim(text), '\\s+'))").alias("n_tok")
+    )
+    per = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    n_src = F.count(F.lit(1)).over(Window.partitionBy())
+    alloc = F.least(
+        F.lit(_MAX_EPOCHS) * F.col("n_tokens").cast("double"),
+        F.lit(float(_BUDGET_TOKENS)) / F.col("__n_src").cast("double"),
+    )
+    return (
+        per.withColumn("__n_src", n_src)
+        .withColumn("alloc_tokens", alloc)
+        .withColumn(
+            "epochs", F.col("alloc_tokens") / F.col("n_tokens").cast("double")
+        )
+        .select("source", "n_docs", "n_tokens", "alloc_tokens", "epochs")
+    )
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH toks AS (
+  SELECT source, len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents),
+per AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY 1),
+c AS (SELECT COUNT(*) AS n_src FROM per)
+SELECT source, n_docs, n_tokens,
+       LEAST({_MAX_EPOCHS} * CAST(n_tokens AS DOUBLE),
+             {float(_BUDGET_TOKENS)} / CAST(n_src AS DOUBLE)) AS alloc_tokens,
+       LEAST({_MAX_EPOCHS} * CAST(n_tokens AS DOUBLE),
+             {float(_BUDGET_TOKENS)} / CAST(n_src AS DOUBLE))
+         / CAST(n_tokens AS DOUBLE) AS epochs
+FROM per CROSS JOIN c
+"""
+
+
 # -- perceptual near-dup over multimodal assets ------------------------------
 
 
@@ -1695,6 +1780,11 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
     "data_quality": (q_data_quality, DATA_QUALITY_SQL),
     "multimodal_phash": (q_multimodal_phash, MULTIMODAL_PHASH_SQL),
+    "quality_weighted_sample": (
+        q_quality_weighted_sample,
+        QUALITY_WEIGHTED_SAMPLE_SQL.replace("{CLASSIFIER}", CLASSIFIER_SCORES_SQL),
+    ),
+    "token_budget": (q_token_budget, TOKEN_BUDGET_SQL),
     "negative_samples": (q_negative_samples, NEGATIVE_SAMPLES_SQL),
     "bpe_top_pairs": (q_bpe_top_pairs, BPE_TOP_PAIRS_SQL),
     "bpe_vocab": (q_bpe_vocab, None),

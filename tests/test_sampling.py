@@ -9,6 +9,7 @@ flip old rows between train and val.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_ad_analytics_spark.operators.sampling import (
@@ -208,3 +209,60 @@ def test_negative_samples_never_self_and_deterministic(spark):
         ).collect()
     }
     assert m1 == m2
+
+
+def test_weighted_sample_properties(spark):
+    from flink_ad_analytics_spark.operators.sampling import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 10).alias("m")
+    )
+    all_kept = weighted_sample(
+        df.withColumn("w", F.lit(1.0)), weight_col="w"
+    ).count()
+    assert all_kept == 2000, "w=1 keeps everything"
+    none = weighted_sample(df.withColumn("w", F.lit(0.0)), weight_col="w").count()
+    assert none == 0, "w=0 keeps nothing"
+    nulls = weighted_sample(
+        df.withColumn("w", F.lit(None).cast("double")), weight_col="w"
+    ).count()
+    assert nulls == 0, "NULL weight drops the row (no lottery)"
+    # clamping: out-of-range weights behave as the bounds
+    assert (
+        weighted_sample(df.withColumn("w", F.lit(7.5)), weight_col="w").count()
+        == 2000
+    )
+    # monotone nesting: raising every weight only ADDS rows (same seed
+    # -> same per-row lottery number)
+    lo = {
+        r.doc_id
+        for r in weighted_sample(
+            df.withColumn("w", F.lit(0.3)), weight_col="w"
+        ).collect()
+    }
+    hi = {
+        r.doc_id
+        for r in weighted_sample(
+            df.withColumn("w", F.lit(0.6)), weight_col="w"
+        ).collect()
+    }
+    assert lo <= hi and len(lo) < len(hi)
+    # binomial sanity at w=0.3: expect ~600 of 2000
+    assert 450 <= len(lo) <= 750, len(lo)
+
+
+def test_token_budget_invariants(spark):
+    from flink_ad_analytics_spark.queries_pipeline import (
+        _BUDGET_TOKENS,
+        _MAX_EPOCHS,
+        q_token_budget,
+    )
+
+    rows = q_token_budget(spark, SF_CORRECT).collect()
+    n_src = len(rows)
+    assert n_src > 1
+    for r in rows:
+        assert r.epochs <= _MAX_EPOCHS + 1e-12
+        assert r.alloc_tokens <= _BUDGET_TOKENS / n_src + 1e-9
+        assert r.alloc_tokens == pytest.approx(r.epochs * r.n_tokens)
+    assert sum(r.alloc_tokens for r in rows) <= _BUDGET_TOKENS + 1e-6
