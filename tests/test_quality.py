@@ -108,3 +108,49 @@ def test_counts_on_empty_table(spark):
         ).collect()
     }
     assert all(v == (0, 0) for v in out.values()), out
+
+
+def test_randomized_suites_match_pandas_reference(spark):
+    """Five seeded random frames: every rule's violation count must
+    equal an independent pandas computation."""
+    import random
+
+    import pandas as pd
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = rng.randint(5, 60)
+        ids = [rng.randint(0, 15) for _ in range(n)]
+        statuses = [
+            rng.choice(["ok", "weird", "bad", None]) for _ in range(n)
+        ]
+        scores = [
+            rng.choice([None, rng.uniform(-5, 15)]) for _ in range(n)
+        ]
+        pdf = pd.DataFrame({"id": ids, "status": statuses, "score": scores})
+        df = spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None),
+                                   "id long, status string, score double")
+        rules = [
+            NotNull("status"),
+            InRange("score", 0, 10),
+            InSet("status", ("ok", "weird")),
+            Unique(("id",)),
+        ]
+        got = {
+            r.rule: r.n_violations for r in check(df, rules).collect()
+        }
+        exp_null = sum(1 for s in statuses if s is None)
+        exp_range = sum(
+            1 for v in scores if v is not None and not (0 <= v <= 10)
+        )
+        exp_set = sum(
+            1 for s in statuses if s is not None and s not in ("ok", "weird")
+        )
+        counts = pd.Series(ids).value_counts()
+        exp_uni = int(counts[counts > 1].sum())
+        assert got == {
+            "not_null:status": exp_null,
+            "in_range:score": exp_range,
+            "in_set:status": exp_set,
+            "unique:id": exp_uni,
+        }, (seed, got)
