@@ -1377,6 +1377,105 @@ ORDER BY anchor_lang, neg_lang
 """
 
 
+# -- governance: cascading erasure audit -------------------------------------
+
+
+def q_user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten audit: a deterministic erasure cohort of
+    customers (md5 lottery ~1/16th) cascades through orders (FK
+    o_custkey) to lineitem (FK l_orderkey); per table, rows before /
+    after / erased are reported so the erasure job is VERIFIABLE --
+    the count discipline regulators actually ask for. All joins are
+    anti/semi against broadcastable key sets; the fact tables are
+    scanned once each, never shuffled."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    erase = customer.filter(
+        F.substring(F.md5(F.concat(F.lit("erase:"), F.col("c_custkey").cast("string"))), 1, 1)
+        == "0"
+    ).select("c_custkey")
+
+    erased_orders = orders.join(
+        F.broadcast(erase.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey",
+        "left_semi",
+    ).select("o_orderkey")
+
+    def report(name: str, table: DataFrame, key: str, keys: DataFrame) -> DataFrame:
+        # one scan per table: LEFT join the broadcast key set, then
+        # count total and hits in the same aggregation (the quality.py
+        # ReferencedIn idiom) -- before/after as two scans would read
+        # each fact table twice
+        marked = table.select(key).join(
+            F.broadcast(keys.withColumn("__hit", F.lit(True))), key, "left"
+        )
+        return marked.agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.coalesce(
+                F.sum(F.col("__hit").isNotNull().cast("long")), F.lit(0)
+            ).alias("n_erased"),
+        ).select(
+            F.lit(name).alias("table_name"),
+            "n_before",
+            (F.col("n_before") - F.col("n_erased")).alias("n_after"),
+            "n_erased",
+        )
+
+    return (
+        report("customer", customer, "c_custkey", erase)
+        .unionByName(
+            report(
+                "orders",
+                orders,
+                "o_custkey",
+                erase.withColumnRenamed("c_custkey", "o_custkey"),
+            )
+        )
+        .unionByName(
+            report(
+                "lineitem",
+                lineitem,
+                "l_orderkey",
+                erased_orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            )
+        )
+    )
+
+
+USER_ERASURE_AUDIT_SQL = """
+WITH erase AS (
+  SELECT c_custkey FROM customer
+  WHERE substr(md5('erase:' || CAST(c_custkey AS VARCHAR)), 1, 1) = '0'),
+erased_orders AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM erase))
+SELECT 'customer' AS table_name,
+       (SELECT COUNT(*) FROM customer) AS n_before,
+       (SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM erase)) AS n_after,
+       (SELECT COUNT(*) FROM customer)
+         - (SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM erase)) AS n_erased
+UNION ALL
+SELECT 'orders',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM erase)),
+       (SELECT COUNT(*) FROM orders)
+         - (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM erase))
+UNION ALL
+SELECT 'lineitem',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM erased_orders)),
+       (SELECT COUNT(*) FROM lineitem)
+         - (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM erased_orders))
+"""
+
+
 # -- data-recipe operators: soft quality sampling + token budget -------------
 
 _QW_SEED = 31
@@ -1785,6 +1884,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
         QUALITY_WEIGHTED_SAMPLE_SQL.replace("{CLASSIFIER}", CLASSIFIER_SCORES_SQL),
     ),
     "token_budget": (q_token_budget, TOKEN_BUDGET_SQL),
+    "user_erasure_audit": (q_user_erasure_audit, USER_ERASURE_AUDIT_SQL),
     "negative_samples": (q_negative_samples, NEGATIVE_SAMPLES_SQL),
     "bpe_top_pairs": (q_bpe_top_pairs, BPE_TOP_PAIRS_SQL),
     "bpe_vocab": (q_bpe_vocab, None),

@@ -182,3 +182,46 @@ class QueryMetricsRecorder(StreamingQueryListener):
     def dump(self, path: str) -> None:
         with open(path, "w") as f:
             json.dump({"progress": self.snapshot(), "summary": self.summary()}, f)
+
+
+def health_alerts(
+    summary: dict[str, dict],
+    *,
+    max_state_rows: int | None = None,
+    min_processed_rows_per_second: float | None = None,
+) -> list[dict]:
+    """Turn a QueryMetricsRecorder.summary() into alert rows -- the
+    rule layer a pager hangs off. Rules are deliberately dumb
+    threshold checks (alerting logic belongs in the alerting system;
+    this just normalizes the signal):
+
+    * state growth: max_state_rows exceeded -> suspect a missing/too-
+      lax watermark (unbounded state is the classic streaming leak);
+    * throughput: peak processed rate below the floor -> the job is
+      not keeping up with its source.
+    """
+    alerts: list[dict] = []
+    for name, s in summary.items():
+        if max_state_rows is not None and s["max_state_rows"] > max_state_rows:
+            alerts.append(
+                {
+                    "query": name,
+                    "alert": "STATE_GROWTH",
+                    "observed": s["max_state_rows"],
+                    "threshold": max_state_rows,
+                }
+            )
+        if (
+            min_processed_rows_per_second is not None
+            and s["batches"] > 0
+            and s["max_processed_rows_per_second"] < min_processed_rows_per_second
+        ):
+            alerts.append(
+                {
+                    "query": name,
+                    "alert": "THROUGHPUT_FLOOR",
+                    "observed": s["max_processed_rows_per_second"],
+                    "threshold": min_processed_rows_per_second,
+                }
+            )
+    return alerts

@@ -99,3 +99,32 @@ def test_recorder_captures_rates_state_and_watermark(spark, tmp_path):
 
     dumped = json.load(open(out))
     assert dumped["summary"]["metrics_probe"]["total_input_rows"] == n
+
+
+def test_health_alerts_rules():
+    from flink_ad_analytics_spark.streaming.metrics import health_alerts
+
+    summary = {
+        "leaky": {
+            "batches": 3,
+            "total_input_rows": 100,
+            "max_state_rows": 5_000_000,
+            "max_state_memory_bytes": 1,
+            "last_watermark": None,
+            "max_processed_rows_per_second": 9000.0,
+        },
+        "slow": {
+            "batches": 2,
+            "total_input_rows": 10,
+            "max_state_rows": 10,
+            "max_state_memory_bytes": 1,
+            "last_watermark": None,
+            "max_processed_rows_per_second": 3.0,
+        },
+    }
+    alerts = health_alerts(
+        summary, max_state_rows=1_000_000, min_processed_rows_per_second=100.0
+    )
+    kinds = {(a["query"], a["alert"]) for a in alerts}
+    assert kinds == {("leaky", "STATE_GROWTH"), ("slow", "THROUGHPUT_FLOOR")}
+    assert health_alerts(summary) == []  # no thresholds -> no alerts
