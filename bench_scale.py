@@ -178,10 +178,13 @@ def run_size(spark, n_docs: int) -> dict:
             f"bloom path diverged: {n_clean_bloom} != exact {n_clean}"
         )
 
-        # SemDeDup: k grows with n so cluster population stays ~250 and
-        # the per-cluster quadratic is CONSTANT -- total work linear in
-        # n. 5% planted near-identical vectors; the rest well-separated
-        # so the double-fold prescreen kills their pairs cheaply.
+        # SemDeDup: k grows with n so cluster population stays ~250 --
+        # pair scoring per item is constant, but the exact-decimal
+        # assignment is O(n*k), so the measured curve is SUPERLINEAR
+        # (the honest cost model in clustering.py::semantic_dedup;
+        # balanced k ~ sqrt(n) and the Arrow assignment are the scale
+        # levers). 5% planted near-identical vectors; the rest
+        # well-separated so the prescreen kills their pairs cheaply.
         from flink_ad_analytics_spark.operators.clustering import semantic_dedup
 
         rng2 = np.random.default_rng(7)

@@ -1385,9 +1385,12 @@ def q_user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers (md5 lottery ~1/16th) cascades through orders (FK
     o_custkey) to lineitem (FK l_orderkey); per table, rows before /
     after / erased are reported so the erasure job is VERIFIABLE --
-    the count discipline regulators actually ask for. All joins are
-    anti/semi against broadcastable key sets; the fact tables are
-    scanned once each, never shuffled."""
+    the count discipline regulators actually ask for. Each fact table
+    is scanned ONCE for its own report (total + hit counts from one
+    broadcast LEFT join -- the quality.py ReferencedIn idiom); the
+    small erasure key sets are rebuilt per use in the static plan
+    (AQE's ReusedExchange collapses the identical builds at runtime),
+    and nothing large ever shuffles."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")

@@ -33,3 +33,4 @@ def test_small_scale_no_spurious_warnings():
     d = advise("/root/testdata/sf0.001", scale=1.0, cores=2)
     # 6k-row files fit any task target comfortably at scale 1
     assert d["advice"]["spark.sql.shuffle.partitions"] >= 2
+    assert d["row_group_warnings"] == [], d["row_group_warnings"]

@@ -37,11 +37,7 @@ import argparse
 import glob
 import json
 import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import pyarrow.parquet as pq  # noqa: E402
+import pyarrow.parquet as pq
 
 TARGET_SHUFFLE_PARTITION_BYTES = 150 * 1024 * 1024
 DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
@@ -49,11 +45,12 @@ DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
 
 def table_stats(path: str) -> dict:
     md = pq.ParquetFile(path).metadata
-    rg_compressed = [
+    rg_uncompressed = [
         md.row_group(i).total_byte_size for i in range(md.num_row_groups)
     ]
-    # footer's total_byte_size is the UNCOMPRESSED size; compressed
-    # comes from column-chunk totals
+    # footer's total_byte_size is the UNCOMPRESSED size (hence the
+    # variable name above); on-disk compressed bytes come from
+    # column-chunk totals
     rg_disk = [
         sum(
             md.row_group(i).column(c).total_compressed_size
@@ -64,9 +61,9 @@ def table_stats(path: str) -> dict:
     return {
         "rows": md.num_rows,
         "row_groups": md.num_row_groups,
-        "uncompressed_bytes": sum(rg_compressed),
+        "uncompressed_bytes": sum(rg_uncompressed),
         "compressed_bytes": sum(rg_disk),
-        "max_row_group_uncompressed": max(rg_compressed, default=0),
+        "max_row_group_uncompressed": max(rg_uncompressed, default=0),
         "max_row_group_compressed": max(rg_disk, default=0),
     }
 

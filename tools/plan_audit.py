@@ -61,8 +61,15 @@ def digest(df) -> dict:
         "scans": plan.count("FileScan"),
         "sorts": plan.count("Sort ["),
         "py_stages": sum(plan.count(n) for n in _PY_NODES),
-        "pushed_filters": "PushedFilters: [" in plan
-        and "PushedFilters: []" not in plan.split("PushedFilters: [", 1)[0],
+        # True iff at least one scan carries a NON-EMPTY PushedFilters
+        # list. (The previous form only tested that a parquet scan
+        # existed -- a filterless scan-only query read as "pushed",
+        # and a lost pushdown could never flip the digest.) False for
+        # queries with no scan-reachable predicate is correct and
+        # expected, not a defect.
+        "pushed_filters": any(
+            s.strip() for s in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        ),
     }
 
 
