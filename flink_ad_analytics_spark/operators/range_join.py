@@ -69,23 +69,63 @@ def binned_range_join(
     null-extension through bucket replicas would emit one null row per
     replica, so the operator stays inner and unambiguous.
     """
-    extra_on = extra_on or []
-    check_column_clash(left, right, extra_on, "binned_range_join")
     width_us = _interval_micros(bin_width)
+    return _binned_join(
+        left, right, left_lo, left_hi, right_point,
+        lambda c: floor_bucket(c, width_us),
+        extra_on, "binned_range_join",
+    )
 
+
+def numeric_binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_lo: str,
+    left_hi: str,
+    right_point: str,
+    bin_width: int,
+    extra_on: list[str] | None = None,
+) -> DataFrame:
+    """`binned_range_join` over INTEGER domains instead of time: price
+    bands (cents), length bands (tokens), size bands (bytes) -- any
+    "right value inside each left row's numeric interval" join with no
+    equi key, which Spark otherwise plans as a nested loop.
+
+    Columns must be integral (cast floats to a fixed-point long with
+    an explicit floor FIRST: double->long casts truncate in Spark but
+    round in DuckDB, the classic cross-engine trap). `bin_width` is a
+    positive integer; bucket arithmetic is the same exact pmod floor
+    division as the time form, so band edges never misround.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be a positive integer")
+
+    def bucket(c: Column) -> Column:
+        x = c.cast("long")
+        return ((x - F.pmod(x, F.lit(bin_width))) / F.lit(bin_width)).cast("long")
+
+    return _binned_join(
+        left, right, left_lo, left_hi, right_point, bucket,
+        extra_on, "numeric_binned_range_join",
+    )
+
+
+def _binned_join(
+    left, right, left_lo, left_hi, right_point, bucket, extra_on, opname
+) -> DataFrame:
+    """Shared core: replicate left intervals to their buckets, bucket
+    the right point, equi-join, residual BETWEEN. Each pair meets in
+    exactly one bucket (the right point's)."""
+    extra_on = extra_on or []
+    check_column_clash(left, right, extra_on, opname)
     l_binned = left.withColumn(
         "__bucket",
         F.explode(
-            F.sequence(
-                floor_bucket(F.col(left_lo), width_us),
-                floor_bucket(F.col(left_hi), width_us),
-            )
+            F.sequence(bucket(F.col(left_lo)), bucket(F.col(left_hi)))
         ),
     )
-    r_binned = right.withColumn(
-        "__bucket", floor_bucket(F.col(right_point), width_us)
-    )
-
+    r_binned = right.withColumn("__bucket", bucket(F.col(right_point)))
     joined = l_binned.join(r_binned, ["__bucket", *extra_on]).filter(
         F.col(right_point).between(F.col(left_lo), F.col(left_hi))
     )

@@ -27,7 +27,7 @@ from .operators.packing import (
     pack_sequences_greedy,
     pack_sequences_offset,
 )
-from .operators.range_join import binned_range_join
+from .operators.range_join import binned_range_join, numeric_binned_range_join
 from .operators.similarity import quantize_int8, quantized_topk
 from .operators.text import (
     LINEAR_DIM,
@@ -1377,6 +1377,59 @@ ORDER BY anchor_lang, neg_lang
 """
 
 
+# -- numeric band join: price-peer density -----------------------------------
+
+
+def q_price_band_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order, how many OTHER orders priced within +-$100 -- a pure
+    numeric band self-join with no equi key, routed through
+    operators/range_join.py::numeric_binned_range_join (the nested-
+    loop-free plan). Prices go to integer cents with an explicit
+    floor() BEFORE the long cast (double->long truncates in Spark but
+    rounds in DuckDB -- floor pins both engines to one value)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    base = orders.select(F.col("o_orderkey"), cents.alias("c"))
+    l = base.select(
+        F.col("o_orderkey").alias("lkey"),
+        (F.col("c") - 10000).alias("lo"),
+        (F.col("c") + 10000).alias("hi"),
+    )
+    r = base.select(F.col("o_orderkey").alias("rkey"), F.col("c").alias("pt"))
+    m = numeric_binned_range_join(
+        l, r, left_lo="lo", left_hi="hi", right_point="pt", bin_width=20000
+    )
+    counts = (
+        m.filter(F.col("lkey") != F.col("rkey"))
+        .groupBy("lkey")
+        .agg(F.count(F.lit(1)).alias("n_price_peers"))
+    )
+    return (
+        l.select(F.col("lkey"))
+        .join(counts, "lkey", "left")
+        .select(
+            F.col("lkey").alias("o_orderkey"),
+            F.coalesce("n_price_peers", F.lit(0)).cast("long").alias(
+                "n_price_peers"
+            ),
+        )
+    )
+
+
+PRICE_BAND_PEERS_SQL = """
+WITH o AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders)
+SELECT a.o_orderkey,
+       CAST(COUNT(b.o_orderkey) AS BIGINT) AS n_price_peers
+FROM o a
+LEFT JOIN o b
+  ON b.o_orderkey <> a.o_orderkey
+ AND b.c BETWEEN a.c - 10000 AND a.c + 10000
+GROUP BY 1
+"""
+
+
 # -- governance: cascading erasure audit -------------------------------------
 
 
@@ -1888,6 +1941,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     ),
     "token_budget": (q_token_budget, TOKEN_BUDGET_SQL),
     "user_erasure_audit": (q_user_erasure_audit, USER_ERASURE_AUDIT_SQL),
+    "price_band_peers": (q_price_band_peers, PRICE_BAND_PEERS_SQL),
     "negative_samples": (q_negative_samples, NEGATIVE_SAMPLES_SQL),
     "bpe_top_pairs": (q_bpe_top_pairs, BPE_TOP_PAIRS_SQL),
     "bpe_vocab": (q_bpe_vocab, None),

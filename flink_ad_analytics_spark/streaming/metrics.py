@@ -133,6 +133,9 @@ class QueryMetricsRecorder(StreamingQueryListener):
             ),
             "watermark": (p.get("eventTime") or {}).get("watermark"),
             "state_rows_total": sum(s.get("numRowsTotal", 0) for s in state),
+            "rows_dropped_late": sum(
+                s.get("numRowsDroppedByWatermark", 0) for s in state
+            ),
             "state_rows_updated": sum(s.get("numRowsUpdated", 0) for s in state),
             "state_memory_bytes": sum(s.get("memoryUsedBytes", 0) for s in state),
             "num_state_operators": len(state),
@@ -161,6 +164,7 @@ class QueryMetricsRecorder(StreamingQueryListener):
                     "total_input_rows": 0,
                     "max_state_rows": 0,
                     "max_state_memory_bytes": 0,
+                    "total_rows_dropped_late": 0,
                     "last_watermark": None,
                     "max_processed_rows_per_second": 0.0,
                 },
@@ -168,6 +172,7 @@ class QueryMetricsRecorder(StreamingQueryListener):
             s["batches"] += 1
             s["total_input_rows"] += r["num_input_rows"]
             s["max_state_rows"] = max(s["max_state_rows"], r["state_rows_total"])
+            s["total_rows_dropped_late"] += r.get("rows_dropped_late", 0)
             s["max_state_memory_bytes"] = max(
                 s["max_state_memory_bytes"], r["state_memory_bytes"]
             )

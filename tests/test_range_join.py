@@ -151,3 +151,36 @@ def test_interval_micros_parsing():
     for bad in ("1 month", "0 seconds", "-5 seconds", "fast"):
         with pytest.raises(ValueError):
             _interval_micros(bad)
+
+
+def test_numeric_matches_naive_and_rejects_bad_width(spark):
+    from flink_ad_analytics_spark.operators.range_join import (
+        numeric_binned_range_join,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    left = spark.createDataFrame(
+        [(i, v - 7, v + 7) for i, v in
+         ((i, rng.randint(-100, 100)) for i in range(40))],
+        ["lid", "lo", "hi"],
+    )
+    right = spark.createDataFrame(
+        [(j, rng.randint(-100, 100)) for j in range(120)], ["rid", "pt"]
+    )
+    expected = _pairs(left.join(right, F.col("pt").between(F.col("lo"), F.col("hi"))))
+    for width in (3, 14, 1000):
+        got = _pairs(
+            numeric_binned_range_join(
+                left, right, left_lo="lo", left_hi="hi", right_point="pt",
+                bin_width=width,
+            )
+        )
+        assert got == expected, width
+    assert expected, "fixture must produce matches"
+    with pytest.raises(ValueError, match="positive"):
+        numeric_binned_range_join(
+            left, right, left_lo="lo", left_hi="hi", right_point="pt",
+            bin_width=0,
+        )

@@ -89,6 +89,8 @@ def test_recorder_captures_rates_state_and_watermark(spark, tmp_path):
 
     s = rec.summary()["metrics_probe"]
     assert s["total_input_rows"] == n
+    # ordered fixture delivery: nothing may be dropped as late
+    assert s["total_rows_dropped_late"] == 0
     assert s["batches"] >= 2, "maxFilesPerTrigger=1 over 2 files"
     assert s["max_state_rows"] > 0
     assert s["last_watermark"] == max(watermarks)
