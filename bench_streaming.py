@@ -25,6 +25,9 @@ from flink_ad_analytics_spark.fixtures import generate  # noqa: E402
 from flink_ad_analytics_spark.session import build_session  # noqa: E402
 from flink_ad_analytics_spark.streaming.jobs import streaming_ctr_windows  # noqa: E402
 from flink_ad_analytics_spark.streaming.sources import file_event_stream  # noqa: E402
+from flink_ad_analytics_spark.streaming.metrics import (  # noqa: E402
+    QueryMetricsRecorder,
+)
 from flink_ad_analytics_spark.streaming.state import use_rocksdb  # noqa: E402
 
 
@@ -43,6 +46,8 @@ def main() -> None:
         use_rocksdb(spark)
         store = "rocksdb"
 
+    recorder = QueryMetricsRecorder()
+    spark.streams.addListener(recorder)
     tmp = tempfile.mkdtemp(prefix="fas_stream_bench_")
     try:
         fx = generate(duration_sec=duration, seed=42)
@@ -118,6 +123,18 @@ def main() -> None:
         q2.stop()
         asof_rows = spark.table("bench_asof").count()
 
+        # per-batch engine health from the listener -> committed
+        # artifact (the ops story: rates, state size, watermark, late
+        # drops for the exact run that produced the throughput number)
+        time.sleep(2)  # listener delivery is async
+        health = recorder.summary()
+        health_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".benchmarks", "streaming_health.json",
+        )
+        with open(health_path, "w") as f:
+            json.dump(health, f, indent=1)
+
         print(
             json.dumps(
                 {
@@ -132,6 +149,10 @@ def main() -> None:
                     "asof_throughput": round(n_events / asof_elapsed, 1),
                     "asof_elapsed_sec": round(asof_elapsed, 2),
                     "asof_rows": asof_rows,
+                    "health_artifact": "streaming_health.json",
+                    "max_state_rows": max(
+                        (h["max_state_rows"] for h in health.values()), default=0
+                    ),
                 }
             )
         )
