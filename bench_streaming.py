@@ -125,8 +125,19 @@ def main() -> None:
 
         # per-batch engine health from the listener -> committed
         # artifact (the ops story: rates, state size, watermark, late
-        # drops for the exact run that produced the throughput number)
-        time.sleep(2)  # listener delivery is async
+        # drops for the exact run that produced the throughput number).
+        # Listener delivery is async: poll until the recorder has seen
+        # every input row of both queries (or time out) rather than
+        # assuming a fixed drain time.
+        expected = {"bench_stream": n_events + len(fx.impressions),
+                    "bench_asof": n_events}
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            health = recorder.summary()
+            if all(health.get(q, {}).get("total_input_rows", 0) >= n
+                   for q, n in expected.items()):
+                break
+            time.sleep(0.25)
         health = recorder.summary()
         health_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),

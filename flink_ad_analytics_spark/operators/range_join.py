@@ -95,15 +95,15 @@ def numeric_binned_range_join(
     Columns must be integral (cast floats to a fixed-point long with
     an explicit floor FIRST: double->long casts truncate in Spark but
     round in DuckDB, the classic cross-engine trap). `bin_width` is a
-    positive integer; bucket arithmetic is the same exact pmod floor
-    division as the time form, so band edges never misround.
+    positive integer; bucket arithmetic shares the time form's
+    `_floor_div` (exact within its documented |x| < 2^53 domain --
+    epoch NANOS and values adjacent to Long.MIN_VALUE are outside it).
     """
     if bin_width <= 0:
         raise ValueError("bin_width must be a positive integer")
 
     def bucket(c: Column) -> Column:
-        x = c.cast("long")
-        return ((x - F.pmod(x, F.lit(bin_width))) / F.lit(bin_width)).cast("long")
+        return _floor_div(c.cast("long"), bin_width)
 
     return _binned_join(
         left, right, left_lo, left_hi, right_point, bucket,
@@ -133,20 +133,30 @@ def _binned_join(
     return joined.select(*out_cols)
 
 
+def _floor_div(x: Column, w: int) -> Column:
+    """Floor division on long columns: subtract the positive modulus,
+    divide the exact multiple. THE one bucket-arithmetic definition --
+    time and numeric band joins (batch and streaming) all route here,
+    so the modes cannot drift.
+
+    Exactness domain: |x| < 2^53 (the quotient's double round-trip is
+    exact there -- epoch micros reach ~1.7e15, centuries of headroom;
+    epoch NANOS at ~1.8e18 do NOT fit, convert to micros first) and x
+    at least `w` above Long.MIN_VALUE (x - pmod would wrap below it).
+    Outside that domain bucket indices can misround; practical id/
+    price/time domains sit far inside it.
+    """
+    return ((x - F.pmod(x, F.lit(w))) / F.lit(w)).cast("long")
+
+
 def floor_bucket(col: Column, width_us: int) -> Column:
     """Time bucket index of `col` for a `width_us`-microsecond grid.
 
-    Exact integer floor-division on epoch micros: subtract the
-    positive modulus, then divide the exact multiple. All values stay
-    exactly representable (micros ~1.7e15 < 2^53), so a band edge can
-    never round into the wrong bucket. NTZ columns cast through the
-    session zone first; the cast is monotone and applied identically
-    to both sides, so bucket alignment (the only thing micros are used
-    for) is preserved. Shared by the batch and streaming band joins --
-    one definition, so the two modes cannot drift.
+    NTZ columns cast through the session zone first; the cast is
+    monotone and applied identically to both sides, so bucket
+    alignment (the only thing micros are used for) is preserved.
     """
-    x = F.unix_micros(col.cast("timestamp"))
-    return ((x - F.pmod(x, F.lit(width_us))) / F.lit(width_us)).cast("long")
+    return _floor_div(F.unix_micros(col.cast("timestamp")), width_us)
 
 
 def check_column_clash(

@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import sys
 
-import pandas as pd
 from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo")
@@ -30,14 +29,13 @@ def test_snapshot_over_engine_bus(spark, tmp_path):
     )
     ctr = ctr_windows(imp, clk)
     bus = tmp_path / "bus"
-    ctr.toPandas().to_parquet((bus / "ctr_results").mkdir(parents=True) or
-                              bus / "ctr_results" / "p0.parquet", index=False)
-    engagement_windows(imp, clk).toPandas().to_parquet(
-        (bus / "engagement_results").mkdir() or
-        bus / "engagement_results" / "p0.parquet", index=False)
-    detect_anomalies(ctr).toPandas().to_parquet(
-        (bus / "anomaly_alerts").mkdir() or
-        bus / "anomaly_alerts" / "p0.parquet", index=False)
+    for name, df in (
+        ("ctr_results", ctr),
+        ("engagement_results", engagement_windows(imp, clk)),
+        ("anomaly_alerts", detect_anomalies(ctr)),
+    ):
+        (bus / name).mkdir(parents=True)
+        df.toPandas().to_parquet(bus / name / "p0.parquet", index=False)
     # half-written file must be skipped, not crash the poll
     (bus / "ctr_results" / "p1.parquet").write_bytes(b"not parquet")
 

@@ -41,17 +41,38 @@ PANELS = {
 }
 
 
-def read_panel(bus_dir: str, name: str) -> pd.DataFrame:
-    files = sorted(glob.glob(os.path.join(bus_dir, name, "*.parquet")))
-    frames = []
+#: newest files read in full per poll; older output only contributes
+#: to the footer-derived total, so poll cost stays bounded as a
+#: streaming sink grows.
+MAX_FILES_READ = 16
+
+
+def read_panel(bus_dir: str, name: str) -> tuple[pd.DataFrame, int]:
+    """(recent rows, total row count). Totals come from parquet
+    FOOTERS (no data pages), rows from only the newest MAX_FILES_READ
+    files by mtime -- a dashboard poll must not re-read a day of
+    streaming output to render 12 tail rows."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        glob.glob(os.path.join(bus_dir, name, "*.parquet")),
+        key=os.path.getmtime,
+    )
+    total = 0
     for f in files:
         try:
-            frames.append(pd.read_parquet(f))
+            total += pq.ParquetFile(f).metadata.num_rows
         except Exception:  # half-written file during an active trigger
             continue
+    frames = []
+    for f in files[-MAX_FILES_READ:]:
+        try:
+            frames.append(pd.read_parquet(f))
+        except Exception:
+            continue
     if not frames:
-        return pd.DataFrame()
-    return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame(), total
+    return pd.concat(frames, ignore_index=True), total
 
 
 def snapshot(bus_dir: str, tail: int = 12) -> dict:
@@ -59,9 +80,9 @@ def snapshot(bus_dir: str, tail: int = 12) -> dict:
     rollup counts -- the JSON a web dashboard would fetch."""
     out: dict = {"bus_dir": bus_dir, "panels": {}}
     for name, (time_col, cols) in PANELS.items():
-        df = read_panel(bus_dir, name)
+        df, total = read_panel(bus_dir, name)
         if df.empty:
-            out["panels"][name] = {"rows": [], "n_total": 0}
+            out["panels"][name] = {"rows": [], "n_total": int(total)}
             continue
         if time_col in df.columns:
             df = df.sort_values(time_col, kind="stable")
@@ -70,7 +91,7 @@ def snapshot(bus_dir: str, tail: int = 12) -> dict:
         out["panels"][name] = {
             "rows": json.loads(recent.to_json(orient="records",
                                               date_format="iso")),
-            "n_total": int(len(df)),
+            "n_total": int(total),
         }
     return out
 
