@@ -1377,6 +1377,90 @@ ORDER BY anchor_lang, neg_lang
 """
 
 
+# -- statistical anomaly detection: integer-exact z-score ---------------------
+
+_Z_WINDOW = 24  # trailing hours
+_Z_SIGMA = 2    # alert threshold in standard deviations
+
+
+def q_count_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count z-score anomalies per event type -- the
+    statistical upgrade of the reference's LAG ratio rule
+    (anomaly_job.sql:69-75): compare each hour to its trailing
+    24-hour mean/std instead of just the previous window.
+
+    Exactness engineering: counts are integers, the trailing window
+    keeps integer SUM(x) and SUM(x^2), and the sigma test is the
+    cross-multiplied integer inequality
+
+        (W*x - S1)^2  >  Z^2 * (W*S2 - S1^2)
+
+    (|x - mu| > Z*sigma with mu = S1/W, sigma^2 = (W*S2 - S1^2)/W^2,
+    both sides scaled by W^2) -- no division, no sqrt, no float
+    anywhere, so the alert set is bit-identical across engines. One
+    shuffle on event_type for the window; the hourly pre-aggregation
+    is the usual map-side-combined groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-_Z_WINDOW, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.count(F.lit(1)).over(w).alias("w_rows"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    ).filter(F.col("w_rows") == _Z_WINDOW)
+    # d * d, not d ** 2: Column ** compiles to double pow(), and the
+    # whole point is an integer-only inequality (matches the oracle's
+    # BIGINT multiply; long*long stays long in Spark)
+    dev = F.lit(_Z_WINDOW) * F.col("n") - F.col("s1")
+    lhs = dev * dev
+    rhs = F.lit(_Z_SIGMA * _Z_SIGMA) * (
+        F.lit(_Z_WINDOW) * F.col("s2") - F.col("s1") * F.col("s1")
+    )
+    return (
+        scored.filter(lhs > rhs)
+        .select(
+            "event_type",
+            "hour",
+            F.col("n").cast("long").alias("n"),
+            F.col("s1").cast("long").alias("trailing_sum"),
+            F.col("s2").cast("long").alias("trailing_sumsq"),
+        )
+    )
+
+
+COUNT_ZSCORE_ALERTS_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT event_type, hour, n,
+         COUNT(*) OVER w AS w_rows,
+         SUM(n) OVER w AS s1,
+         SUM(n * n) OVER w AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {_Z_WINDOW} PRECEDING AND 1 PRECEDING))
+SELECT event_type, hour,
+       CAST(n AS BIGINT) AS n,
+       CAST(s1 AS BIGINT) AS trailing_sum,
+       CAST(s2 AS BIGINT) AS trailing_sumsq
+FROM scored
+WHERE w_rows = {_Z_WINDOW}
+  AND ({_Z_WINDOW} * n - s1) * ({_Z_WINDOW} * n - s1)
+      > {_Z_SIGMA * _Z_SIGMA} * ({_Z_WINDOW} * s2 - s1 * s1)
+"""
+
+
 # -- numeric band join: price-peer density -----------------------------------
 
 
@@ -1942,6 +2026,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "token_budget": (q_token_budget, TOKEN_BUDGET_SQL),
     "user_erasure_audit": (q_user_erasure_audit, USER_ERASURE_AUDIT_SQL),
     "price_band_peers": (q_price_band_peers, PRICE_BAND_PEERS_SQL),
+    "count_zscore_alerts": (q_count_zscore_alerts, COUNT_ZSCORE_ALERTS_SQL),
     "negative_samples": (q_negative_samples, NEGATIVE_SAMPLES_SQL),
     "bpe_top_pairs": (q_bpe_top_pairs, BPE_TOP_PAIRS_SQL),
     "bpe_vocab": (q_bpe_vocab, None),
