@@ -31,7 +31,7 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Tokenize on whitespace after trim: no empty edge tokens, portable
 # with DuckDB string_split_regex(trim(text), '\s+').
@@ -889,3 +889,97 @@ def containment_pairs(
         ).alias("d")
     ).select("d.inner_id", "d.outer_id", "d.containment")
     return directed.filter(F.col("containment") >= threshold)
+
+
+def _lsh_bands(sig: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, band_key) from a minhash_signatures frame: one pass,
+    exploding an array of per-band structs (a union of per-band
+    selects would re-execute the signature pipeline once per band)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                ).alias("band_key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bk")
+    ).select(id_col, "bk.band", "bk.band_key")
+
+
+def cross_corpus_minhash_dups(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Incremental ingest dedup: which NEW documents near-duplicate an
+    EXISTING corpus document. The MinHash-LSH machinery as a
+    cross-join between two corpora instead of a self-join -- today's
+    crawl checks against yesterday's index without ever comparing new
+    docs to each other (that is `minhash_lsh_pairs`' job on the merged
+    corpus afterwards).
+
+    Shape at scale: the corpus side's signatures/bands are computed
+    once per ingest run (persist or pre-materialize them as the
+    standing index -- signatures are ~100 bytes/doc); the band join's
+    shuffle is keyed by band_key, so per-bucket work tracks collision
+    counts, not |new| x |corpus|.
+
+    Output: one row per matched new doc -- (id, dup_of, jaccard) for
+    its BEST corpus match (highest exact-shingle Jaccard >= threshold,
+    ties to the smallest corpus id). Unmatched new docs are absent:
+    anti-join the ids to keep survivors.
+    """
+    new_bands = _lsh_bands(
+        minhash_signatures(new_docs, id_col, text_col), id_col
+    ).withColumnRenamed(id_col, "__new_id")
+    corpus_bands = _lsh_bands(
+        minhash_signatures(corpus, id_col, text_col), id_col
+    ).withColumnRenamed(id_col, "__corpus_id")
+    cand = (
+        new_bands.join(corpus_bands, ["band", "band_key"])
+        .select("__new_id", "__corpus_id")
+        .distinct()
+    )
+    sh_new = doc_shingles(new_docs, id_col, text_col).select(
+        F.col(id_col).alias("__new_id"), F.col("shingles").alias("sh1")
+    )
+    sh_corpus = doc_shingles(corpus, id_col, text_col).select(
+        F.col(id_col).alias("__corpus_id"), F.col("shingles").alias("sh2")
+    )
+    verified = (
+        cand.join(sh_new, "__new_id")
+        .join(sh_corpus, "__corpus_id")
+        .select(
+            "__new_id",
+            "__corpus_id",
+            F.size(F.array_intersect("sh1", "sh2")).alias("shared"),
+            F.size("sh1").alias("n1"),
+            F.size("sh2").alias("n2"),
+        )
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("shared")
+    ).cast("double")
+    scored = verified.withColumn("jaccard", jac).filter(
+        F.col("jaccard") >= threshold
+    )
+    w = Window.partitionBy("__new_id").orderBy(
+        F.col("jaccard").desc(), F.col("__corpus_id").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("__new_id").alias(id_col),
+            F.col("__corpus_id").alias("dup_of"),
+            "jaccard",
+        )
+    )

@@ -19,6 +19,7 @@ from .operators.dedup import (
     SIMHASH_CHUNKS,
     SIMHASH_HAMMING,
     containment_pairs,
+    cross_corpus_minhash_dups,
     dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
@@ -758,12 +759,92 @@ WHERE containment >= 0.8
 """
 
 
+
+# -- incremental (cross-corpus) dedup ---------------------------------------
+
+_SPLIT_PRED = "substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'"
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py::
+    cross_corpus_minhash_dups): a deterministic ~half of documents
+    plays the standing corpus, the rest today's ingest; each new doc
+    reports its best corpus near-duplicate (exact-Jaccard-verified
+    MinHash-LSH cross-join -- new docs are never compared to each
+    other)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = (
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        < "8"
+    )
+    corpus = docs.filter(split)
+    new = docs.filter(~split)
+    return cross_corpus_minhash_dups(new, corpus, threshold=0.2)
+
+
+def _incremental_dedup_oracle() -> str:
+    mh_cols = ",\n   ".join(
+        f"MIN(substr(md5('{j}:' || shingle), 1, 16)) AS mh_{j}"
+        for j in range(N_MINHASHES)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, side, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"mh_{b * LSH_ROWS + r}" for r in range(LSH_ROWS)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH {_TOKS_SQL},
+{_SHINGLES_SQL},
+sided AS (SELECT doc_id, shingles,
+                 CASE WHEN {_SPLIT_PRED} THEN 'corpus' ELSE 'new' END AS side
+          FROM sh),
+ex AS (SELECT doc_id, side, unnest(shingles) AS shingle
+       FROM sided WHERE len(shingles) > 0),
+sig AS (SELECT doc_id, side,
+   {mh_cols}
+ FROM ex GROUP BY doc_id, side),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.side = 'new' AND b.side = 'corpus'),
+sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sided),
+verified AS (
+  SELECT c.new_id, c.corpus_id,
+         len(list_intersect(s1.shingles, s2.shingles)) AS shared,
+         s1.n AS n1, s2.n AS n2
+  FROM cand c
+  JOIN sized s1 ON c.new_id = s1.doc_id
+  JOIN sized s2 ON c.corpus_id = s2.doc_id),
+scored AS (
+  SELECT new_id, corpus_id,
+         CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) AS jaccard
+  FROM verified
+  WHERE CAST(shared AS DOUBLE) / CAST(n1 + n2 - shared AS DOUBLE) >= 0.2),
+best AS (
+  SELECT new_id, corpus_id, jaccard,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY jaccard DESC, corpus_id ASC) AS r
+  FROM scored)
+SELECT new_id AS doc_id, corpus_id AS dup_of, jaccard
+FROM best WHERE r = 1
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
     "ann_filtered_topk": (q_ann_filtered_topk, ANN_FILTERED_TOPK_SQL),
     "containment_pairs": (q_containment_pairs, CONTAINMENT_PAIRS_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_lsh_oracle()),
+    "incremental_dedup": (q_incremental_dedup, _incremental_dedup_oracle()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
     "simhash_signatures": (q_simhash, SIMHASH_SQL),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_oracle()),

@@ -367,3 +367,50 @@ def test_connected_components_random_graphs_match_union_find(spark):
         assert got == expected
 
     check()
+
+
+def test_cross_corpus_incremental_dedup(spark):
+    from flink_ad_analytics_spark.operators.dedup import (
+        cross_corpus_minhash_dups,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    other = "one two three four five six seven eight nine ten " * 4
+    corpus = spark.createDataFrame(
+        [(0, base), (1, other), (2, "lambda mu nu xi omicron pi rho " * 5)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                      # exact copy of corpus 0
+            (11, base.replace("beta", "BETA2", 1)),  # near-dup of 0
+            (12, "totally different words entirely here " * 5),
+            (13, "totally different words entirely here " * 5),  # dup of 12,
+            # but 12 is NEW: new-vs-new must NOT match
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.dup_of, r.jaccard)
+        for r in cross_corpus_minhash_dups(new, corpus, threshold=0.2).collect()
+    }
+    assert got[10] == (0, 1.0), got
+    assert got[11][0] == 0 and got[11][1] >= 0.5
+    assert 12 not in got and 13 not in got, "new-vs-new pairs are out of scope"
+
+
+def test_cross_corpus_best_match_tie_rules(spark):
+    from flink_ad_analytics_spark.operators.dedup import (
+        cross_corpus_minhash_dups,
+    )
+
+    t = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 4
+    corpus = spark.createDataFrame(
+        [(0, t), (1, t), (2, t.replace("w5", "zz", 2))],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame([(10, t)], ["doc_id", "text"])
+    got = cross_corpus_minhash_dups(new, corpus, threshold=0.2).collect()
+    assert len(got) == 1
+    # corpus 0 and 1 both score 1.0: the tie goes to the smaller id
+    assert got[0].dup_of == 0 and got[0].jaccard == 1.0
