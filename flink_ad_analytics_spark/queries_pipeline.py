@@ -1176,6 +1176,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators.text import STOPWORDS as _STOPWORDS
 from .queries_ext import QUALITY_SCORE_SQL as _QUALITY_SCORE_SQL
+from .queries_ext import TEXT_QUALITY_SQL as _TEXT_QUALITY_SQL
 
 _STOP_LIST = ", ".join(f"'{s}'" for s in _STOPWORDS)
 _CURATE_MIN_TOKENS, _CURATE_MAX_TOKENS, _CURATE_MIN_Q = 30, 400, 0.5
@@ -1374,6 +1375,86 @@ JOIN documents a ON p.doc_id = a.doc_id
 JOIN documents b ON p.neg_id = b.doc_id
 GROUP BY 1, 2
 ORDER BY anchor_lang, neg_lang
+"""
+
+
+# -- quality-signal ensembling ------------------------------------------------
+
+
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blend three independent quality signals -- heuristic features
+    (quality_score), the hashed linear classifier (lr_score), and the
+    bigram-LM proxy (avg_lp) -- into one rank ensemble, PER LANGUAGE:
+    each signal becomes a within-language rank (ties to doc_id), the
+    blend is the exact integer rank sum, and blend_pct its exact
+    int/int ratio. Per-language windows keep the ranking
+    partition-parallel (a global rank would be a single-partition
+    sort); all three input scores are themselves oracle-proven
+    cross-engine identical, so their ranks -- and the ensemble -- are
+    too."""
+    from .queries_ext import q_text_quality
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lr = q_classifier_scores(spark, sf_dir).select("doc_id", "lr_score")
+    tq = q_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    lm = bigram_logprob(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "avg_lp"
+    )
+    joined = docs.join(lr, "doc_id").join(tq, "doc_id").join(lm, "doc_id")
+
+    def rk(col: str):
+        return F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.col(col).desc(), "doc_id")
+        )
+
+    n_lang = F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    ranked = joined.select(
+        "doc_id",
+        "lang",
+        rk("lr_score").cast("long").alias("r_lr"),
+        rk("quality_score").cast("long").alias("r_quality"),
+        rk("avg_lp").cast("long").alias("r_lm"),
+        n_lang.cast("long").alias("n_lang"),
+    )
+    blend = F.col("r_lr") + F.col("r_quality") + F.col("r_lm")
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "r_lr",
+        "r_quality",
+        "r_lm",
+        blend.cast("long").alias("blend"),
+        (
+            blend.cast("double") / (F.lit(3.0) * F.col("n_lang").cast("double"))
+        ).alias("blend_pct"),
+    )
+
+
+QUALITY_ENSEMBLE_SQL = """
+WITH sigs AS (
+  SELECT d.doc_id, d.lang, c.lr_score, t.quality_score, l.avg_lp
+  FROM documents d
+  JOIN ({CLASSIFIER}) c ON d.doc_id = c.doc_id
+  JOIN ({TEXTQ}) t ON d.doc_id = t.doc_id
+  JOIN ({LMQ}) l ON d.doc_id = l.doc_id),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY lr_score DESC, doc_id) AS r_lr,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY quality_score DESC, doc_id) AS r_quality,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY avg_lp DESC, doc_id) AS r_lm,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM sigs)
+SELECT doc_id, lang,
+       CAST(r_lr AS BIGINT) AS r_lr,
+       CAST(r_quality AS BIGINT) AS r_quality,
+       CAST(r_lm AS BIGINT) AS r_lm,
+       CAST(r_lr + r_quality + r_lm AS BIGINT) AS blend,
+       CAST(r_lr + r_quality + r_lm AS DOUBLE)
+         / (3.0 * CAST(n_lang AS DOUBLE)) AS blend_pct
+FROM ranked
 """
 
 
@@ -2027,6 +2108,12 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "user_erasure_audit": (q_user_erasure_audit, USER_ERASURE_AUDIT_SQL),
     "price_band_peers": (q_price_band_peers, PRICE_BAND_PEERS_SQL),
     "count_zscore_alerts": (q_count_zscore_alerts, COUNT_ZSCORE_ALERTS_SQL),
+    "quality_ensemble": (
+        q_quality_ensemble,
+        QUALITY_ENSEMBLE_SQL.replace("{CLASSIFIER}", CLASSIFIER_SCORES_SQL)
+        .replace("{TEXTQ}", _TEXT_QUALITY_SQL)
+        .replace("{LMQ}", LM_QUALITY_SQL),
+    ),
     "negative_samples": (q_negative_samples, NEGATIVE_SAMPLES_SQL),
     "bpe_top_pairs": (q_bpe_top_pairs, BPE_TOP_PAIRS_SQL),
     "bpe_vocab": (q_bpe_vocab, None),
