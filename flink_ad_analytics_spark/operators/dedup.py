@@ -230,23 +230,7 @@ def minhash_lsh_candidates(
     directly.
     """
     sig = minhash_signatures(docs, id_col, text_col)
-    # One pass over the signatures: explode an array of (band, key)
-    # structs. A union of per-band selects would re-execute the whole
-    # signature pipeline once per band.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-                ).alias("band_key"),
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
-    bands = sig.select(
-        F.col(id_col), F.explode(band_structs).alias("bk")
-    ).select(id_col, "bk.band", "bk.band_key")
+    bands = _lsh_bands(sig, id_col)
     left = bands.select(
         F.col(id_col).alias("doc_id_1"), "band", "band_key"
     )
@@ -278,16 +262,38 @@ def minhash_lsh_pairs(
     """
     candidates = minhash_lsh_candidates(docs, id_col=id_col, text_col=text_col)
     sh = doc_shingles(docs, id_col, text_col)
-    s1 = sh.select(F.col(id_col).alias("doc_id_1"), F.col("shingles").alias("sh1"))
-    s2 = sh.select(F.col(id_col).alias("doc_id_2"), F.col("shingles").alias("sh2"))
-    # sizes taken from the arrays AFTER the join exchange materializes
-    # them -- no recompute of the shingle transform
-    verified = (
-        candidates.join(s1, "doc_id_1")
-        .join(s2, "doc_id_2")
+    return _exact_jaccard_verify(
+        candidates, sh, sh, "doc_id_1", "doc_id_2", id_col, threshold
+    )
+
+
+def _exact_jaccard_verify(
+    candidates: DataFrame,
+    sh_left: DataFrame,
+    sh_right: DataFrame,
+    left_id: str,
+    right_id: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """THE exact-Jaccard verification step, shared by the self-join
+    (minhash_lsh_pairs) and cross-corpus (cross_corpus_minhash_dups)
+    paths: join each candidate side to its shingle set, score
+    |A∩B| / (|A|+|B|-|A∩B|), filter at threshold. One definition, so
+    the formula/threshold semantics cannot drift between paths (or
+    silently diverge from their SQL oracles). Sizes are taken from
+    the arrays AFTER the join exchange materializes them -- no
+    recompute of the shingle transform."""
+    s1 = sh_left.select(F.col(id_col).alias(left_id), F.col("shingles").alias("sh1"))
+    s2 = sh_right.select(
+        F.col(id_col).alias(right_id), F.col("shingles").alias("sh2")
+    )
+    return (
+        candidates.join(s1, left_id)
+        .join(s2, right_id)
         .select(
-            "doc_id_1",
-            "doc_id_2",
+            left_id,
+            right_id,
             F.size(F.array_intersect("sh1", "sh2")).alias("shared"),
             F.size("sh1").alias("n1"),
             F.size("sh2").alias("n2"),
@@ -298,8 +304,8 @@ def minhash_lsh_pairs(
             / (F.col("n1") + F.col("n2") - F.col("shared")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select(left_id, right_id, "jaccard")
     )
-    return verified.select("doc_id_1", "doc_id_2", "jaccard")
 
 
 SIMHASH_BITS = 60  # 15 hex chars; bit 63 would overflow DuckDB's
@@ -948,28 +954,14 @@ def cross_corpus_minhash_dups(
         .select("__new_id", "__corpus_id")
         .distinct()
     )
-    sh_new = doc_shingles(new_docs, id_col, text_col).select(
-        F.col(id_col).alias("__new_id"), F.col("shingles").alias("sh1")
-    )
-    sh_corpus = doc_shingles(corpus, id_col, text_col).select(
-        F.col(id_col).alias("__corpus_id"), F.col("shingles").alias("sh2")
-    )
-    verified = (
-        cand.join(sh_new, "__new_id")
-        .join(sh_corpus, "__corpus_id")
-        .select(
-            "__new_id",
-            "__corpus_id",
-            F.size(F.array_intersect("sh1", "sh2")).alias("shared"),
-            F.size("sh1").alias("n1"),
-            F.size("sh2").alias("n2"),
-        )
-    )
-    jac = F.col("shared").cast("double") / (
-        F.col("n1") + F.col("n2") - F.col("shared")
-    ).cast("double")
-    scored = verified.withColumn("jaccard", jac).filter(
-        F.col("jaccard") >= threshold
+    scored = _exact_jaccard_verify(
+        cand,
+        doc_shingles(new_docs, id_col, text_col),
+        doc_shingles(corpus, id_col, text_col),
+        "__new_id",
+        "__corpus_id",
+        id_col,
+        threshold,
     )
     w = Window.partitionBy("__new_id").orderBy(
         F.col("jaccard").desc(), F.col("__corpus_id").asc()

@@ -112,13 +112,22 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, threshold=0.2)
 
 
-def _minhash_lsh_oracle() -> str:
-    mh_cols = ",\n   ".join(
+def _mh_cols_sql() -> str:
+    """MinHash column list for the oracle's sig CTE -- shared by the
+    self-join and cross-corpus oracles so the hashing scheme cannot
+    drift between them (or from operators/dedup.py's constants)."""
+    return ",\n   ".join(
         f"MIN(substr(md5('{j}:' || shingle), 1, 16)) AS mh_{j}"
         for j in range(N_MINHASHES)
     )
-    band_selects = "\nUNION ALL\n".join(
-        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+
+
+def _band_selects_sql(extra_cols: str = "") -> str:
+    """Band-key UNION for the oracle's bands CTE; `extra_cols` rides
+    along (the cross-corpus oracle carries the side tag)."""
+    return "\nUNION ALL\n".join(
+        "SELECT doc_id{extra}, {b} AS band, {key} AS band_key FROM sig".format(
+            extra=extra_cols,
             b=b,
             key=" || '|' || ".join(
                 f"mh_{b * LSH_ROWS + r}" for r in range(LSH_ROWS)
@@ -126,6 +135,11 @@ def _minhash_lsh_oracle() -> str:
         )
         for b in range(LSH_BANDS)
     )
+
+
+def _minhash_lsh_oracle() -> str:
+    mh_cols = _mh_cols_sql()
+    band_selects = _band_selects_sql()
     return f"""
 WITH {_TOKS_SQL},
 {_SHINGLES_SQL},
@@ -785,19 +799,8 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_dedup_oracle() -> str:
-    mh_cols = ",\n   ".join(
-        f"MIN(substr(md5('{j}:' || shingle), 1, 16)) AS mh_{j}"
-        for j in range(N_MINHASHES)
-    )
-    band_selects = "\nUNION ALL\n".join(
-        "SELECT doc_id, side, {b} AS band, {key} AS band_key FROM sig".format(
-            b=b,
-            key=" || '|' || ".join(
-                f"mh_{b * LSH_ROWS + r}" for r in range(LSH_ROWS)
-            ),
-        )
-        for b in range(LSH_BANDS)
-    )
+    mh_cols = _mh_cols_sql()
+    band_selects = _band_selects_sql(extra_cols=", side")
     return f"""
 WITH {_TOKS_SQL},
 {_SHINGLES_SQL},

@@ -1177,6 +1177,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .operators.text import STOPWORDS as _STOPWORDS
 from .queries_ext import QUALITY_SCORE_SQL as _QUALITY_SCORE_SQL
 from .queries_ext import TEXT_QUALITY_SQL as _TEXT_QUALITY_SQL
+from .queries_ext import q_text_quality as _q_text_quality
 
 _STOP_LIST = ", ".join(f"'{s}'" for s in _STOPWORDS)
 _CURATE_MIN_TOKENS, _CURATE_MAX_TOKENS, _CURATE_MIN_Q = 30, 400, 0.5
@@ -1392,14 +1393,11 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort); all three input scores are themselves oracle-proven
     cross-engine identical, so their ranks -- and the ensemble -- are
     too."""
-    from .queries_ext import q_text_quality
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = load_table(spark, sf_dir, "documents")
     lr = q_classifier_scores(spark, sf_dir).select("doc_id", "lr_score")
-    tq = q_text_quality(spark, sf_dir).select("doc_id", "quality_score")
-    lm = bigram_logprob(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "avg_lp"
-    )
+    tq = _q_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    lm = bigram_logprob(docs).select("doc_id", "avg_lp")
+    docs = docs.select("doc_id", "lang")
     joined = docs.join(lr, "doc_id").join(tq, "doc_id").join(lm, "doc_id")
 
     def rk(col: str):

@@ -1,11 +1,16 @@
-"""Dynamic-config enrichment (Flink broadcast-state analogue): a
-stream-static join re-resolves the static side every micro-batch, so
-overwriting the config table between batches changes enrichment
-mid-stream -- no restart. This pins the Spark behavior the engine's
-stream-static enrichment relies on for live config (blocklists,
-bid multipliers, routing tables)."""
+"""Dynamic-config enrichment (Flink broadcast-state analogue).
+
+The robust Spark pattern for live config is re-reading the config
+table INSIDE foreachBatch: each micro-batch plans a fresh read, so
+file listings, sizes, and names are re-resolved every batch (a plain
+stream-static join pins the file index at plan time -- new/changed
+config files there are version-dependent behavior, not a contract).
+This test proves config overwritten between batches changes
+enrichment mid-stream, no restart."""
 
 from __future__ import annotations
+
+import os
 
 import pandas as pd
 from pyspark.sql import functions as F, types as T
@@ -19,10 +24,12 @@ EVENTS = T.StructType(
 )
 
 
-def _write_config(path, rows):
-    pd.DataFrame(rows, columns=["campaign_id", "multiplier"]).to_parquet(
-        path / "config.parquet", index=False
-    )
+def _write_atomic(directory, name, df):
+    """Temp-file + rename: the watched directory must never expose a
+    half-written parquet to a concurrent trigger."""
+    tmp = directory.parent / f".__tmp_{name}"
+    df.to_parquet(tmp, index=False)
+    os.rename(tmp, directory / name)
 
 
 def test_config_overwrite_applies_to_later_batches(spark, tmp_path):
@@ -30,48 +37,63 @@ def test_config_overwrite_applies_to_later_batches(spark, tmp_path):
     src.mkdir()
     cfg = tmp_path / "config"
     cfg.mkdir()
-    _write_config(cfg, [("camp-1", 10), ("camp-2", 20)])
-
+    out = tmp_path / "out"
+    _write_atomic(
+        cfg, "config.parquet",
+        pd.DataFrame([("camp-1", 10), ("camp-2", 20)],
+                     columns=["campaign_id", "multiplier"]),
+    )
     base_ms = 1_700_000_000_000
-    pd.DataFrame(
-        [(1, "camp-1", base_ms), (2, "camp-2", base_ms + 1000)],
-        columns=["event_id", "campaign_id", "ts_ms"],
-    ).to_parquet(src / "p0.parquet", index=False)
+    _write_atomic(
+        src, "p0.parquet",
+        pd.DataFrame([(1, "camp-1", base_ms), (2, "camp-2", base_ms + 1000)],
+                     columns=["event_id", "campaign_id", "ts_ms"]),
+    )
 
     stream = (
         spark.readStream.schema(EVENTS)
         .option("maxFilesPerTrigger", "1")
         .parquet(str(src))
     )
-    # static side read lazily: resolved against the CURRENT parquet
-    # contents at each micro-batch's planning time
-    config = spark.read.schema(
-        "campaign_id string, multiplier long"
-    ).parquet(str(cfg))
-    enriched = stream.join(F.broadcast(config), "campaign_id", "left").select(
-        "event_id", "campaign_id", "multiplier"
-    )
+
+    def enrich(batch_df, batch_id):
+        # fresh read per batch: THE dynamic-config contract
+        config = batch_df.sparkSession.read.parquet(str(cfg))
+        (
+            batch_df.join(F.broadcast(config), "campaign_id", "left")
+            .select("event_id", "campaign_id", "multiplier")
+            .write.mode("append")
+            .parquet(str(out))
+        )
+
     q = (
-        enriched.writeStream.format("memory")
-        .queryName("dyncfg")
-        .outputMode("append")
+        stream.writeStream.foreachBatch(enrich)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
     try:
         q.processAllAvailable()
-
         # config change between batches: camp-1 re-weighted, camp-3 added
-        _write_config(cfg, [("camp-1", 99), ("camp-3", 30)])
-        pd.DataFrame(
-            [(3, "camp-1", base_ms + 2000), (4, "camp-3", base_ms + 3000)],
-            columns=["event_id", "campaign_id", "ts_ms"],
-        ).to_parquet(src / "p1.parquet", index=False)
+        _write_atomic(
+            cfg, "config.parquet",
+            pd.DataFrame([("camp-1", 99), ("camp-3", 30)],
+                         columns=["campaign_id", "multiplier"]),
+        )
+        _write_atomic(
+            src, "p1.parquet",
+            pd.DataFrame(
+                [(3, "camp-1", base_ms + 2000), (4, "camp-3", base_ms + 3000)],
+                columns=["event_id", "campaign_id", "ts_ms"],
+            ),
+        )
         q.processAllAvailable()
     finally:
         q.stop()
 
-    got = {r.event_id: r.multiplier for r in spark.table("dyncfg").collect()}
+    got = {
+        r.event_id: r.multiplier
+        for r in spark.read.parquet(str(out)).collect()
+    }
     # batch 1 used config v1; batch 2 used config v2 -- same campaign,
     # different multiplier across batches, new campaign resolves
     assert got == {1: 10, 2: 20, 3: 99, 4: 30}
