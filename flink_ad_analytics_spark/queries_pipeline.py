@@ -21,7 +21,12 @@ from .operators.clustering import (
     kmeans_update_stats,
 )
 from .operators.clustering import pq_codes_stats, pq_fit, pq_topk, semantic_dedup
-from .operators.dedup import decontaminate, decontaminate_bloom, span_dedup
+from .operators.dedup import (
+    decontaminate,
+    decontaminate_bloom,
+    ngram_set,
+    span_dedup,
+)
 from .operators.packing import (
     chunk_documents,
     pack_sequences_greedy,
@@ -1379,6 +1384,85 @@ ORDER BY anchor_lang, neg_lang
 """
 
 
+# -- split-contamination audit -------------------------------------------------
+
+
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validate the engine's OWN dataset splits: per (eval split,
+    lang), how many val/test docs share an 8-word-gram verbatim with
+    ANY train doc -- the leakage a train/val boundary exists to
+    prevent, audited with the same gram machinery as benchmark
+    decontamination (operators/dedup.py::ngram_set).
+
+    Plan, sized for a train side ~100 TB: the eval grams are the SMALL
+    side (val+test, ~20%); the join on gram against the train gram set
+    is left to AQE (eval-side broadcast when it fits), the train side
+    streams through one distinct; the final per-doc flag is a left
+    join of the small dirty-id set."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = hash_split(docs, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
+    train = assigned.filter(F.col("split") == "train")
+    ev = assigned.filter(F.col("split") != "train")
+    train_grams = ngram_set(train, _CONTAM_N).select("gram").distinct()
+    dirty = (
+        ngram_set(ev, _CONTAM_N)
+        .join(train_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__dirty", F.lit(True))
+    )
+    return (
+        ev.join(dirty, "doc_id", "left")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(
+                F.sum(F.col("__dirty").isNotNull().cast("long")), F.lit(0)
+            ).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_rate",
+            F.col("n_contaminated").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )
+
+
+SPLIT_CONTAMINATION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest({{GRAMS}}) AS gram FROM toks
+),
+assigned AS (
+  SELECT doc_id, lang,
+         {{SPLIT_CASE}} AS split
+  FROM documents
+),
+train_grams AS MATERIALIZED (
+  SELECT DISTINCT gram
+  FROM grams JOIN assigned USING (doc_id) WHERE split = 'train'
+),
+dirty AS (
+  SELECT DISTINCT g.doc_id
+  FROM grams g
+  JOIN assigned a USING (doc_id)
+  JOIN train_grams USING (gram)
+  WHERE a.split <> 'train'
+)
+SELECT a.split, a.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS contamination_rate
+FROM assigned a
+LEFT JOIN dirty d USING (doc_id)
+WHERE a.split <> 'train'
+GROUP BY 1, 2
+"""
+
+
 # -- quality-signal ensembling ------------------------------------------------
 
 
@@ -2106,6 +2190,12 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "user_erasure_audit": (q_user_erasure_audit, USER_ERASURE_AUDIT_SQL),
     "price_band_peers": (q_price_band_peers, PRICE_BAND_PEERS_SQL),
     "count_zscore_alerts": (q_count_zscore_alerts, COUNT_ZSCORE_ALERTS_SQL),
+    "split_contamination": (
+        q_split_contamination,
+        SPLIT_CONTAMINATION_SQL.replace("{GRAMS}", _grams_sql(_CONTAM_N)).replace(
+            "{SPLIT_CASE}", hash_split_case_sql("doc_id", _SPLIT_WEIGHTS, _SPLIT_SEED)
+        ),
+    ),
     "quality_ensemble": (
         q_quality_ensemble,
         QUALITY_ENSEMBLE_SQL.replace("{CLASSIFIER}", CLASSIFIER_SCORES_SQL)
