@@ -133,3 +133,74 @@ def test_streaming_zscore_equals_batch_out_of_order(spark, tmp_path):
     kinds = {(e, (h - BASE.replace(tzinfo=None)).total_seconds() // 3600)
              for e, h, *_ in batch}
     assert ("click", 30) in kinds and ("error", 52) in kinds
+
+
+def test_zscore_restart_from_checkpoint(spark, tmp_path):
+    """Kill the stateful z-score query mid-stream, restart from the
+    same checkpoint, feed the rest: combined alerts are complete and
+    duplicate-free (state -- the trailing deque -- survives the
+    restart)."""
+    pdf = _series().sort_values("hour_ms", kind="stable").reset_index(drop=True)
+    src = tmp_path / "counts_r"
+    src.mkdir()
+    out = str(tmp_path / "alerts_out")
+    ckpt = str(tmp_path / "ckpt_r")
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(src / "p0.parquet", index=False)
+
+    def start():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+            .withColumn("hour", F.timestamp_millis(F.col("hour_ms")))
+            .select("event_type", "hour", "n")
+        )
+        alerts = streaming_zscore_alerts(
+            stream, window=_Z_WINDOW, sigma=_Z_SIGMA, watermark="100 hours"
+        )
+        return (
+            alerts.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # simulated failure/redeploy
+
+    sentinel_ms = int(BASE.timestamp() * 1000) + 3_600_000 * 1000
+    tail = pd.concat(
+        [
+            pdf.iloc[half:],
+            pd.DataFrame(
+                [("click", sentinel_ms, 0), ("error", sentinel_ms, 0)],
+                columns=pdf.columns,
+            ),
+        ],
+        ignore_index=True,
+    )
+    tail.to_parquet(src / "p1.parquet", index=False)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("hour") < F.timestamp_millis(F.lit(sentinel_ms)))
+    )
+    rows = [
+        (r.event_type, r.hour, r.n, r.trailing_sum, r.trailing_sumsq)
+        for r in got.collect()
+    ]
+    assert len(rows) == len(set(rows)), "no duplicate alerts across restart"
+    hourly = spark.createDataFrame(pdf, SCHEMA).select(
+        "event_type", F.timestamp_millis(F.col("hour_ms")).alias("hour"), "n"
+    )
+    batch = {
+        (r.event_type, r.hour, r.n, r.trailing_sum, r.trailing_sumsq)
+        for r in _batch_alerts(spark, hourly).collect()
+    }
+    assert set(rows) == batch and batch
