@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from ..functions.time import epoch_nanos_to_ts
 from ..schemas import DRIVER_TABLES
@@ -92,4 +93,43 @@ def load_evolving_table(
             # ignoring the caller's schema expectation -- downstream
             # select(col) would otherwise die on UNRESOLVED_COLUMN
             df = df.withColumn(col, F.lit(default))
+    return df
+
+
+def load_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    drop_malformed: bool = True,
+    required_col: str | None = None,
+) -> DataFrame:
+    """JSONL corpus reader: the wire format training corpora actually
+    arrive in (one JSON document per line -- the Common Crawl / Dolma
+    / RedPajama distribution shape) with lenient parsing.
+
+    Spark's JSON source in PERMISSIVE mode turns malformed lines into
+    all-null rows tagged in ``_corrupt_record``; with
+    ``drop_malformed`` those are removed (the batch analogue of the
+    Kafka path's `json.ignore-parse-errors`, flink_job.sql:22).
+    ``required_col`` additionally drops records that parsed as JSON
+    but lack the field (e.g. text-less metadata lines). An explicit
+    schema is REQUIRED: schema inference would re-read the corpus
+    once just to guess types -- at 100 TB that is a full extra scan.
+    """
+    ensure_engine_conf(spark)
+    full = T.StructType(
+        [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    if drop_malformed:
+        df = df.filter(F.col("_corrupt_record").isNull())
+    df = df.drop("_corrupt_record")
+    if required_col is not None:
+        df = df.filter(F.col(required_col).isNotNull())
     return df
