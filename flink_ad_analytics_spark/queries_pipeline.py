@@ -1394,20 +1394,25 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     prevent, audited with the same gram machinery as benchmark
     decontamination (operators/dedup.py::ngram_set).
 
-    Plan, sized for a train side ~100 TB: the eval grams are the SMALL
-    side (val+test, ~20%); the join on gram against the train gram set
-    is left to AQE (eval-side broadcast when it fits), the train side
-    streams through one distinct; the final per-doc flag is a left
-    join of the small dirty-id set."""
+    Plan, sized for a train side ~100 TB: the eval gram set (val+test,
+    ~20% of docs) is the EXPLICIT broadcast build side, mirroring
+    decontaminate's rationale (post-explode size estimates are bogus,
+    so Catalyst cannot be trusted to pick it); the train gram stream
+    then probes it with no train-side shuffle at all, and the
+    contaminated eval ids aggregate (tiny). The final per-doc flag is
+    a left join of that small dirty-id set."""
     docs = load_table(spark, sf_dir, "documents")
     assigned = hash_split(docs, "doc_id", _SPLIT_WEIGHTS, seed=_SPLIT_SEED)
     train = assigned.filter(F.col("split") == "train")
     ev = assigned.filter(F.col("split") != "train")
-    train_grams = ngram_set(train, _CONTAM_N).select("gram").distinct()
+    ev_grams = ngram_set(ev, _CONTAM_N).select(
+        F.col("doc_id").alias("__ev_doc_id"), "gram"
+    )
     dirty = (
-        ngram_set(ev, _CONTAM_N)
-        .join(train_grams, "gram", "left_semi")
-        .select("doc_id")
+        ngram_set(train, _CONTAM_N)
+        .select("gram")
+        .join(F.broadcast(ev_grams), "gram")
+        .select(F.col("__ev_doc_id").alias("doc_id"))
         .distinct()
         .withColumn("__dirty", F.lit(True))
     )
@@ -1416,9 +1421,7 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(
-                F.sum(F.col("__dirty").isNotNull().cast("long")), F.lit(0)
-            ).alias("n_contaminated"),
+            F.count(F.col("__dirty")).alias("n_contaminated"),
         )
         .withColumn(
             "contamination_rate",

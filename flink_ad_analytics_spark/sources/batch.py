@@ -108,28 +108,33 @@ def load_jsonl_corpus(
     arrive in (one JSON document per line -- the Common Crawl / Dolma
     / RedPajama distribution shape) with lenient parsing.
 
-    Spark's JSON source in PERMISSIVE mode turns malformed lines into
-    all-null rows tagged in ``_corrupt_record``; with
-    ``drop_malformed`` those are removed (the batch analogue of the
-    Kafka path's `json.ignore-parse-errors`, flink_job.sql:22).
-    ``required_col`` additionally drops records that parsed as JSON
-    but lack the field (e.g. text-less metadata lines). An explicit
-    schema is REQUIRED: schema inference would re-read the corpus
-    once just to guess types -- at 100 TB that is a full extra scan.
+    Parsing goes text -> ``from_json`` -- the SAME decode shape as the
+    Kafka wire path (streaming/sources.py::decode_json_value), so one
+    lenient-parse semantic serves both ingestion surfaces. This also
+    sidesteps the native JSON source's corrupt-record-column trap:
+    filtering on ``_corrupt_record`` breaks under column pruning
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN on a plain ``.count()``), while
+    a null ``from_json`` struct filters safely in any plan.
+    ``drop_malformed`` removes unparseable lines (the batch analogue
+    of `json.ignore-parse-errors`, flink_job.sql:22); ``required_col``
+    additionally drops records that parsed but lack the field (e.g.
+    text-less metadata lines). An explicit schema is REQUIRED: schema
+    inference would re-read the corpus once just to guess types -- at
+    100 TB that is a full extra scan.
     """
     ensure_engine_conf(spark)
-    full = T.StructType(
-        [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
-    )
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
+    parsed = spark.read.text(path).select(
+        F.from_json(F.col("value"), schema).alias("e")
     )
     if drop_malformed:
-        df = df.filter(F.col("_corrupt_record").isNull())
-    df = df.drop("_corrupt_record")
+        # PERMISSIVE salvage yields an all-null STRUCT (not a null
+        # struct) for some malformed shapes -- same behavior the Kafka
+        # decode guards against (streaming/sources.py). An all-null
+        # record is indistinguishable from garbage and drops with it.
+        parsed = parsed.filter(
+            F.col("e").isNotNull() & (F.to_json("e") != F.lit("{}"))
+        )
+    df = parsed.select("e.*")
     if required_col is not None:
         df = df.filter(F.col(required_col).isNotNull())
     return df

@@ -49,3 +49,11 @@ def test_jsonl_feeds_the_dedup_pipeline(spark, tmp_path):
     )
     keepers = {r.keeper_doc_id for r in exact_dedup(docs).collect()}
     assert keepers == {0, 1, 4}, "JSONL ingest flows into dedup; dup 3 collapsed"
+
+
+def test_count_action_works_on_default_path(spark, tmp_path):
+    """Regression: the corrupt-record-column approach crashed a plain
+    .count() (QUERY_ONLY_CORRUPT_RECORD_COLUMN under pruning); the
+    text+from_json shape must survive any action."""
+    docs = load_jsonl_corpus(spark, _write(tmp_path), SCHEMA)
+    assert docs.count() == 5
