@@ -445,12 +445,118 @@ def simhash_pairs(
     )
 
 
+def _star_components_labels(e: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) over a symmetric
+    edge set ``e`` with columns (src, dst). Returns (v, label) for
+    every edge-touched vertex, label = component-minimum id.
+
+    Round structure (each round = one large-star + one small-star):
+
+    * large-star(u): with N(u) = neighbors of u, m = min(N(u) ∪ {u}),
+      emit (v, m) for every v ∈ N(u) with v > u. Strictly-larger
+      neighbors re-attach to u's local minimum.
+    * small-star(u): orient every edge (big, small), group by the big
+      endpoint; m = min(N(u) ∪ {u}) over the small neighbors, emit
+      (v, m) for v ∈ N(u) ∪ {u} \\ {m}. Smaller neighbors and u
+      itself attach to the local minimum.
+
+    Both emissions only ever point a vertex at a SMALLER id, and the
+    paper shows the alternation converges in O(log^2 n) rounds to a
+    forest of stars centered at each component's minimum -- rounds
+    scale with log of component size, NOT diameter, which is why this
+    is the adversarial-long-chain upgrade over min-label propagation
+    (diameter rounds). Near-dup graphs (tiny dense components) don't
+    need it; a pathological chained corpus does.
+
+    Convergence detection: per round one (count, xxhash64-sum)
+    aggregate over the new edge set; on a stats match the fixpoint is
+    CONFIRMED with an exact symmetric exceptAll emptiness check, so a
+    hash collision cannot cause early exit. Each round persists its
+    edge set and truncates lineage via localCheckpoint (same
+    iterative-Spark hygiene as min-label propagation below).
+    """
+    # oriented (big, small): u > v invariant holds for every round's
+    # output, so re-orientation after round 1 is a no-op kept for the
+    # initial input
+    cur = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    prev_stats = None
+    for _ in range(max_iter):
+        # large-star over the symmetric view of cur
+        sym = cur.select("u", "v").unionAll(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # small-star over large's output (already oriented big->small)
+        smins = large.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = large.join(smins, "u")
+        nxt = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(smins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+            .persist()
+        )
+        stats = tuple(
+            nxt.agg(
+                F.count(F.lit(1)),
+                # decimal(38,0): summing 2^63-scale hashes overflows
+                # long under ANSI mode
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).collect()[0]
+        )
+        if stats == prev_stats and (
+            nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty()
+        ):
+            cur.unpersist()
+            cur = nxt
+            break
+        cur.unpersist()
+        cur = nxt
+        prev_stats = stats
+    # converged: stars centered at component minima -- every non-center
+    # vertex appears as u exactly once with v = its center; centers
+    # appear only as v. min() guards the not-fully-converged case
+    # (max_iter hit) with the best label seen.
+    non_centers = cur.groupBy("u").agg(F.min("v").alias("label"))
+    centers = (
+        cur.select(F.col("v").alias("u"))
+        .distinct()
+        .join(non_centers.select("u"), "u", "left_anti")
+        .select("u", F.col("u").alias("label"))
+    )
+    labels = non_centers.unionAll(centers).select(
+        F.col("u").alias("v"), "label"
+    )
+    return labels
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
     *,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: each vertex is
     labeled with the MINIMUM vertex id reachable from it (the
@@ -458,30 +564,49 @@ def connected_components(
     generation in any dedup pipeline: pairs -> clusters -> keep one
     doc per cluster.
 
-    Algorithm: iterative min-label propagation. Each round, every
-    vertex takes the min of its own label and its neighbors' labels;
-    convergence when no label changes (iterations ~ component
-    diameter). Near-dup graphs have tiny, dense components (dup pairs
-    and small clusters), so 2-4 rounds in practice.
+    Two interchangeable algorithms behind one signature:
 
-    Scale notes: each round is one shuffle (edges join labels on src)
-    + one groupBy(dst) min -- both on vertex-id keys that partition
-    evenly. Labels persist per round with the previous round
-    unpersisted, and lineage is truncated via localCheckpoint so the
-    plan does not grow with iterations (the classic iterative-Spark
-    trap). For adversarial diameters (long chains -- not a near-dup
-    shape), the documented upgrade is large-star/small-star
-    (Kiveris et al., "Connected Components in MapReduce"), same
-    primitive ops.
+    * ``algorithm="min_label"`` (default) -- iterative min-label
+      propagation. Each round, every vertex takes the min of its own
+      label and its neighbors' labels; convergence when no label
+      changes (iterations ~ component DIAMETER). Near-dup graphs have
+      tiny, dense components (dup pairs and small clusters), so 2-4
+      rounds in practice; cheapest per round (one join + one groupBy).
+    * ``algorithm="star"`` -- large-star/small-star alternation
+      (Kiveris et al., SoCC'14; see _star_components_labels).
+      Converges in O(log^2 n) rounds regardless of diameter: the
+      upgrade for adversarial chain-shaped graphs, at ~2x the per-
+      round shuffle cost. test_star_matches_min_label_on_random_graphs
+      pins the two algorithms to identical output.
+
+    Scale notes (min_label): each round is one shuffle (edges join
+    labels on src) + one groupBy(dst) min -- both on vertex-id keys
+    that partition evenly. Labels persist per round with the previous
+    round unpersisted, and lineage is truncated via localCheckpoint so
+    the plan does not grow with iterations (the classic
+    iterative-Spark trap).
 
     Output: (``id_col``, cluster_id) for EVERY vertex; singletons are
     their own cluster. ``vertices`` must carry unique ids (the
     documents contract) -- they are not re-deduplicated here.
     """
+    if algorithm not in ("min_label", "star"):
+        raise ValueError(
+            f"connected_components: unknown algorithm {algorithm!r} "
+            "(expected 'min_label' or 'star')"
+        )
     e = edges.select(
         F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
     )
     e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if algorithm == "star":
+        labels = _star_components_labels(e, max_iter)
+        return vertices.select(F.col(id_col)).join(
+            labels.select(F.col("v").alias(id_col), "label"), id_col, "left"
+        ).select(
+            id_col,
+            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+        )
     e = e.persist()
     # Iterate over EDGE-TOUCHED vertices only: near-dup graphs are
     # sparse (most of a 100 TB corpus is singletons), and a label row

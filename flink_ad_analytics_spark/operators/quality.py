@@ -166,6 +166,25 @@ def check(
             "rules must expose .violation(); otherwise use Unique/ReferencedIn"
         )
 
+    # Rule names become stack() string literals, backtick identifiers,
+    # and agg aliases below: a quote/backtick would break (or inject
+    # into) the generated SQL, and duplicates would collide on the
+    # aliases -- reject both up front with a readable error.
+    names = [r.name for r in rules]
+    bad = [n for n in names if any(c in n for c in "'\"`\\\n")]
+    if bad:
+        raise ValueError(
+            f"check(): rule name(s) {bad!r} contain quote/backtick/backslash "
+            "characters, which are not representable in the report's "
+            "generated SQL -- rename the rule(s)"
+        )
+    dups = sorted({n for n in names if names.count(n) > 1})
+    if dups:
+        raise ValueError(
+            f"check(): duplicate rule name(s) {dups!r} -- report rows and "
+            "agg aliases are keyed by name, so names must be unique"
+        )
+
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for r in row_local:
         # coalesce: SUM over an empty table is NULL, and an empty drop

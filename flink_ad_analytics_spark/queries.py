@@ -798,18 +798,32 @@ GROUP BY o_orderstatus
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join (NOT EXISTS): customers that never ordered."""
+    """Anti-join (NOT EXISTS): customers with no RECENT order (none on
+    or after 1999-01-01) -- lapsed-customer detection.
+
+    The date predicate lives on the anti-join's build side, so it
+    pushes down to the orders parquet scan before the join; the join
+    itself stays a pure left_anti on c_custkey. (The original
+    "never ordered at all" phrasing is vacuous on the fixture -- every
+    customer has at least one order at every SF -- so this variant is
+    the one the value-exact oracle actually exercises; it returns
+    6 / 29 / 305 survivors at sf0.001 / 0.01 / 0.1.)
+    """
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
     return cust.join(
-        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
 """
 
 
@@ -2088,7 +2102,7 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = (
         load_table(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("%green%"))
+        .filter(F.col("p_name").like("%red%"))
         .select("p_partkey", "p_retailprice")
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -2123,7 +2137,7 @@ FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
-WHERE p_name LIKE '%green%'
+WHERE p_name LIKE '%red%'
 GROUP BY 1, 2
 ORDER BY nation, o_year DESC
 """
@@ -2423,6 +2437,52 @@ WITH wide AS (
 )}
 ORDER BY col_name
 """
+
+
+def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB variant of q_table_profile: HyperLogLog++ approximate
+    distinct counts (rsd=0.01) instead of exact COUNT(DISTINCT).
+
+    Why it exists: the exact profile's multi-countDistinct compiles to
+    ONE scan + one Expand that replicates every row |cols|+1 times --
+    correct and single-pass, but the replication dominates its cost
+    (4.3s of the sf0.1 bench, the slowest query). This variant drops
+    the Expand entirely: approx_count_distinct is an ordinary partial
+    aggregate, so the plan is scan -> partial agg -> 1-row final agg,
+    with per-column HLL sketches (~constant memory) instead of 7x row
+    replication. At 100 TB this is the profile you actually run.
+
+    No DuckDB oracle: HLL estimates are engine-specific (Spark HLL++
+    vs DuckDB's sketch), so cross-engine value equality is undefined.
+    The accuracy contract is tested instead: every n_distinct within
+    2% of q_table_profile's exact value, and nulls/min/max/n_rows
+    byte-identical to the exact entry
+    (tests/test_oracle_parity.py::test_table_profile_approx_accuracy).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, kind in _PROFILE_COLS:
+        rep = _profile_repr_spark(col, kind)
+        aggs += [
+            F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__nulls"),
+            F.approx_count_distinct(F.col(col), rsd=0.01).alias(
+                f"{col}__distinct"
+            ),
+            F.min(rep).alias(f"{col}__min"),
+            F.max(rep).alias(f"{col}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+        for col, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(col_name, n_nulls, n_distinct, min_repr, max_repr)"
+        ),
+    ).orderBy("col_name")
 
 
 def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3002,6 +3062,9 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "capped_sessions": (q_capped_sessions, CAPPED_SESSIONS_SQL),
     "event_type_pivot": (q_event_type_pivot, EVENT_TYPE_PIVOT_SQL),
     "table_profile": (q_table_profile, TABLE_PROFILE_SQL),
+    # rows-only: HLL estimates are engine-specific; accuracy vs the
+    # exact profile is value-gated in test_oracle_parity instead
+    "table_profile_approx": (q_table_profile_approx, None),
     "linear_attribution": (q_linear_attribution, LINEAR_ATTRIBUTION_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_COHORTS_SQL),
     "forecast_revenue_change": (

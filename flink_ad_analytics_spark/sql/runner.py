@@ -115,10 +115,14 @@ def run_script(
     `params` are `${name}` textual substitutions (paths, table names
     -- the sql-client.sh `-Dkey=value` analogue). Values are spliced
     verbatim, so only pass trusted configuration, not user input.
+
+    Path-vs-text is NOT sniffed from content: the argument is read
+    from disk only when it ends in `.sql` and that file exists (the
+    `script_path()` contract); anything else is executed as SQL text.
+    A statement that happens to start with an unlisted keyword can
+    therefore never be misrouted to the filesystem.
     """
-    if len(script) < 4096 and not script.lstrip().upper().startswith(
-        ("SELECT", "WITH", "CREATE", "INSERT", "SET", "SHOW", "VALUES", "DROP")
-    ) and os.path.exists(script):
+    if script.rstrip().endswith(".sql") and os.path.exists(script):
         with open(script) as f:
             script = f.read()
     for name, value in (params or {}).items():

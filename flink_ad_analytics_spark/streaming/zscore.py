@@ -93,7 +93,12 @@ def _make_zscore_fn(window: int, sigma: int):
             (last_hour_us, trail, [h for h, _ in buf], [v for _, v in buf])
         )
         if buf:
-            state.setTimeoutTimestamp(buf[0][0] // 1000)
+            # Spark requires a strictly positive timeout timestamp; a
+            # pre-1970 (negative-epoch) buffered hour -- which the
+            # batch twin and range_join support -- clamps to 1 ms, an
+            # already-passed instant, so the group re-fires on the
+            # next watermark advance instead of crashing the query.
+            state.setTimeoutTimestamp(max(1, buf[0][0] // 1000))
         if out_rows:
             yield pd.DataFrame(out_rows)
 

@@ -67,9 +67,10 @@ def test_exact_dedup_identity(docs):
     assert all(r.n_docs == 1 for r in res)
 
 
-def test_connected_components_chain_and_singletons(spark):
-    """Min-label propagation must traverse a multi-hop chain (label
-    travels one hop per iteration) and leave singletons alone."""
+@pytest.mark.parametrize("algorithm", ["min_label", "star"])
+def test_connected_components_chain_and_singletons(spark, algorithm):
+    """Both algorithms must traverse a multi-hop chain and leave
+    singletons alone."""
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
         "doc_id_1 long, doc_id_2 long",
@@ -81,10 +82,45 @@ def test_connected_components_chain_and_singletons(spark):
 
     got = {
         r.doc_id: r.cluster_id
-        for r in connected_components(edges, vertices).collect()
+        for r in connected_components(
+            edges, vertices, algorithm=algorithm
+        ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 99: 99}
+
+
+def test_star_long_chain_converges_in_log_rounds(spark):
+    """The adversarial-diameter case the star algorithm exists for: a
+    single chain 0-1-...-100 (diameter 100). large-star/small-star
+    must fully converge within 8 alternation rounds (O(log^2 n) --
+    log2(101) ~ 6.7), where min-label propagation moves the label one
+    hop per round and provably CANNOT finish in 10."""
+    from flink_ad_analytics_spark.operators.dedup import connected_components
+
+    n = 101
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_id_1 long, doc_id_2 long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+
+    star = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            edges, vertices, algorithm="star", max_iter=8
+        ).collect()
+    }
+    assert star == {i: 0 for i in range(n)}
+
+    # contrast: the diameter-bound algorithm, capped at 10 rounds, has
+    # not yet propagated label 0 to the chain's far end
+    partial = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            edges, vertices, algorithm="min_label", max_iter=10
+        ).collect()
+    }
+    assert partial[n - 1] != 0
 
 
 def test_stop_shingle_pruning_only_shrinks_scores(spark):
@@ -360,11 +396,14 @@ def test_connected_components_random_graphs_match_union_find(spark):
         )
         if not edge_list:
             edges = edges.filter("doc_id_1 != doc_id_2")  # empty edge set
-        got = {
-            r.doc_id: r.cluster_id
-            for r in connected_components(edges, vertices).collect()
-        }
-        assert got == expected
+        for algorithm in ("min_label", "star"):
+            got = {
+                r.doc_id: r.cluster_id
+                for r in connected_components(
+                    edges, vertices, algorithm=algorithm
+                ).collect()
+            }
+            assert got == expected, algorithm
 
     check()
 

@@ -66,9 +66,12 @@ def digest(df) -> dict:
         # existed -- a filterless scan-only query read as "pushed",
         # and a lost pushdown could never flip the digest.) False for
         # queries with no scan-reachable predicate is correct and
-        # expected, not a defect.
+        # expected, not a defect. The list is matched to end-of-line,
+        # not to the first ']', so a filter containing a nested
+        # bracket (e.g. In(a, [1,2])) doesn't truncate the capture.
         "pushed_filters": any(
-            s.strip() for s in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+            s.strip()
+            for s in re.findall(r"PushedFilters: \[(.*?)\]\s*(?:$|,)", plan, re.M)
         ),
     }
 
