@@ -70,7 +70,10 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
-    names = bench_queries()
+    # $SPARK_GRAFT_QUERIES="a,b,c" benches a subset (the sf1 headline
+    # set); default is the full declared surface.
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    names = tuple(subset.split(",")) if subset else bench_queries()
 
     # Warmup: JVM + codegen + parquet footer caches on the tiny SF.
     for name in names:
@@ -82,21 +85,29 @@ def main() -> None:
         materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    bench_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".benchmarks"
+    )
+    os.makedirs(bench_dir, exist_ok=True)
+    full_path = os.path.join(bench_dir, f"bench_sf{sf}.json")
+    if subset and os.path.exists(full_path):
+        # subset rerun: merge into the existing artifact (same
+        # incremental-refresh contract as bench_duckdb.py) so a
+        # two-query retiming can't clobber the full record
+        with open(full_path) as f:
+            prior = json.load(f)
+        timings = {**prior.get("queries", {}), **timings}
+
     out = {
         "metric": "headline_query_set_runtime",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
-    baseline_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        ".benchmarks",
-        f"duckdb_sf{sf}.json",
-    )
+    baseline_path = os.path.join(bench_dir, f"duckdb_sf{sf}.json")
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
@@ -113,11 +124,6 @@ def main() -> None:
     # driver's tail capture (BENCH_r02 "parsed": null), so the printed
     # "queries" map carries only the slowest 10 -- the headline shape
     # the driver parses stays identical, just bounded in size.
-    bench_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".benchmarks"
-    )
-    os.makedirs(bench_dir, exist_ok=True)
-    full_path = os.path.join(bench_dir, f"bench_sf{sf}.json")
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
 

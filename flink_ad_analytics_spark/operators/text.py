@@ -90,15 +90,26 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def lang_id(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Marker-based language ID: per-language marker-token counts,
-    argmax with alphabetical tiebreak (deterministic CASE chain)."""
+    argmax with alphabetical tiebreak (deterministic CASE chain).
+
+    ``keep_cols`` pass extra input columns through to the output, so a
+    consumer comparing the prediction against another column of the
+    SAME table (the confusion-matrix query) gets both from one scan
+    instead of self-joining on the doc id."""
     toks = docs.select(
-        F.col(id_col), F.expr(TOKENS.format(col=text_col)).alias("ws")
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.expr(TOKENS.format(col=text_col)).alias("ws"),
     )
     scored = toks.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         *[
             F.expr(
                 f"size(filter(ws, t -> t IN "
@@ -121,7 +132,9 @@ def lang_id(
             cond = c if cond is None else (cond & c)
         branch = F.when(cond, F.lit(lang))
         pred = branch if pred is None else pred.when(cond, F.lit(lang))
-    return scored.withColumn("pred_lang", pred).select(id_col, "pred_lang")
+    return scored.withColumn("pred_lang", pred).select(
+        id_col, *keep_cols, "pred_lang"
+    )
 
 
 def fingerprints(

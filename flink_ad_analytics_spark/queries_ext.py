@@ -459,11 +459,14 @@ FROM per_cp GROUP BY doc_id
 
 
 def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of predicted vs labeled language. The label
+    rides through lang_id's keep_cols, so the whole matrix is ONE
+    documents scan + one tiny (lang, pred_lang) aggregation -- no
+    self-join back on doc_id (which would re-scan and shuffle the
+    corpus twice; measured 2x slower at sf1)."""
     docs = load_table(spark, sf_dir, "documents")
-    pred = lang_id(docs)
     return (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id")
+        lang_id(docs, keep_cols=("lang",))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

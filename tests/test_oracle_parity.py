@@ -61,17 +61,25 @@ def test_table_profile_approx_accuracy(spark):
         )
 
 
-def test_table_profile_approx_plan_has_no_expand(spark):
-    """The whole point of the approx variant: the exact profile's
-    Expand (|cols|+1x row replication for multi-countDistinct) must
-    NOT appear -- the plan is scan -> partial agg -> final agg."""
-    df = QUERIES["table_profile_approx"](spark, SF_CORRECT)
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "simple"
-    )
-    assert "Expand" not in plan, plan
-    exact_plan = QUERIES["table_profile"](spark, SF_CORRECT)
-    ep = exact_plan._sc._jvm.PythonSQLUtils.explainString(
-        exact_plan._jdf.queryExecution(), "simple"
-    )
-    assert "Expand" in ep  # the contrast that motivates the variant
+def test_table_profile_plans(spark):
+    """Plan-shape contracts for both profile strategies: NEITHER may
+    contain an Expand (the |cols|+1x row-replication multi-
+    countDistinct compile both are designed to avoid); the exact
+    profile pays one extra column-pruned scan per distinct count,
+    while the approx profile reads the table exactly ONCE."""
+    def plan_of(name):
+        df = QUERIES[name](spark, SF_CORRECT)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+
+    approx = plan_of("table_profile_approx")
+    assert "Expand" not in approx, approx
+    assert approx.count("FileScan") == 1, approx
+
+    exact = plan_of("table_profile")
+    assert "Expand" not in exact, exact
+    # one wide scan + one single-column scan per profiled column
+    from flink_ad_analytics_spark.queries import _PROFILE_COLS
+
+    assert exact.count("FileScan") == 1 + len(_PROFILE_COLS), exact
