@@ -662,17 +662,20 @@ def dedup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.2,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """Full dedup materialization: near-dup pairs (exact n-gram
     Jaccard) -> connected components -> per-doc cluster assignment
     with the canonical keeper flagged (min doc_id in the component).
+    ``algorithm`` selects the components solver (see
+    connected_components); both produce identical clusters.
 
     Output: (doc_id, cluster_id, is_keeper).
     """
     pairs = ngram_jaccard_pairs(
         docs, id_col=id_col, text_col=text_col, threshold=threshold
     )
-    cc = connected_components(pairs, docs, id_col=id_col)
+    cc = connected_components(pairs, docs, id_col=id_col, algorithm=algorithm)
     return cc.select(
         id_col,
         "cluster_id",

@@ -785,6 +785,40 @@ def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB variant of q_order_value_percentiles: Greenwald-Khanna
+    approximate percentiles (accuracy=10000 => rank error <= 0.01%)
+    instead of the exact sort-based aggregate.
+
+    Why it exists: exact percentile buffers and sorts every group
+    value; the GK sketch is a bounded-memory mergeable summary, so the
+    aggregate stays a normal partial/final pass at any row count --
+    the same swap table_profile_approx makes for distinct counts.
+
+    No DuckDB oracle: approx quantile sketches are engine-specific
+    (Spark GK vs DuckDB t-digest). The accuracy contract is tested
+    instead: n_orders byte-equal to the exact entry and each
+    percentile within 0.5% relative error at sf0.01
+    (tests/test_oracle_parity.py::test_order_value_percentiles_approx_accuracy).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.expr(
+        "approx_percentile(o_totalprice, "
+        "array(0.25D, 0.5D, 0.75D, 0.95D), 10000)"
+    )
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"), pct.alias("p")
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n_orders",
+        *[
+            F.round(F.element_at("p", i + 1), 4).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p95"])
+        ],
+    )
+
+
 ORDER_VALUE_PERCENTILES_SQL = """
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,
@@ -2468,6 +2502,15 @@ def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~constant memory, zero rescans and zero row replication. At
     100 TB this is the profile you actually run.
 
+    Honest cost note (measured at sf1): the HLL's per-row hashing
+    makes this SLOWER than the per-column exact plan at toy scale
+    (4.5s vs 2.4s) -- the win is structural, not per-row: the
+    sketch exchange is O(6 x 2^rsd^-2) bytes regardless of data size,
+    where the exact plan's exchanges carry every per-partition
+    distinct value (o_orderkey alone = every row). rsd sweep at sf1:
+    0.05 -> 1.9s/7.3% max err, 0.02 -> 2.1s/2.0%, 0.01 -> 3.3s/0.5%;
+    rsd=0.01 keeps the profile decision-grade.
+
     No DuckDB oracle: HLL estimates are engine-specific (Spark HLL++
     vs DuckDB's sketch), so cross-engine value equality is undefined.
     The accuracy contract is tested instead: every n_distinct within
@@ -3016,6 +3059,9 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
         q_order_value_percentiles,
         ORDER_VALUE_PERCENTILES_SQL,
     ),
+    # rows-only: GK sketch estimates are engine-specific; accuracy vs
+    # the exact percentiles is value-gated in test_oracle_parity
+    "order_value_percentiles_approx": (q_order_value_percentiles_approx, None),
     "volume_shipping": (q_volume_shipping, VOLUME_SHIPPING_SQL),
     "click_attribution_asof": (
         q_click_attribution_asof,

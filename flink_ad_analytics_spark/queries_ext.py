@@ -200,6 +200,18 @@ FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
 """
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_clusters solved with the large-star/small-star
+    components algorithm instead of min-label propagation -- the
+    O(log^2 n)-round solver for adversarial-diameter graphs
+    (operators/dedup.py:_star_components_labels). Identical output by
+    construction; the SAME recursive-CTE oracle value-gates it, so
+    both solvers carry an independent end-to-end correctness proof on
+    the real near-dup graph, not just the unit-test graphs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(docs, threshold=0.2, algorithm="star")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_signatures(docs)
@@ -852,6 +864,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_lsh_oracle()),
     "incremental_dedup": (q_incremental_dedup, _incremental_dedup_oracle()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
+    "dedup_clusters_star": (q_dedup_clusters_star, _dedup_clusters_oracle()),
     "simhash_signatures": (q_simhash, SIMHASH_SQL),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_oracle()),
     "dedup_embedding_cosine": (

@@ -61,6 +61,30 @@ def test_table_profile_approx_accuracy(spark):
         )
 
 
+def test_order_value_percentiles_approx_accuracy(spark):
+    """GK-sketch percentiles vs the exact sort-based aggregate: group
+    counts byte-equal, every percentile within 0.5% relative error
+    (accuracy=10000 bounds rank error at 0.01%; 0.5% value slack
+    covers value-vs-rank conversion on this distribution)."""
+    exact = {
+        r["o_orderstatus"]: r
+        for r in QUERIES["order_value_percentiles"](spark, SF_CORRECT).collect()
+    }
+    approx = {
+        r["o_orderstatus"]: r
+        for r in QUERIES["order_value_percentiles_approx"](
+            spark, SF_CORRECT
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for status, e in exact.items():
+        a = approx[status]
+        assert a["n_orders"] == e["n_orders"]
+        for p in ("p25", "p50", "p75", "p95"):
+            rel = abs(a[p] - e[p]) / e[p]
+            assert rel <= 0.005, f"{status}.{p}: {a[p]} vs {e[p]} ({rel:.5f})"
+
+
 def test_table_profile_plans(spark):
     """Plan-shape contracts for both profile strategies: NEITHER may
     contain an Expand (the |cols|+1x row-replication multi-
