@@ -9,7 +9,7 @@ double divisions, and composite scores round once at the end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 #: Whitespace tokenizer (portable: DuckDB string_split_regex(trim, '\s+')).
 TOKENS = r"split(trim({col}), '\\s+')"
@@ -292,6 +292,81 @@ def sparse_cosine_pairs(
         )
         .filter(F.col("cos") >= min_cos)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k documents for a bag-of-terms query
+    (Robertson/Sparck Jones; the Lucene ``+1``-inside-the-log IDF
+    variant, which keeps scores positive at any df).
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        s(t, d) = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        bm25(d) = sum over query terms, rounded 6dp; rank by
+                  (score desc, doc id), keep rank <= k
+
+    The retrieval counterpart of ``sparse_cosine_pairs`` (pairwise
+    similarity) and ``top_terms`` (per-group keyword extraction):
+    given a query, which documents -- the primitive behind
+    contamination lookups and targeted corpus audits.
+
+    Scale shape: one corpus pass builds per-(doc, term) counts; the
+    postings exchange is consumed by both the doc-length branch and
+    the query-term branch (identical subplans -> ReuseExchange, same
+    pattern as top_terms). The query-side join keys on the handful of
+    query terms AFTER the tf aggregation, so the full inverted index
+    is never shuffled twice; corpus scalars (N, avgdl) ride a
+    broadcast 1-row cross join, not a driver collect. Determinism:
+    tf/df/dl are exact integers; the per-term double expression is
+    correctly-rounded IEEE (one ln, division chain), summed over <=
+    |terms| values and rounded once at 6dp.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.expr(TOKENS.format(col=text_col))).alias("term")
+    )
+    base = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = base.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    qtf = base.filter(F.col("term").isin(*terms))
+    df_ = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    per_term = (
+        qtf.join(F.broadcast(df_), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (idf * tf_d * F.lit(k1 + 1.0) / denom).alias("s"),
+        )
+    )
+    scored = per_term.groupBy(id_col).agg(F.round(F.sum("s"), 6).alias("bm25"))
+    # Global top-k via orderBy+limit, NOT a row_number window over the
+    # whole match set: an unpartitioned window single-tasks every
+    # matching doc through one sort, while limit compiles to
+    # TakeOrderedAndProject -- per-partition partial top-k, k-row
+    # merge. The rank window then runs over k rows only.
+    topk = scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def bigram_logprob(

@@ -986,6 +986,60 @@ WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= {_SPARSE_MIN_
 """
 
 
+# -- BM25 ranked retrieval -------------------------------------------------
+
+_BM25_TERMS = ("spark", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 10
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed bag-of-terms query
+    (operators/text.py::bm25_topk) -- the query-driven counterpart of
+    tfidf_doc_pairs (pairwise) and top_terms (per-group extraction):
+    which documents answer a query, the primitive behind targeted
+    corpus audits and contamination lookups."""
+    from .operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, k=_BM25_K
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+BM25_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents),
+base AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM base GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+df AS (SELECT term, COUNT(*) AS df FROM base
+       WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY 1),
+scored AS (
+  SELECT b.doc_id,
+         ROUND(SUM(
+           ln(1 + (CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+           * CAST(b.tf AS DOUBLE) * ({_BM25_K1} + 1)
+           / (CAST(b.tf AS DOUBLE)
+              + {_BM25_K1} * (1 - {_BM25_B}
+                              + {_BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))
+         ), 6) AS bm25
+  FROM base b
+  JOIN df ON b.term = df.term
+  JOIN dl ON b.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1)
+SELECT doc_id, bm25, rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM scored)
+WHERE rank <= {_BM25_K}
+"""
+
+
 # -- bigram-LM quality score ----------------------------------------------
 
 
@@ -2235,5 +2289,6 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "group_reservoir": (q_group_reservoir, GROUP_RESERVOIR_SQL),
     "length_outliers": (q_length_outliers, LENGTH_OUTLIERS_SQL),
     "tfidf_doc_pairs": (q_tfidf_doc_pairs, TFIDF_DOC_PAIRS_SQL),
+    "bm25_search": (q_bm25_search, BM25_SEARCH_SQL),
     "lm_quality": (q_lm_quality, LM_QUALITY_SQL),
 }

@@ -24,10 +24,103 @@ from ..schemas import DRIVER_TABLES
 from ..session import ensure_engine_conf
 
 
+#: Scan-parallelism floor: sizing constant for one unit of scan work.
+#: ~1 MB of compressed parquet per slot -- sized for the engine's most
+#: compute-dense scans (text feature extraction runs ~100x the decode
+#: cost per byte), while tables under 1 MB (broadcast dims) skip the
+#: floor entirely. Oversplitting a scan-bound query costs one cheap
+#: exchange; undersplitting a compute-bound one serializes 32 cores.
+_SCAN_TARGET_BYTES_PER_SLOT = 1024 * 1024
+
+
+def _with_scan_parallelism(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Guarantee a compute-heavy scan is not serialized by file layout.
+
+    Parquet parallelism is bounded by row groups: a file written as one
+    giant row group produces ONE scan task no matter how many cores the
+    cluster has (Spark assigns a row group to the task whose byte range
+    holds its midpoint). The small-SF fixtures are written exactly that
+    way, so text/vector feature extraction -- the most compute-bound
+    queries in the engine -- ran single-threaded while 31 cores idled
+    (measured 3-5x whole-query slowdowns at sf1).
+
+    The floor: when the scan yields fewer partitions than the data
+    volume warrants (one slot per ~8 MB, capped at the session's core
+    count), round-robin repartition after the scan. Catalyst still
+    pushes filters and column pruning THROUGH the repartition into the
+    scan (verified by tests/test_plan_digests.py's pushdown digests),
+    so the only cost is one exchange of the pruned columns.
+
+    At 100 TB this is a no-op by construction: any real lake layout has
+    thousands of files/row groups, the scan already produces >= cores
+    partitions, and no exchange is inserted. The floor exists for the
+    degenerate single-row-group layout, the same mitigation any engine
+    applies to pathological small-file or giant-row-group inputs.
+    """
+    size, row_groups = _parquet_layout(path)
+    if size is None:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    target = min(cores, max(1, size // _SCAN_TARGET_BYTES_PER_SLOT))
+    # Engage only on SEVERE deficit (row-group parallelism below a
+    # quarter of the cores). A scan already split ~cores/4 ways gains
+    # little from going wider, and the exchange re-serializes rows the
+    # columnar scan decoded in place -- measured a net LOSS on
+    # multi-row-group relational tables (events/orders at sf1:
+    # repartitioning them took the 24-query headline set 33.9s ->
+    # 51.0s), vs a 3-6x win on single-row-group text/vector scans.
+    #
+    # Known approximation, kept deliberately: Spark sizes byte-range
+    # splits from COMPRESSED bytes, so a small-compressed file with
+    # many row groups can still scan as one task -- row_groups
+    # overestimates its natural parallelism and the floor skips. That
+    # shape doesn't occur in compute-dense inputs here (their many-
+    # group form is also many-split), and an estimated-splits gate
+    # that caught it re-engaged on the relational tables above and
+    # regressed the measured headline set. Conservative beats clever.
+    if target <= 1 or row_groups >= min(target, max(1, cores // 4)):
+        return df
+    return df.repartition(target)
+
+
+#: (path, mtime) -> (file size, row-group count); footer metadata only.
+_LAYOUT_CACHE: dict[tuple[str, float], tuple[int, int]] = {}
+
+
+def _parquet_layout(path: str) -> tuple[int | None, int]:
+    """UNCOMPRESSED byte size + row-group count from the parquet footer
+    (no data read, cached by mtime). Uncompressed size, not file size:
+    downstream compute scales with decoded volume, and columnar text
+    compresses 10-20x -- judging by file size would leave a 15M-char
+    corpus in one task because it snappy-packs under 1 MB. Row groups
+    are the true upper bound on single-file scan parallelism,
+    regardless of split config."""
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        return None, 0
+    if key not in _LAYOUT_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            meta = pq.ParquetFile(path).metadata
+            _LAYOUT_CACHE[key] = (
+                sum(
+                    meta.row_group(i).total_byte_size
+                    for i in range(meta.num_row_groups)
+                ),
+                meta.num_row_groups,
+            )
+        except Exception:
+            return None, 0
+    return _LAYOUT_CACHE[key]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table; applies required runtime confs first."""
     ensure_engine_conf(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return _with_scan_parallelism(spark, spark.read.parquet(path), path)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

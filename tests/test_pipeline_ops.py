@@ -201,3 +201,27 @@ def test_bpe_merge_fold_handles_overlaps(spark):
     docs = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
     out = _apply_merge(bpe_symbolize(docs), "a", "a").collect()
     assert list(out[0].symbols) == ["aa", "aa", "</w>"]
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """IDF dominance: a doc matching a corpus-rare query term must
+    outrank a doc matching (equally often) a term every doc contains;
+    longer docs score lower at equal tf (length normalization)."""
+    rows = [
+        (1, "common rare"),          # rare term, short doc
+        (2, "common rare filler filler filler filler"),  # rare, long
+        (3, "common common"),        # only the ubiquitous term
+        (4, "common filler"),
+    ] + [(i, "common filler") for i in range(5, 25)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from flink_ad_analytics_spark.operators.text import bm25_topk
+
+    out = bm25_topk(docs, ("rare", "common"), k=4).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    # both rare-matching docs above every common-only doc
+    assert set(ranked[:2]) == {1, 2}
+    # length normalization: the short rare doc beats the long one
+    assert ranked[0] == 1
+    scores = {r.doc_id: r.bm25 for r in out}
+    assert scores[1] > scores[2] > scores[3]
+    assert all(r.rank <= 4 for r in out) and len(out) == 4
