@@ -57,6 +57,14 @@ ENGINE_BUILD_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Byte-range split sizing: the 4 MB default models HDFS-era file-open
+    # latency; on NVMe/object-store parquet an open is a footer read.
+    # 1 MB lets small multi-row-group files split to row-group
+    # granularity instead of lumping ~4 MB of groups per task (measured
+    # at sf1: HLL profile 4.6->3.8s, sessionization 1.5->0.8s, Q8 2.2->
+    # 1.9s, steady-state). At lake scale AQE coalescing absorbs any
+    # over-split tail.
+    "spark.sql.files.openCostInBytes": "1048576",
     # Session windows / stateful ops off-heap state can stay default
     # locally; RocksDB provider is configured by streaming jobs that
     # need large state (see streaming/jobs.py).
