@@ -407,3 +407,176 @@ def weighted_sample(
     w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(weight_col)))
     h_int = F.conv(_bucket_hash(id_col, seed), 16, 10).cast("long")
     return df.filter(h_int < F.floor(w * F.lit(float(_SPACE))))
+
+
+# -- DSIR: importance resampling for data selection ------------------------
+
+
+def _hashed_features(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int, seed: int
+) -> DataFrame:
+    """(id, bucket): one row per unigram/bigram OCCURRENCE, hashed to
+    its feature bucket. The md5-prefix integer is the same portable
+    decision variable every sampler in this module uses."""
+    from .text import TOKENS
+
+    toks = df.select(
+        F.col(id_col), F.expr(TOKENS.format(col=text_col)).alias("ws")
+    )
+    feats = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "concat(ws, CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(0, size(ws) - 2), "
+                "i -> concat(ws[i], ' ', ws[i + 1])) "
+                "ELSE array() END)"
+            )
+        ).alias("feat"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col("feat"))), 1, _PREFIX
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    return feats.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    seed: int = 23,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every raw document by how much more likely its hashed-n-gram
+    features are under the TARGET distribution than under the RAW one.
+
+    log w(x) = sum over x's feature occurrences of
+               ln p_target(bucket) - ln p_raw(bucket),
+    with add-one-smoothed bucket probabilities
+    p(b) = (c(b) + 1) / (total + n_buckets).
+
+    Shape at scale: the raw feature stream is aggregated ONCE to
+    per-(doc, bucket) occurrence counts -- the only corpus-sized
+    shuffle, and a combine-heavy one (map-side partial aggregation
+    collapses repeated features before the exchange). Everything
+    downstream runs on that small relation: global bucket counts are
+    a second tiny aggregation OF IT (not a second corpus pass), the
+    <= n_buckets-row log-ratio table is BROADCAST back onto it, and
+    the per-doc score is one aggregation of (count x log-ratio)
+    products. The target side is its own (usually much smaller) pass.
+
+    Determinism: every ln argument is a correctly-rounded double of an
+    exact int/int ratio (identical in any engine); per-doc summation
+    multiplies the DECIMAL(25,15)-cast log-ratio by the exact integer
+    occurrence count (DECIMAL x DECIMAL, exact) and sums in decimal,
+    so the result is exact and partition-order-independent, with one
+    terminal 6dp round (the bigram_logprob recipe).
+
+    Returns (id, n_feats, log_w). Raw documents whose text produces
+    zero features are absent (no features, no evidence, no weight).
+    """
+    fb = _hashed_features(raw, id_col, text_col, n_buckets, seed)
+    tb = _hashed_features(target, id_col, text_col, n_buckets, seed)
+    dbc = fb.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    raw_counts = dbc.groupBy("bucket").agg(F.sum("c").alias("c_r"))
+    tgt_counts = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+    # Totals as windows over the joined bucket table, NOT scalar-agg
+    # crossJoins: a crossJoin per total would splice the whole
+    # raw-count subtree (and its corpus scan) into the plan once per
+    # scalar. The no-partition window funnels through one task, but
+    # its input is bounded by n_buckets rows BY CONSTRUCTION -- not by
+    # the corpus. FULL join so target-only buckets still count into T.
+    joined = raw_counts.join(tgt_counts, "bucket", "full")
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bt = joined.select(
+        "bucket",
+        "c_r",
+        F.coalesce(F.col("c_t"), F.lit(0)).alias("c_t"),
+        F.coalesce(F.sum("c_r").over(w), F.lit(0)).alias("R"),
+        F.coalesce(F.sum("c_t").over(w), F.lit(0)).alias("T"),
+    ).filter(F.col("c_r").isNotNull())
+    b = F.lit(n_buckets)
+    lr = F.log(
+        (F.col("c_t") + 1).cast("double") / (F.col("T") + b).cast("double")
+    ) - F.log(
+        (F.col("c_r") + 1).cast("double") / (F.col("R") + b).cast("double")
+    )
+    lookup = bt.select("bucket", lr.alias("lr"))
+    # c copies of the decimal log-ratio == decimal * decimal-int, exact
+    contrib = F.col("lr").cast("decimal(25,15)") * F.col("c").cast(
+        "decimal(10,0)"
+    )
+    return (
+        dbc.join(F.broadcast(lookup), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.round(F.sum(contrib), 6).cast("double").alias("log_w"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    seed: int = 23,
+    gumbel_seed: int = 29,
+) -> DataFrame:
+    """Top-k DSIR selection: sample k raw documents without
+    replacement with probability proportional to their importance
+    weight, via the Gumbel-top-k trick -- rank by
+    log w(x) + Gumbel noise and take the k largest. The "noise" is
+    deterministic: u = (md5_prefix_int(id) + 0.5) / 2^32 (exactly
+    representable, never 0 or 1), g = -ln(-ln(u)) -- so the selection
+    is a pure function of (seeds, corpus), reproducible across
+    engines, reruns, and partitionings like every sampler here.
+
+    The final ordering is a global top-k, which Spark executes as
+    per-partition local top-k + a k-row merge on the driver
+    (TakeOrderedAndProject) -- no full sort, no single-task funnel.
+
+    Returns (rank, id, n_feats, log_w, gumbel_key) with
+    rank = 1..k by descending key, id-tiebroken.
+    """
+    dw = dsir_logweights(
+        raw,
+        target,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        seed=seed,
+    )
+    u = (
+        F.conv(_bucket_hash(id_col, gumbel_seed), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_SPACE))
+    key = F.col("log_w") + (-F.log(-F.log(u)))
+    keyed = dw.select(
+        id_col, "n_feats", "log_w", key.alias("__key")
+    ).orderBy(F.col("__key").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("__key").desc(), F.col(id_col))
+    return keyed.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        id_col,
+        "n_feats",
+        "log_w",
+        F.round(F.col("__key"), 6).alias("gumbel_key"),
+    )

@@ -818,3 +818,108 @@ def _linear_scored(
         F.col("weight_sum").cast("double")
         / (F.lit(float(LINEAR_WEIGHT_SHIFT)) * F.col("n_tokens").cast("double")),
     )
+
+
+# -- Gopher document-quality rules -----------------------------------------
+
+#: Function-word list for the Gopher stop-word rule ("contains >= 2 of
+#: a small list of common words"). Gopher's own list is {the, be, to,
+#: of, and, that, have, with}; like LANG_MARKERS above, the list is
+#: drawn from this corpus's synthetic vocabulary so the rule has real
+#: signal here -- the RULE (>= min_stop_hits distinct members present)
+#: is Gopher's, the membership is corpus-specific configuration.
+GOPHER_STOPWORDS: tuple[str, ...] = STOPWORDS
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rule battery (Rae et al., "Scaling
+    Language Models: Methods, Analysis & Insights from Training
+    Gopher", arXiv 2112.11446, Table A1) as ONE codegen projection.
+
+    Per document: word count bounds, mean word length in [3, 10],
+    symbol-to-word ratio ('#' and '...') <= 0.1, < 90% of lines
+    bullet-initial, < 30% of lines ellipsis-terminal, >= 80% of words
+    containing an alphabetic character, and >= ``min_stop_hits``
+    distinct GOPHER_STOPWORDS present. ``gopher_keep`` is the AND.
+
+    Every threshold is evaluated in EXACT integer arithmetic
+    (``3*n_words <= n_chars`` instead of ``mean >= 3.0``), so the
+    flags are bit-identical across engines and partitionings; the
+    double ratios in the output are observability only. Zero shuffle,
+    zero UDFs, no state: a pure scan-side filter battery that runs at
+    any corpus size -- the standard first gate before the (much more
+    expensive) dedup and model-based stages.
+
+    The driver fixture is single-line prose without symbols, so the
+    line- and symbol-rules are constant-true there (unit tests cover
+    them with crafted multi-line/bullet/ellipsis rows); word count,
+    mean word length, and the stop-word rule all have mixed outcomes
+    on the fixture, which is what the oracle value-gates.
+    """
+    stop_arr = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    t = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("__txt"),
+        F.expr(TOKENS.format(col=text_col)).alias("ws"),
+        F.split(F.col(text_col), r"\n").alias("lns"),
+    )
+    n_words = F.expr("size(ws)")
+    n_chars = F.length(F.regexp_replace(F.col("__txt"), r"\s", ""))
+    n_alpha = F.expr("size(filter(ws, w -> w rlike '[A-Za-z]'))")
+    n_stop = F.expr(
+        f"size(filter(array({stop_arr}), s -> array_contains(ws, s)))"
+    )
+    n_hash = F.length("__txt") - F.length(F.expr("replace(__txt, '#', '')"))
+    n_ell = (
+        F.length("__txt") - F.length(F.expr("replace(__txt, '...', '')"))
+    ) / F.lit(3)
+    n_lines = F.expr("size(lns)")
+    n_bullet = F.expr(r"size(filter(lns, l -> l rlike '^\\s*[-*•]'))")
+    n_ell_end = F.expr(r"size(filter(lns, l -> l rlike '\\.\\.\\.\\s*$'))")
+    m = t.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_chars.cast("long").alias("n_chars"),
+        n_alpha.cast("long").alias("n_alpha_words"),
+        n_stop.cast("long").alias("n_stop_hits"),
+        (n_hash + n_ell).cast("long").alias("n_symbols"),
+        n_lines.cast("long").alias("n_lines"),
+        n_bullet.cast("long").alias("n_bullet_lines"),
+        n_ell_end.cast("long").alias("n_ellipsis_lines"),
+    )
+    r_words = F.col("n_words").between(min_words, max_words)
+    r_mean = (F.lit(3) * F.col("n_words") <= F.col("n_chars")) & (
+        F.col("n_chars") <= F.lit(10) * F.col("n_words")
+    )
+    r_sym = F.lit(10) * F.col("n_symbols") <= F.col("n_words")
+    r_bullet = F.lit(10) * F.col("n_bullet_lines") < F.lit(9) * F.col("n_lines")
+    r_ellip = F.lit(10) * F.col("n_ellipsis_lines") < F.lit(3) * F.col("n_lines")
+    r_alpha = F.lit(5) * F.col("n_alpha_words") >= F.lit(4) * F.col("n_words")
+    r_stop = F.col("n_stop_hits") >= min_stop_hits
+    return m.select(
+        id_col,
+        "n_words",
+        (F.col("n_chars").cast("double") / F.col("n_words").cast("double")).alias(
+            "mean_word_len"
+        ),
+        "n_stop_hits",
+        "n_symbols",
+        r_words.alias("rule_word_count"),
+        r_mean.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_bullet.alias("rule_bullet_lines"),
+        r_ellip.alias("rule_ellipsis_lines"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (
+            r_words & r_mean & r_sym & r_bullet & r_ellip & r_alpha & r_stop
+        ).alias("gopher_keep"),
+    )

@@ -43,6 +43,7 @@ from .operators.text import (
     repetition_features,
 )
 from .operators.sampling import (
+    dsir_select,
     group_sample_fixed,
     weighted_sample,
     hash_int_sql,
@@ -241,6 +242,138 @@ SELECT doc_id,
     AS dup_trigram_frac
 FROM pg
 GROUP BY doc_id
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher rule battery (operators/text.py::gopher_rules):
+    word-count/mean-word-length/symbol/bullet/ellipsis/alpha/stop-word
+    flags plus the combined keep decision, all exact-integer
+    threshold arithmetic in one zero-shuffle codegen projection."""
+    from .operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs)
+
+
+def _gopher_sql() -> str:
+    from .operators.text import GOPHER_STOPWORDS
+
+    stop_arr = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS ws,
+         string_split(text, chr(10)) AS lns
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars,
+    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+      AS n_alpha_words,
+    CAST(len(list_filter([{stop_arr}], s -> list_contains(ws, s))) AS BIGINT)
+      AS n_stop_hits,
+    CAST(length(text) - length(replace(text, '#', ''))
+       + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+      AS n_symbols,
+    CAST(len(lns) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lns, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT)
+      AS n_bullet_lines,
+    CAST(len(list_filter(lns, l -> regexp_matches(l, '\.\.\.\s*$'))) AS BIGINT)
+      AS n_ellipsis_lines
+  FROM t)
+SELECT doc_id, n_words,
+  CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+  n_stop_hits, n_symbols,
+  (n_words BETWEEN 50 AND 100000) AS rule_word_count,
+  (3 * n_words <= n_chars AND n_chars <= 10 * n_words) AS rule_mean_word_len,
+  (10 * n_symbols <= n_words) AS rule_symbol_ratio,
+  (10 * n_bullet_lines < 9 * n_lines) AS rule_bullet_lines,
+  (10 * n_ellipsis_lines < 3 * n_lines) AS rule_ellipsis_lines,
+  (5 * n_alpha_words >= 4 * n_words) AS rule_alpha_words,
+  (n_stop_hits >= 2) AS rule_stopwords,
+  ((n_words BETWEEN 50 AND 100000)
+   AND (3 * n_words <= n_chars AND n_chars <= 10 * n_words)
+   AND (10 * n_symbols <= n_words)
+   AND (10 * n_bullet_lines < 9 * n_lines)
+   AND (10 * n_ellipsis_lines < 3 * n_lines)
+   AND (5 * n_alpha_words >= 4 * n_words)
+   AND (n_stop_hits >= 2)) AS gopher_keep
+FROM m
+"""
+
+
+GOPHER_QUALITY_SQL = _gopher_sql()
+
+
+# -- DSIR data selection ---------------------------------------------------
+
+_DSIR_BUCKETS = 10_000
+_DSIR_SEED = 23
+_DSIR_GUMBEL_SEED = 29
+_DSIR_K = 100
+
+
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/sampling.py::dsir_select):
+    select documents whose hashed-n-gram features look most like the
+    TARGET domain -- here the corpus's English subcorpus stands in for
+    the high-quality target, the whole corpus is the raw pool. Two
+    bucket-count aggregations + a broadcast log-ratio lookup + a
+    Gumbel-top-k; no corpus-sized shuffle anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        k=_DSIR_K,
+        n_buckets=_DSIR_BUCKETS,
+        seed=_DSIR_SEED,
+        gumbel_seed=_DSIR_GUMBEL_SEED,
+    )
+
+
+DSIR_SELECTION_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents),
+feats AS MATERIALIZED (
+  SELECT doc_id, lang, unnest(ws) AS feat FROM toks
+  UNION ALL
+  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS feat
+  FROM toks, UNNEST(range(1, len(ws))) AS u(i)),
+fb AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5('{_DSIR_SEED}:' || feat), 1, 8) AS BIGINT)
+           % {_DSIR_BUCKETS} AS bucket
+  FROM feats),
+rawc AS (SELECT bucket, COUNT(*) AS c_r FROM fb GROUP BY 1),
+tgtc AS (SELECT bucket, COUNT(*) AS c_t FROM fb WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT SUM(c_r) FROM rawc) AS R,
+               (SELECT COALESCE(SUM(c_t), 0) FROM tgtc) AS T),
+lr AS (
+  SELECT rawc.bucket,
+         ln(CAST(COALESCE(c_t, 0) + 1 AS DOUBLE)
+            / CAST(T + {_DSIR_BUCKETS} AS DOUBLE))
+       - ln(CAST(c_r + 1 AS DOUBLE) / CAST(R + {_DSIR_BUCKETS} AS DOUBLE))
+           AS lr
+  FROM rawc LEFT JOIN tgtc USING (bucket) CROSS JOIN tot),
+dw AS (
+  SELECT doc_id, COUNT(*) AS n_feats,
+         CAST(ROUND(SUM(CAST(lr AS DECIMAL(25,15))), 6) AS DOUBLE) AS log_w
+  FROM fb JOIN lr USING (bucket) GROUP BY 1),
+keyed AS (
+  SELECT doc_id, n_feats, log_w,
+         log_w + (-ln(-ln(
+           (CAST('0x' || substr(md5('{_DSIR_GUMBEL_SEED}:'
+                 || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+           / 4294967296.0))) AS key
+  FROM dw)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, n_feats, log_w, ROUND(key, 6) AS gumbel_key
+FROM keyed
+ORDER BY key DESC, doc_id
+LIMIT {_DSIR_K}
 """
 
 
@@ -2271,6 +2404,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "kfold_balance": (q_kfold_balance, KFOLD_BALANCE_SQL),
     "repetition_quality": (q_repetition_quality, REPETITION_QUALITY_SQL),
+    "gopher_quality": (q_gopher_quality, GOPHER_QUALITY_SQL),
+    "dsir_selection": (q_dsir_selection, DSIR_SELECTION_SQL),
     "decontaminated": (q_decontaminated, DECONTAMINATED_SQL),
     "decontaminated_bloom": (q_decontaminated_bloom, DECONTAMINATED_SQL),
     "pii_redaction": (q_pii_redaction, PII_REDACTION_SQL),

@@ -225,3 +225,42 @@ def test_bm25_rare_term_outranks_common(spark):
     scores = {r.doc_id: r.bm25 for r in out}
     assert scores[1] > scores[2] > scores[3]
     assert all(r.rank <= 4 for r in out) and len(out) == 4
+
+
+def test_gopher_rules_line_and_symbol_paths(spark):
+    """The driver fixture is single-line symbol-free prose, so the
+    bullet/ellipsis/symbol rules are constant there; this exercises
+    them on crafted rows (the oracle gate covers the mixed-outcome
+    word-count/mean-length/stopword rules on the fixture)."""
+    from flink_ad_analytics_spark.operators.text import gopher_rules
+
+    rows = [
+        # 9 of 10 lines bullet-initial (0.9 -> NOT < 0.9: fail)
+        (1, "\n".join(["- item"] * 9 + ["plain closing line"])),
+        # 8 of 10 bullet-initial (0.8 < 0.9: pass)
+        (2, "\n".join(["* item"] * 8 + ["plain one", "plain two"])),
+        # 3 of 10 lines ellipsis-terminal (0.3 -> NOT < 0.3: fail)
+        (3, "\n".join(["trails off..."] * 3 + ["plain line"] * 7)),
+        # 2 of 10 ellipsis-terminal (0.2 < 0.3: pass)
+        (4, "\n".join(["trails off..."] * 2 + ["plain line"] * 8)),
+        # 2 symbols ('#' + '...') over 20 words = 0.1 (pass, boundary)
+        (5, "# start " + "word " * 17 + "end..."),
+        # 3 symbols over 20 words > 0.1 (fail)
+        (6, "# a # " + "word " * 16 + "end..."),
+        # every word numeric: alpha fraction 0 (fail)
+        (7, " ".join(str(i) for i in range(60))),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert not out[1]["rule_bullet_lines"]
+    assert out[2]["rule_bullet_lines"]
+    assert not out[3]["rule_ellipsis_lines"]
+    assert out[4]["rule_ellipsis_lines"]
+    assert out[5]["rule_symbol_ratio"] and out[5]["n_symbols"] == 2
+    assert not out[6]["rule_symbol_ratio"] and out[6]["n_symbols"] == 3
+    assert not out[7]["rule_alpha_words"]
+    assert not any(r["gopher_keep"] for r in out.values())

@@ -266,3 +266,53 @@ def test_token_budget_invariants(spark):
         assert r.alloc_tokens <= _BUDGET_TOKENS / n_src + 1e-9
         assert r.alloc_tokens == pytest.approx(r.epochs * r.n_tokens)
     assert sum(r.alloc_tokens for r in rows) <= _BUDGET_TOKENS + 1e-6
+
+
+def _dsir_corpus(spark):
+    """Two disjoint vocabularies: target speaks A, raw pool is A+B."""
+    a_words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    b_words = ["zeta", "eta", "theta", "iota", "kappa"]
+    rows = []
+    for i in range(40):
+        words = [(a_words if i < 20 else b_words)[(i * 7 + j) % 5]
+                 for j in range(30)]
+        rows.append((i, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dsir_weights_target_like_docs_higher(spark):
+    from flink_ad_analytics_spark.operators.sampling import dsir_logweights
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("doc_id") < 20)  # vocabulary-A half
+    w = {r["doc_id"]: r["log_w"]
+         for r in dsir_logweights(docs, target).collect()}
+    assert len(w) == 40
+    a_scores = [w[i] for i in range(20)]
+    b_scores = [w[i] for i in range(20, 40)]
+    # every A-vocabulary doc outscores every B-vocabulary doc
+    assert min(a_scores) > max(b_scores)
+
+
+def test_dsir_weights_partitioning_invariant(spark):
+    from flink_ad_analytics_spark.operators.sampling import dsir_logweights
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("doc_id") < 20)
+    base = sorted(dsir_logweights(docs, target).collect())
+    shuffled = sorted(
+        dsir_logweights(docs.repartition(7), target.repartition(3)).collect()
+    )
+    assert base == shuffled  # exact equality incl. the double log_w
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    from flink_ad_analytics_spark.operators.sampling import dsir_select
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("doc_id") < 20)
+    picked = dsir_select(docs, target, k=10).collect()
+    assert [r["rank"] for r in picked] == list(range(1, 11))
+    # weights dominate the bounded Gumbel noise on this separation:
+    # at least 8 of 10 picks come from the target-like half
+    assert sum(1 for r in picked if r["doc_id"] < 20) >= 8
