@@ -2544,6 +2544,114 @@ def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+#: numeric lineitem columns profiled pairwise by q_numeric_profile;
+#: all exact 2dp money/rate columns (tests/test_testdata_contract.py)
+_NUMPROF_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise numeric column statistics (mean / covariance /
+    Pearson correlation) over lineitem's money/rate columns -- the
+    feature-correlation scan every tabular-data profiling pass runs.
+
+    ONE scan, one 1-row aggregate: n plus, per column, the exact
+    DECIMAL(18,6) sum, plus, per unordered pair (self included), the
+    exact decimal sum of the 2dp-cast product -- 4 + 10 moment sums
+    riding a single map-side-combined aggregation (the textbook
+    one-pass moments formulation; at 100 TB the shuffle carries 15
+    numbers per partition). The moments are exact; the terminal
+    mean/cov/corr arithmetic is double with an IDENTICAL expression
+    tree in the oracle (cov = E[xy] - E[x]E[y] on doubles cast from
+    exact decimals), so results are bit-deterministic cross-engine.
+    Accuracy note: the uncentered formula loses ~log10(E[xy]/cov)
+    digits to cancellation; on price-scale data that leaves >= 9
+    significant digits, far inside the 6dp output rounding.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = _NUMPROF_COLS
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("decimal(18,6)")).alias(f"S_{c}"))
+    for i, x in enumerate(cols):
+        for y in cols[i:]:
+            aggs.append(
+                F.sum(
+                    F.col(x).cast("decimal(12,2)")
+                    * F.col(y).cast("decimal(12,2)")
+                ).alias(f"P_{x}__{y}")
+            )
+    wide = li.agg(*aggs)
+    nd = F.col("n").cast("double")
+    mean = {c: F.col(f"S_{c}").cast("double") / nd for c in cols}
+    var = {
+        c: F.col(f"P_{c}__{c}").cast("double") / nd - mean[c] * mean[c]
+        for c in cols
+    }
+    rows = []
+    for i, x in enumerate(cols):
+        for y in cols[i:]:
+            cov = F.col(f"P_{x}__{y}").cast("double") / nd - mean[x] * mean[y]
+            corr = cov / F.sqrt(var[x] * var[y])
+            rows.append(
+                F.struct(
+                    F.lit(x).alias("col_x"),
+                    F.lit(y).alias("col_y"),
+                    F.col("n").alias("n_rows"),
+                    F.round(mean[x], 6).alias("mean_x"),
+                    F.round(mean[y], 6).alias("mean_y"),
+                    F.round(cov, 6).alias("cov"),
+                    F.round(corr, 6).alias("corr"),
+                )
+            )
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def _numeric_profile_sql() -> str:
+    cols = _NUMPROF_COLS
+    sums = ", ".join(
+        f"SUM(CAST({c} AS DECIMAL(18,6))) AS S_{c}" for c in cols
+    )
+    prods = ", ".join(
+        f"SUM(CAST({x} AS DECIMAL(12,2)) * CAST({y} AS DECIMAL(12,2))) "
+        f"AS P_{x}__{y}"
+        for i, x in enumerate(cols)
+        for y in cols[i:]
+    )
+    mean = {c: f"(CAST(S_{c} AS DOUBLE) / CAST(n AS DOUBLE))" for c in cols}
+    var = {
+        c: f"(CAST(P_{c}__{c} AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" - {mean[c]} * {mean[c]})"
+        for c in cols
+    }
+    selects = []
+    for i, x in enumerate(cols):
+        for y in cols[i:]:
+            cov = (
+                f"(CAST(P_{x}__{y} AS DOUBLE) / CAST(n AS DOUBLE)"
+                f" - {mean[x]} * {mean[y]})"
+            )
+            selects.append(
+                f"SELECT '{x}' AS col_x, '{y}' AS col_y, n AS n_rows, "
+                f"ROUND({mean[x]}, 6) AS mean_x, "
+                f"ROUND({mean[y]}, 6) AS mean_y, "
+                f"ROUND({cov}, 6) AS cov, "
+                f"ROUND({cov} / sqrt({var[x]} * {var[y]}), 6) AS corr "
+                "FROM wide"
+            )
+    body = " UNION ALL ".join(selects)
+    return (
+        f"WITH wide AS (SELECT COUNT(*) AS n, {sums}, {prods} FROM lineitem)\n"
+        f"{body}\nORDER BY col_x, col_y"
+    )
+
+
+NUMERIC_PROFILE_SQL = _numeric_profile_sql()
+
+
 def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch LINEAR attribution (operators/ctr.py::
     linear_attribution): every impression within the 10-minute band
@@ -3127,6 +3235,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     # rows-only: HLL estimates are engine-specific; accuracy vs the
     # exact profile is value-gated in test_oracle_parity instead
     "table_profile_approx": (q_table_profile_approx, None),
+    "numeric_profile": (q_numeric_profile, NUMERIC_PROFILE_SQL),
     "linear_attribution": (q_linear_attribution, LINEAR_ATTRIBUTION_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_COHORTS_SQL),
     "forecast_revenue_change": (
