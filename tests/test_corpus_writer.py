@@ -80,3 +80,56 @@ def test_max_records_per_file(spark, tmp_path):
     assert files
     for f in files:
         assert pq.read_metadata(f).num_rows <= 100
+
+
+def test_sorted_layout_makes_row_groups_skippable(spark, tmp_path):
+    """The zone-map claim behind sort_within: with multi-row-group
+    files, sorting the sort column clusters its values so row-group
+    min/max stats become a range index -- a point/range predicate can
+    skip almost every group, where the same data written unsorted has
+    every group's [min, max] spanning the whole domain (nothing
+    skippable). Measured directly on the parquet footers, which is
+    what every engine's row-group pruning reads."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    # ~64 KB row groups so each file holds many groups
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    try:
+        df = spark.range(200_000).select(
+            F.col("id").alias("doc_id"),
+            F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("v"),
+        )
+        sorted_path = str(tmp_path / "sorted")
+        unsorted_path = str(tmp_path / "unsorted")
+        write_partitioned_corpus(
+            df, sorted_path, partition_by=(), sort_within=("v",),
+        )
+        write_partitioned_corpus(
+            df, unsorted_path, partition_by=(), sort_within=(),
+        )
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+
+    def group_ranges(path):
+        out = []
+        for f in _data_files(path):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("v")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                out.append((st.min, st.max))
+        return out
+
+    def skippable_fraction(ranges, probe):
+        hit = sum(1 for lo, hi in ranges if lo <= probe <= hi)
+        return 1 - hit / len(ranges)
+
+    sorted_rg = group_ranges(sorted_path)
+    unsorted_rg = group_ranges(unsorted_path)
+    assert len(sorted_rg) >= 8, "need multi-row-group files to prove anything"
+    probe = 500_000  # mid-domain point predicate
+    assert skippable_fraction(sorted_rg, probe) >= 0.8
+    assert skippable_fraction(unsorted_rg, probe) <= 0.2
