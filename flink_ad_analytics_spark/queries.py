@@ -2571,6 +2571,11 @@ def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Accuracy note: the uncentered formula loses ~log10(E[xy]/cov)
     digits to cancellation; on price-scale data that leaves >= 9
     significant digits, far inside the 6dp output rounding.
+
+    NULL semantics: moments divide by the TOTAL row count n (SUM
+    skips NULLs, COUNT(*) does not), i.e. NULLs contribute zero --
+    identical in the oracle, and vacuous on the driver tables
+    (tests/test_testdata_contract.py proves these columns null-free).
     """
     li = load_table(spark, sf_dir, "lineitem")
     cols = _NUMPROF_COLS
