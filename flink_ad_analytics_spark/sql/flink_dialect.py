@@ -1,0 +1,300 @@
+"""Flink-SQL dialect front end: run the reference's VERBATIM job
+scripts (flink/flink_job.sql, flink/anomaly_job.sql) on Spark.
+
+The reference user's artifact is Flink SQL submitted via
+``sql-client.sh -f job.sql``. The shipped ``sql/*.sql`` scripts are
+the Spark-dialect re-expressions; this module removes even that
+porting step by translating the Flink dialect subset those jobs use:
+
+* ``SET 'k' = 'v';``                    -> recorded, not executed
+* ``CREATE TABLE name (schema...,
+     computed AS expr,
+     WATERMARK FOR c AS c - INTERVAL '<n>' SECOND)
+   WITH ('connector' = ..., ...)``      -> a SourceDef/SinkDef: schema,
+  computed columns, watermark delay, connector options. Execution
+  binds source names to caller-provided DataFrames (batch) and
+  returns each sink's INSERT result (the broker socket is the one
+  thing this sandbox cannot host; `streaming/sources.py` owns the
+  real Kafka wiring).
+* ``TO_TIMESTAMP_LTZ(x, 3)``            -> ``timestamp_millis(x)``
+  (exact under this engine's UTC session contract, session.py).
+* ``GROUP BY TUMBLE(ts, INTERVAL '1' MINUTE), k``
+                                        -> ``GROUP BY window(ts,
+  '1 minute'), k``; ``TUMBLE_START(...)`` / ``TUMBLE_END(...)``
+  projections -> ``window.start`` / ``window.end`` (valid because a
+  query groups by a single TUMBLE -- asserted during translation).
+* ``CREATE VIEW v AS SELECT ...``       -> ``CREATE OR REPLACE
+  TEMPORARY VIEW`` (LAG/OVER pass through untouched -- Spark SQL).
+* ``BEGIN STATEMENT SET; ... END;``     -> the statement list between
+  the markers (single materialization per INSERT here; the streaming
+  multi-sink analogue is streaming/sinks.py::dual_sink).
+* ``INSERT INTO sink SELECT ...``       -> the SELECT, translated,
+  run against the registered views; results keyed by sink name.
+
+Statement splitting reuses runner.split_statements (quote/comment
+aware). Everything else in the reference scripts -- interval join
+BETWEEN predicates, COUNT(DISTINCT), CASE, COALESCE, LAG OVER -- is
+already common SQL and passes through verbatim.
+
+tests/test_flink_dialect.py proves the reference's own two scripts
+(read from /root/reference when present, skipped otherwise so the
+repo stays standalone) translate and produce results value-equal to
+the native operators on the reference-parity fixture.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .runner import split_statements
+
+
+@dataclass
+class SourceDef:
+    name: str
+    columns: list[tuple[str, str]]          # (name, declared type)
+    computed: list[tuple[str, str]]         # (name, spark expr)
+    watermark: tuple[str, str] | None       # (column, "<n> <unit>")
+    options: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class SinkDef:
+    name: str
+    columns: list[tuple[str, str]]
+    options: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class TranslatedScript:
+    settings: dict[str, str]
+    sources: dict[str, SourceDef]
+    sinks: dict[str, SinkDef]
+    views: list[tuple[str, str]]            # (name, translated SELECT)
+    inserts: list[tuple[str, str]]          # (sink name, translated SELECT)
+
+
+_SET_RE = re.compile(r"^SET\s+'([^']+)'\s*=\s*'([^']*)'\s*$", re.I | re.S)
+_CREATE_RE = re.compile(
+    r"^CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*WITH\s*\((.*)\)\s*$", re.I | re.S
+)
+_VIEW_RE = re.compile(r"^CREATE\s+VIEW\s+(\w+)\s+AS\s+(.*)$", re.I | re.S)
+_INSERT_RE = re.compile(r"^INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)$", re.I | re.S)
+_WATERMARK_RE = re.compile(
+    r"^WATERMARK\s+FOR\s+(\w+)\s+AS\s+\1\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)$",
+    re.I,
+)
+_COMPUTED_RE = re.compile(r"^(\w+)\s+AS\s+(.+)$", re.I | re.S)
+_COLUMN_RE = re.compile(r"^(\w+)\s+([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)$")
+_TUMBLE_RE = re.compile(
+    r"TUMBLE\s*\(\s*([^,()]+?)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)", re.I
+)
+_TUMBLE_BOUND_RE = re.compile(
+    r"TUMBLE_(START|END)\s*\(\s*[^,()]+?\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
+    re.I,
+)
+_TO_TS_LTZ_RE = re.compile(
+    r"TO_TIMESTAMP_LTZ\s*\(\s*([^,()]+?)\s*,\s*3\s*\)", re.I
+)
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split on commas not nested in parentheses or quotes."""
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if "".join(buf).strip():
+        parts.append("".join(buf).strip())
+    return parts
+
+
+def _strip_line_comments(s: str) -> str:
+    """Remove -- comments (the DDL bodies embed them mid-definition)."""
+    out = []
+    for line in s.split("\n"):
+        q = None
+        for i, ch in enumerate(line):
+            if q:
+                if ch == q:
+                    q = None
+                continue
+            if ch in "'\"":
+                q = ch
+            elif ch == "-" and line[i : i + 2] == "--":
+                line = line[:i]
+                break
+        out.append(line)
+    return "\n".join(out)
+
+
+def _translate_exprs(sql: str) -> str:
+    """Rewrite the Flink-only expressions to Spark SQL."""
+    sql = _TO_TS_LTZ_RE.sub(r"timestamp_millis(\1)", sql)
+    # TUMBLE_START/END projections -> window struct fields. Valid only
+    # when the statement groups by a single TUMBLE (the window struct
+    # is then unambiguous); TUMBLE_START( does not match _TUMBLE_RE
+    # (the underscore breaks `TUMBLE\s*\(`), so substitution order is
+    # immaterial.
+    sql = _TUMBLE_BOUND_RE.sub(
+        lambda m: f"window.{m.group(1).lower()}", sql
+    )
+    grouped = {
+        (m.group(1).strip(), m.group(2), m.group(3).lower())
+        for m in _TUMBLE_RE.finditer(sql)
+    }
+    if len(grouped) > 1:
+        raise ValueError(
+            f"statement groups by {len(grouped)} distinct TUMBLEs; "
+            "TUMBLE_START/END rewriting needs exactly one"
+        )
+    sql = _TUMBLE_RE.sub(
+        lambda m: (
+            f"window({m.group(1).strip()}, "
+            f"'{m.group(2)} {m.group(3).lower()}')"
+        ),
+        sql,
+    )
+    return sql
+
+
+def _parse_with_options(body: str) -> dict[str, str]:
+    opts = {}
+    for part in _split_top_level_commas(body):
+        m = re.match(r"^'([^']+)'\s*=\s*'([^']*)'$", part.strip())
+        if m:
+            opts[m.group(1)] = m.group(2)
+    return opts
+
+
+def translate_script(script: str) -> TranslatedScript:
+    out = TranslatedScript({}, {}, {}, [], [])
+    in_statement_set = False
+    for stmt in split_statements(script):
+        s = _strip_line_comments(stmt).strip()
+        if not s:
+            continue
+        if re.fullmatch(r"BEGIN\s+STATEMENT\s+SET", s, re.I):
+            in_statement_set = True
+            continue
+        if re.fullmatch(r"END", s, re.I):
+            in_statement_set = False
+            continue
+        m = _SET_RE.match(s)
+        if m:
+            out.settings[m.group(1)] = m.group(2)
+            continue
+        m = _CREATE_RE.match(s)
+        if m:
+            name, cols_body, with_body = m.groups()
+            columns, computed, watermark = [], [], None
+            for item in _split_top_level_commas(cols_body):
+                item = re.sub(r"\s+", " ", item.strip())
+                wm = _WATERMARK_RE.match(item)
+                if wm:
+                    watermark = (
+                        wm.group(1),
+                        f"{wm.group(2)} {wm.group(3).lower()}",
+                    )
+                    continue
+                cm = _COLUMN_RE.match(item)
+                if cm:
+                    columns.append((cm.group(1), cm.group(2)))
+                    continue
+                xm = _COMPUTED_RE.match(item)
+                if xm:
+                    computed.append(
+                        (xm.group(1), _translate_exprs(xm.group(2)))
+                    )
+                    continue
+                raise ValueError(f"unparsed DDL item in {name}: {item!r}")
+            opts = _parse_with_options(with_body)
+            # a table that only declares physical columns and is never
+            # read with computed/watermark semantics is a sink; the
+            # reference marks sinks by writing INSERT INTO into them,
+            # resolved at execution. Register both ways; execution
+            # decides by usage.
+            if computed or watermark:
+                out.sources[name] = SourceDef(
+                    name, columns, computed, watermark, opts
+                )
+            else:
+                out.sinks[name] = SinkDef(name, columns, opts)
+            continue
+        m = _VIEW_RE.match(s)
+        if m:
+            out.views.append((m.group(1), _translate_exprs(m.group(2))))
+            continue
+        m = _INSERT_RE.match(s)
+        if m:
+            out.inserts.append((m.group(1), _translate_exprs(m.group(2))))
+            continue
+        raise ValueError(f"unsupported statement: {s[:80]!r}")
+    if in_statement_set:
+        raise ValueError("BEGIN STATEMENT SET without END")
+    return out
+
+
+def run_batch(
+    spark: SparkSession,
+    script: str,
+    tables: dict[str, DataFrame],
+) -> dict[str, DataFrame]:
+    """Execute a translated Flink script in batch mode.
+
+    ``tables`` binds each CREATE TABLE source name to a DataFrame of
+    its PHYSICAL columns (the Kafka payload relation -- in production
+    the streaming twin binds `streaming/sources.py::kafka_json_stream`
+    here instead). Computed columns from the DDL are applied on top;
+    watermarks are no-ops in batch (late data cannot exist). A source
+    fed by another statement's INSERT (the reference's two-stage
+    topology) may be bound to that earlier sink's result.
+
+    Returns {sink name: DataFrame} for every INSERT, in script order.
+    Statements run against temporary views in the session catalog.
+    """
+    ts = translate_script(script)
+    bound_sinks: dict[str, DataFrame] = {}
+    for name, src in ts.sources.items():
+        if name not in tables:
+            raise KeyError(f"source table {name!r} not bound")
+        df = tables[name]
+        exprs = [c for c, _ in src.columns if c in df.columns]
+        df = df.selectExpr(
+            *exprs, *[f"{expr} AS {col}" for col, expr in src.computed]
+        )
+        df.createOrReplaceTempView(name)
+    for name, select in ts.views:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {select}"
+        )
+    for sink, select in ts.inserts:
+        if sink not in ts.sinks:
+            raise KeyError(f"INSERT INTO unknown sink {sink!r}")
+        result = spark.sql(select)
+        expected = [c for c, _ in ts.sinks[sink].columns]
+        result = result.toDF(*expected)
+        bound_sinks[sink] = result
+        # a later script stage may read this sink as ITS source
+        result.createOrReplaceTempView(sink)
+    return bound_sinks

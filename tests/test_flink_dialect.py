@@ -1,0 +1,180 @@
+"""Flink-dialect front end: the reference's VERBATIM job scripts
+(flink/flink_job.sql, flink/anomaly_job.sql) translate and produce
+results value-equal to the native operators on the reference-parity
+fixture. The verbatim files are read from /root/reference at test
+time (skipped when absent so the repo stays standalone — nothing from
+the reference is copied in); an inline script using the same dialect
+constructs keeps the translator covered everywhere."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ad_analytics_spark.fixtures import generate
+from flink_ad_analytics_spark.operators.anomaly import detect_anomalies
+from flink_ad_analytics_spark.operators.ctr import ctr_windows
+from flink_ad_analytics_spark.operators.engagement import engagement_windows
+from flink_ad_analytics_spark.sql.flink_dialect import (
+    run_batch,
+    translate_script,
+)
+
+_REF_DIR = "/root/reference/flink"
+
+
+@pytest.fixture(scope="module")
+def fx_tables(spark):
+    """Physical (pre-computed-column) Kafka payload relations plus the
+    event-time-attached frames the native builders consume."""
+    fx = generate(duration_sec=1200)
+    imp_raw = spark.createDataFrame(fx.impressions)
+    clk_raw = spark.createDataFrame(fx.clicks)
+    imp = imp_raw.withColumn(
+        "event_time", F.timestamp_millis(F.col("event_timestamp"))
+    )
+    clk = clk_raw.withColumn(
+        "click_time", F.timestamp_millis(F.col("event_timestamp"))
+    ).drop("event_timestamp")
+    return imp_raw, clk_raw, imp, clk
+
+
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    return [tuple(r[c] for c in cols) for r in df.select(*cols).collect()], cols
+
+
+def _assert_df_equal(a, b, name):
+    ra, ca = _sorted_rows(a)
+    rb, cb = _sorted_rows(b)
+    assert ca == cb, f"{name}: columns {ca} != {cb}"
+    assert sorted(ra) == sorted(rb), f"{name}: values differ"
+    assert ra, f"{name}: empty result"
+
+
+_INLINE = """
+SET 'execution.runtime-mode' = 'streaming';
+CREATE TABLE imps (
+    impression_id STRING,
+    campaign_id STRING,
+    event_timestamp BIGINT,
+    cost DECIMAL(10, 2),
+    event_time AS TO_TIMESTAMP_LTZ(event_timestamp, 3),
+    WATERMARK FOR event_time AS event_time - INTERVAL '5' SECOND
+) WITH ('connector' = 'kafka', 'topic' = 't-in');
+CREATE TABLE counts_sink (
+    window_start TIMESTAMP(3),
+    window_end TIMESTAMP(3),
+    campaign_id STRING,
+    n BIGINT
+) WITH ('connector' = 'kafka', 'topic' = 't-out');
+BEGIN STATEMENT SET;
+INSERT INTO counts_sink
+SELECT
+    TUMBLE_START(event_time, INTERVAL '1' MINUTE) as window_start,
+    TUMBLE_END(event_time, INTERVAL '1' MINUTE) as window_end, -- comment
+    campaign_id,
+    COUNT(DISTINCT impression_id) as n
+FROM imps
+GROUP BY TUMBLE(event_time, INTERVAL '1' MINUTE), campaign_id;
+END;
+"""
+
+
+def test_translate_inline_script_structures():
+    ts = translate_script(_INLINE)
+    assert ts.settings == {"execution.runtime-mode": "streaming"}
+    assert set(ts.sources) == {"imps"}
+    src = ts.sources["imps"]
+    assert ("cost", "DECIMAL(10, 2)") in src.columns
+    assert src.computed == [
+        ("event_time", "timestamp_millis(event_timestamp)")
+    ]
+    assert src.watermark == ("event_time", "5 second")
+    assert src.options["topic"] == "t-in"
+    assert set(ts.sinks) == {"counts_sink"}
+    sink, select = ts.inserts[0]
+    assert sink == "counts_sink"
+    assert "window(event_time, '1 minute')" in select
+    assert "window.start" in select and "window.end" in select
+    assert "TUMBLE" not in select.upper().replace("TUMBLE_", "X")
+
+
+def test_inline_script_runs_and_counts(spark, fx_tables):
+    imp_raw, _, imp, _ = fx_tables
+    out = run_batch(spark, _INLINE, {"imps": imp_raw})
+    got = out["counts_sink"]
+    exp = (
+        imp.groupBy(
+            F.window("event_time", "1 minute").alias("w"), "campaign_id"
+        )
+        .agg(F.count_distinct("impression_id").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "campaign_id",
+            "n",
+        )
+    )
+    _assert_df_equal(got, exp, "inline counts")
+
+
+def test_unsupported_statement_raises():
+    with pytest.raises(ValueError, match="unsupported statement"):
+        translate_script("DELETE FROM t")
+    with pytest.raises(ValueError, match="without END"):
+        translate_script("BEGIN STATEMENT SET; INSERT INTO s SELECT 1")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{_REF_DIR}/flink_job.sql"),
+    reason="reference checkout not present",
+)
+def test_reference_flink_job_verbatim(spark, fx_tables):
+    """The reference's own flink_job.sql, untouched: both STATEMENT SET
+    inserts equal the native CTR / engagement builders."""
+    imp_raw, clk_raw, imp, clk = fx_tables
+    with open(f"{_REF_DIR}/flink_job.sql") as f:
+        script = f.read()
+    out = run_batch(
+        spark, script, {"impressions": imp_raw, "clicks": clk_raw}
+    )
+    _assert_df_equal(
+        out["ctr_results_sink"], ctr_windows(imp, clk), "ctr_results_sink"
+    )
+    eng = out["engagement_results_sink"]
+    # the native builder adds a derived ctr column beyond the
+    # reference sink's schema; compare on the sink's declared columns
+    _assert_df_equal(
+        eng,
+        engagement_windows(imp, clk).select(*eng.columns),
+        "engagement_results_sink",
+    )
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{_REF_DIR}/anomaly_job.sql"),
+    reason="reference checkout not present",
+)
+def test_reference_anomaly_job_verbatim_two_stage(spark, fx_tables):
+    """Stage 2 verbatim: the CTR sink feeds ctr_results_source (the
+    reference's topic bus) and the alerts equal detect_anomalies,
+    including the fixture's guaranteed camp-1 DROP + SPIKE."""
+    imp_raw, clk_raw, imp, clk = fx_tables
+    with open(f"{_REF_DIR}/flink_job.sql") as f:
+        stage1 = f.read()
+    with open(f"{_REF_DIR}/anomaly_job.sql") as f:
+        stage2 = f.read()
+    ctr = run_batch(
+        spark, stage1, {"impressions": imp_raw, "clicks": clk_raw}
+    )["ctr_results_sink"]
+    out = run_batch(spark, stage2, {"ctr_results_source": ctr})
+    alerts = out["anomaly_alerts_sink"]
+    _assert_df_equal(alerts, detect_anomalies(ctr), "anomaly_alerts_sink")
+    kinds = {
+        r.alert_type
+        for r in alerts.filter(F.col("campaign_id") == "camp-1").collect()
+    }
+    assert {"DROP", "SPIKE"} <= kinds
