@@ -357,7 +357,13 @@ def _hopping_counts_panes(
     shrinks the fan-out further and the crossover moves toward small
     W/S.
     """
-    assert window_hours % slide_hours == 0
+    if window_hours % slide_hours != 0:
+        # not a bare assert: under `python -O` a silent floor-division
+        # would drop events from edge windows instead of erroring
+        raise ValueError(
+            f"window ({window_hours}h) must be a multiple of the "
+            f"slide ({slide_hours}h)"
+        )
     fanout = window_hours // slide_hours
     pane = ev.groupBy(
         F.window("event_time", f"{slide_hours} hour").alias("p"),

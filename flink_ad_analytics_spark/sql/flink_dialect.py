@@ -10,8 +10,11 @@ porting step by translating the Flink dialect subset those jobs use:
 * ``CREATE TABLE name (schema...,
      computed AS expr,
      WATERMARK FOR c AS c - INTERVAL '<n>' SECOND)
-   WITH ('connector' = ..., ...)``      -> a SourceDef/SinkDef: schema,
-  computed columns, watermark delay, connector options. Execution
+   WITH ('connector' = ..., ...)``      -> a TableDef: schema,
+  computed columns, watermark delay, connector options. Whether a
+  table is a source or a sink is decided by USAGE (INSERT INTO
+  targets are sinks, everything else must be bound to a DataFrame),
+  exactly like Flink's planner -- not by schema shape. Execution
   binds source names to caller-provided DataFrames (batch) and
   returns each sink's INSERT result (the broker socket is the one
   thing this sandbox cannot host; `streaming/sources.py` owns the
@@ -22,7 +25,8 @@ porting step by translating the Flink dialect subset those jobs use:
                                         -> ``GROUP BY window(ts,
   '1 minute'), k``; ``TUMBLE_START(...)`` / ``TUMBLE_END(...)``
   projections -> ``window.start`` / ``window.end`` (valid because a
-  query groups by a single TUMBLE -- asserted during translation).
+  query groups by a single TUMBLE whose interval matches every
+  bound's -- both asserted during translation).
 * ``CREATE VIEW v AS SELECT ...``       -> ``CREATE OR REPLACE
   TEMPORARY VIEW`` (LAG/OVER pass through untouched -- Spark SQL).
 * ``BEGIN STATEMENT SET; ... END;``     -> the statement list between
@@ -31,10 +35,12 @@ porting step by translating the Flink dialect subset those jobs use:
 * ``INSERT INTO sink SELECT ...``       -> the SELECT, translated,
   run against the registered views; results keyed by sink name.
 
-Statement splitting reuses runner.split_statements (quote/comment
-aware). Everything else in the reference scripts -- interval join
-BETWEEN predicates, COUNT(DISTINCT), CASE, COALESCE, LAG OVER -- is
-already common SQL and passes through verbatim.
+Views and inserts execute in SCRIPT ORDER (a view may read an
+earlier INSERT's sink). Statement splitting reuses
+runner.split_statements (quote/comment aware). Everything else in
+the reference scripts -- interval join BETWEEN predicates,
+COUNT(DISTINCT), CASE, COALESCE, LAG OVER -- is already common SQL
+and passes through verbatim.
 
 tests/test_flink_dialect.py proves the reference's own two scripts
 (read from /root/reference when present, skipped otherwise so the
@@ -53,7 +59,7 @@ from .runner import split_statements
 
 
 @dataclass
-class SourceDef:
+class TableDef:
     name: str
     columns: list[tuple[str, str]]          # (name, declared type)
     computed: list[tuple[str, str]]         # (name, spark expr)
@@ -62,19 +68,31 @@ class SourceDef:
 
 
 @dataclass
-class SinkDef:
-    name: str
-    columns: list[tuple[str, str]]
-    options: dict[str, str] = field(default_factory=dict)
-
-
-@dataclass
 class TranslatedScript:
     settings: dict[str, str]
-    sources: dict[str, SourceDef]
-    sinks: dict[str, SinkDef]
-    views: list[tuple[str, str]]            # (name, translated SELECT)
-    inserts: list[tuple[str, str]]          # (sink name, translated SELECT)
+    tables: dict[str, TableDef]
+    #: ("view" | "insert", target name, translated SELECT), script order
+    statements: list[tuple[str, str, str]]
+
+    @property
+    def sink_names(self) -> set[str]:
+        return {n for k, n, _ in self.statements if k == "insert"}
+
+    @property
+    def sources(self) -> dict[str, TableDef]:
+        return {
+            n: t for n, t in self.tables.items() if n not in self.sink_names
+        }
+
+    @property
+    def sinks(self) -> dict[str, TableDef]:
+        return {
+            n: t for n, t in self.tables.items() if n in self.sink_names
+        }
+
+    @property
+    def inserts(self) -> list[tuple[str, str]]:
+        return [(n, sql) for k, n, sql in self.statements if k == "insert"]
 
 
 _SET_RE = re.compile(r"^SET\s+'([^']+)'\s*=\s*'([^']*)'\s*$", re.I | re.S)
@@ -130,44 +148,73 @@ def _split_top_level_commas(s: str) -> list[str]:
 
 
 def _strip_line_comments(s: str) -> str:
-    """Remove -- comments (the DDL bodies embed them mid-definition)."""
-    out = []
-    for line in s.split("\n"):
-        q = None
-        for i, ch in enumerate(line):
-            if q:
-                if ch == q:
-                    q = None
+    """Remove -- comments (the DDL bodies embed them mid-definition).
+
+    Char-wise over the whole statement, tracking quote state ACROSS
+    newlines and skipping backslash-escaped quotes -- the same
+    conventions as runner.split_statements, so the pair cannot
+    disagree about where a string literal ends.
+    """
+    out: list[str] = []
+    q: str | None = None
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if q:
+            out.append(ch)
+            if ch == "\\" and i + 1 < len(s):
+                out.append(s[i + 1])
+                i += 2
                 continue
-            if ch in "'\"":
-                q = ch
-            elif ch == "-" and line[i : i + 2] == "--":
-                line = line[:i]
-                break
-        out.append(line)
-    return "\n".join(out)
+            if ch == q:
+                q = None
+            i += 1
+            continue
+        if ch in "'\"":
+            q = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "-" and s[i : i + 2] == "--":
+            j = s.find("\n", i)
+            i = len(s) if j < 0 else j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _translate_exprs(sql: str) -> str:
     """Rewrite the Flink-only expressions to Spark SQL."""
     sql = _TO_TS_LTZ_RE.sub(r"timestamp_millis(\1)", sql)
     # TUMBLE_START/END projections -> window struct fields. Valid only
-    # when the statement groups by a single TUMBLE (the window struct
-    # is then unambiguous); TUMBLE_START( does not match _TUMBLE_RE
-    # (the underscore breaks `TUMBLE\s*\(`), so substitution order is
-    # immaterial.
-    sql = _TUMBLE_BOUND_RE.sub(
-        lambda m: f"window.{m.group(1).lower()}", sql
-    )
+    # when the statement groups by a single TUMBLE and every bound's
+    # interval matches it (Flink itself rejects a mismatch); both are
+    # checked here rather than silently rewritten. TUMBLE_START( does
+    # not match _TUMBLE_RE (the underscore breaks `TUMBLE\s*\(`), so
+    # inspection order is immaterial.
+    bound_ivals = {
+        (m.group(2), m.group(3).lower())
+        for m in _TUMBLE_BOUND_RE.finditer(sql)
+    }
     grouped = {
-        (m.group(1).strip(), m.group(2), m.group(3).lower())
-        for m in _TUMBLE_RE.finditer(sql)
+        (m.group(2), m.group(3).lower()) for m in _TUMBLE_RE.finditer(sql)
     }
     if len(grouped) > 1:
         raise ValueError(
             f"statement groups by {len(grouped)} distinct TUMBLEs; "
             "TUMBLE_START/END rewriting needs exactly one"
         )
+    if bound_ivals and not grouped:
+        raise ValueError("TUMBLE_START/END without a GROUP BY TUMBLE")
+    if bound_ivals and bound_ivals != grouped:
+        raise ValueError(
+            f"TUMBLE_START/END interval {sorted(bound_ivals)} does not "
+            f"match the GROUP BY TUMBLE interval {sorted(grouped)}"
+        )
+    sql = _TUMBLE_BOUND_RE.sub(
+        lambda m: f"window.{m.group(1).lower()}", sql
+    )
     sql = _TUMBLE_RE.sub(
         lambda m: (
             f"window({m.group(1).strip()}, "
@@ -188,7 +235,7 @@ def _parse_with_options(body: str) -> dict[str, str]:
 
 
 def translate_script(script: str) -> TranslatedScript:
-    out = TranslatedScript({}, {}, {}, [], [])
+    out = TranslatedScript({}, {}, [])
     in_statement_set = False
     for stmt in split_statements(script):
         s = _strip_line_comments(stmt).strip()
@@ -228,30 +275,29 @@ def translate_script(script: str) -> TranslatedScript:
                     )
                     continue
                 raise ValueError(f"unparsed DDL item in {name}: {item!r}")
-            opts = _parse_with_options(with_body)
-            # a table that only declares physical columns and is never
-            # read with computed/watermark semantics is a sink; the
-            # reference marks sinks by writing INSERT INTO into them,
-            # resolved at execution. Register both ways; execution
-            # decides by usage.
-            if computed or watermark:
-                out.sources[name] = SourceDef(
-                    name, columns, computed, watermark, opts
-                )
-            else:
-                out.sinks[name] = SinkDef(name, columns, opts)
+            out.tables[name] = TableDef(
+                name, columns, computed, watermark,
+                _parse_with_options(with_body),
+            )
             continue
         m = _VIEW_RE.match(s)
         if m:
-            out.views.append((m.group(1), _translate_exprs(m.group(2))))
+            out.statements.append(
+                ("view", m.group(1), _translate_exprs(m.group(2)))
+            )
             continue
         m = _INSERT_RE.match(s)
         if m:
-            out.inserts.append((m.group(1), _translate_exprs(m.group(2))))
+            out.statements.append(
+                ("insert", m.group(1), _translate_exprs(m.group(2)))
+            )
             continue
         raise ValueError(f"unsupported statement: {s[:80]!r}")
     if in_statement_set:
         raise ValueError("BEGIN STATEMENT SET without END")
+    for sink in out.sink_names:
+        if sink not in out.tables:
+            raise ValueError(f"INSERT INTO undeclared table {sink!r}")
     return out
 
 
@@ -262,39 +308,54 @@ def run_batch(
 ) -> dict[str, DataFrame]:
     """Execute a translated Flink script in batch mode.
 
-    ``tables`` binds each CREATE TABLE source name to a DataFrame of
-    its PHYSICAL columns (the Kafka payload relation -- in production
-    the streaming twin binds `streaming/sources.py::kafka_json_stream`
-    here instead). Computed columns from the DDL are applied on top;
-    watermarks are no-ops in batch (late data cannot exist). A source
-    fed by another statement's INSERT (the reference's two-stage
-    topology) may be bound to that earlier sink's result.
+    ``tables`` binds each source table name (every CREATE TABLE that
+    is NOT an INSERT target) to a DataFrame of its PHYSICAL columns
+    (the Kafka payload relation -- in production the streaming twin
+    binds `streaming/sources.py::kafka_json_stream` here instead).
+    Every declared physical column must be present in the bound
+    DataFrame (fail-fast on typos); computed columns from the DDL are
+    applied on top; watermarks are no-ops in batch (late data cannot
+    exist). A source fed by another SCRIPT's INSERT (the reference's
+    two-stage topology) is bound to that earlier run's sink result.
 
-    Returns {sink name: DataFrame} for every INSERT, in script order.
-    Statements run against temporary views in the session catalog.
+    Views and INSERTs execute in SCRIPT ORDER against temporary views
+    in the session catalog, so a view may read an earlier INSERT's
+    sink within the same script. Returns {sink name: DataFrame}.
     """
     ts = translate_script(script)
-    bound_sinks: dict[str, DataFrame] = {}
+    missing_binds = sorted(set(ts.sources) - set(tables))
+    if missing_binds:
+        raise KeyError(f"source tables not bound: {missing_binds}")
     for name, src in ts.sources.items():
-        if name not in tables:
-            raise KeyError(f"source table {name!r} not bound")
         df = tables[name]
-        exprs = [c for c, _ in src.columns if c in df.columns]
+        declared = [c for c, _ in src.columns]
+        missing_cols = sorted(set(declared) - set(df.columns))
+        if missing_cols:
+            raise ValueError(
+                f"table {name!r}: declared columns missing from the "
+                f"bound DataFrame: {missing_cols}"
+            )
         df = df.selectExpr(
-            *exprs, *[f"{expr} AS {col}" for col, expr in src.computed]
+            *declared, *[f"{expr} AS {col}" for col, expr in src.computed]
         )
         df.createOrReplaceTempView(name)
-    for name, select in ts.views:
-        spark.sql(
-            f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {select}"
-        )
-    for sink, select in ts.inserts:
-        if sink not in ts.sinks:
-            raise KeyError(f"INSERT INTO unknown sink {sink!r}")
+    bound_sinks: dict[str, DataFrame] = {}
+    for kind, name, select in ts.statements:
+        if kind == "view":
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {select}"
+            )
+            continue
         result = spark.sql(select)
-        expected = [c for c, _ in ts.sinks[sink].columns]
+        expected = [c for c, _ in ts.tables[name].columns]
+        if len(result.columns) != len(expected):
+            raise ValueError(
+                f"INSERT INTO {name}: SELECT produces "
+                f"{len(result.columns)} columns, sink declares "
+                f"{len(expected)}"
+            )
         result = result.toDF(*expected)
-        bound_sinks[sink] = result
-        # a later script stage may read this sink as ITS source
-        result.createOrReplaceTempView(sink)
+        bound_sinks[name] = result
+        # a later statement may read this sink as ITS source
+        result.createOrReplaceTempView(name)
     return bound_sinks

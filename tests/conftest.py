@@ -14,3 +14,18 @@ def spark():
                           extra_conf={"spark.ui.enabled": "false"})
     yield spark
     spark.stop()
+
+
+def sorted_rows(df):
+    """Column-name-sorted tuples for order-insensitive comparison."""
+    cols = sorted(df.columns)
+    return [tuple(r[c] for c in cols) for r in df.select(*cols).collect()], cols
+
+
+def assert_df_equal(a, b, name):
+    """Order-insensitive non-empty value equality of two DataFrames."""
+    ra, ca = sorted_rows(a)
+    rb, cb = sorted_rows(b)
+    assert ca == cb, f"{name}: columns {ca} != {cb}"
+    assert sorted(ra) == sorted(rb), f"{name}: values differ"
+    assert ra, f"{name}: empty result"

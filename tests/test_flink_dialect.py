@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_ad_analytics_spark.fixtures import generate
+from tests.conftest import assert_df_equal
 from flink_ad_analytics_spark.operators.anomaly import detect_anomalies
 from flink_ad_analytics_spark.operators.ctr import ctr_windows
 from flink_ad_analytics_spark.operators.engagement import engagement_windows
@@ -39,19 +40,6 @@ def fx_tables(spark):
         "click_time", F.timestamp_millis(F.col("event_timestamp"))
     ).drop("event_timestamp")
     return imp_raw, clk_raw, imp, clk
-
-
-def _sorted_rows(df):
-    cols = sorted(df.columns)
-    return [tuple(r[c] for c in cols) for r in df.select(*cols).collect()], cols
-
-
-def _assert_df_equal(a, b, name):
-    ra, ca = _sorted_rows(a)
-    rb, cb = _sorted_rows(b)
-    assert ca == cb, f"{name}: columns {ca} != {cb}"
-    assert sorted(ra) == sorted(rb), f"{name}: values differ"
-    assert ra, f"{name}: empty result"
 
 
 _INLINE = """
@@ -118,7 +106,7 @@ def test_inline_script_runs_and_counts(spark, fx_tables):
             "n",
         )
     )
-    _assert_df_equal(got, exp, "inline counts")
+    assert_df_equal(got, exp, "inline counts")
 
 
 def test_unsupported_statement_raises():
@@ -141,13 +129,13 @@ def test_reference_flink_job_verbatim(spark, fx_tables):
     out = run_batch(
         spark, script, {"impressions": imp_raw, "clicks": clk_raw}
     )
-    _assert_df_equal(
+    assert_df_equal(
         out["ctr_results_sink"], ctr_windows(imp, clk), "ctr_results_sink"
     )
     eng = out["engagement_results_sink"]
     # the native builder adds a derived ctr column beyond the
     # reference sink's schema; compare on the sink's declared columns
-    _assert_df_equal(
+    assert_df_equal(
         eng,
         engagement_windows(imp, clk).select(*eng.columns),
         "engagement_results_sink",
@@ -172,9 +160,60 @@ def test_reference_anomaly_job_verbatim_two_stage(spark, fx_tables):
     )["ctr_results_sink"]
     out = run_batch(spark, stage2, {"ctr_results_source": ctr})
     alerts = out["anomaly_alerts_sink"]
-    _assert_df_equal(alerts, detect_anomalies(ctr), "anomaly_alerts_sink")
+    assert_df_equal(alerts, detect_anomalies(ctr), "anomaly_alerts_sink")
     kinds = {
         r.alert_type
         for r in alerts.filter(F.col("campaign_id") == "camp-1").collect()
     }
     assert {"DROP", "SPIKE"} <= kinds
+
+
+def test_tumble_bound_interval_mismatch_rejected():
+    bad = _INLINE.replace(
+        "TUMBLE_START(event_time, INTERVAL '1' MINUTE)",
+        "TUMBLE_START(event_time, INTERVAL '5' MINUTE)",
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        translate_script(bad)
+
+
+def test_unbound_source_fails_fast(spark):
+    with pytest.raises(KeyError, match="source tables not bound"):
+        run_batch(spark, _INLINE, {})
+
+
+def test_missing_declared_column_fails_fast(spark, fx_tables):
+    imp_raw, *_ = fx_tables
+    with pytest.raises(ValueError, match="impression_id"):
+        run_batch(spark, _INLINE, {"imps": imp_raw.drop("impression_id")})
+
+
+def test_physical_only_source_is_not_a_sink(spark):
+    """A source whose DDL has no computed column or watermark must
+    still classify as a source (classification is by INSERT usage,
+    not schema shape)."""
+    script = """
+    CREATE TABLE raw (a STRING, n BIGINT) WITH ('connector' = 'kafka');
+    CREATE TABLE out_sink (a STRING, total BIGINT) WITH ('connector' = 'kafka');
+    INSERT INTO out_sink SELECT a, SUM(n) AS total FROM raw GROUP BY a;
+    """
+    ts = translate_script(script)
+    assert set(ts.sources) == {"raw"} and set(ts.sinks) == {"out_sink"}
+    df = spark.createDataFrame([("x", 1), ("x", 2), ("y", 5)], "a string, n long")
+    out = run_batch(spark, script, {"raw": df})
+    got = {r["a"]: r["total"] for r in out["out_sink"].collect()}
+    assert got == {"x": 3, "y": 5}
+
+
+def test_view_reading_earlier_insert_runs_in_script_order(spark):
+    script = """
+    CREATE TABLE src (a STRING, n BIGINT) WITH ('connector' = 'kafka');
+    CREATE TABLE mid (a STRING, total BIGINT) WITH ('connector' = 'kafka');
+    CREATE TABLE fin (a STRING, doubled BIGINT) WITH ('connector' = 'kafka');
+    INSERT INTO mid SELECT a, SUM(n) AS total FROM src GROUP BY a;
+    CREATE VIEW v AS SELECT a, total * 2 AS doubled FROM mid;
+    INSERT INTO fin SELECT a, doubled FROM v;
+    """
+    df = spark.createDataFrame([("x", 1), ("x", 2)], "a string, n long")
+    out = run_batch(spark, script, {"src": df})
+    assert [tuple(r) for r in out["fin"].collect()] == [("x", 6)]

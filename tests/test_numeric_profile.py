@@ -34,36 +34,3 @@ def test_numeric_profile_matches_numpy(spark):
         assert r["corr"] == pytest.approx(corr, abs=1e-6)
         if x == y:
             assert r["corr"] == pytest.approx(1.0, abs=1e-6)
-
-
-def test_hopping_panes_equal_native_window(spark):
-    """Dual-solver gate: the pane decomposition reproduces Spark's
-    native hopping window exactly (both independently value-gated
-    against the DuckDB oracle; this pins them to each other too)."""
-    from flink_ad_analytics_spark.queries import _hopping_counts_panes
-    from flink_ad_analytics_spark.sources.batch import load_events
-    import pyspark.sql.functions as F
-
-    ev = load_events(spark, SF_SMOKE)
-    native = (
-        ev.groupBy(
-            F.window("event_time", "24 hours", "1 hour").alias("w"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "event_type",
-            "n_events",
-            "n_users",
-        )
-    )
-    paned = _hopping_counts_panes(ev, window_hours=24, slide_hours=1)
-    cols = sorted(paned.columns)
-    a = sorted(tuple(r[c] for c in cols) for r in paned.collect())
-    b = sorted(tuple(r[c] for c in cols) for r in native.select(*cols).collect())
-    assert a and a == b

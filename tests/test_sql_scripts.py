@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_ad_analytics_spark.fixtures import generate
+from tests.conftest import assert_df_equal
 from flink_ad_analytics_spark.operators.anomaly import detect_anomalies
 from flink_ad_analytics_spark.operators.ctr import ctr_windows
 from flink_ad_analytics_spark.operators.engagement import engagement_windows
@@ -31,29 +32,16 @@ def ad_views(spark):
     return imp, clk
 
 
-def _sorted_rows(df):
-    cols = sorted(df.columns)
-    return [tuple(r[c] for c in cols) for r in df.select(*cols).collect()], cols
-
-
-def _assert_df_equal(a, b, name):
-    ra, ca = _sorted_rows(a)
-    rb, cb = _sorted_rows(b)
-    assert ca == cb, f"{name}: columns {ca} != {cb}"
-    assert sorted(ra) == sorted(rb), f"{name}: values differ"
-    assert ra, f"{name}: empty result"
-
-
 def test_ctr_script_equals_builder(spark, ad_views):
     imp, clk = ad_views
     script = run_script(spark, script_path("ctr_job.sql"))[-1]
-    _assert_df_equal(script, ctr_windows(imp, clk), "ctr_job.sql")
+    assert_df_equal(script, ctr_windows(imp, clk), "ctr_job.sql")
 
 
 def test_engagement_script_equals_builder(spark, ad_views):
     imp, clk = ad_views
     script = run_script(spark, script_path("engagement_job.sql"))[-1]
-    _assert_df_equal(
+    assert_df_equal(
         script, engagement_windows(imp, clk), "engagement_job.sql"
     )
 
@@ -66,7 +54,7 @@ def test_anomaly_script_equals_builder_two_stage(spark, ad_views):
     ctr = run_script(spark, script_path("ctr_job.sql"))[-1]
     ctr.createOrReplaceTempView("ctr_results")
     alerts = run_script(spark, script_path("anomaly_job.sql"))[-1]
-    _assert_df_equal(alerts, detect_anomalies(ctr), "anomaly_job.sql")
+    assert_df_equal(alerts, detect_anomalies(ctr), "anomaly_job.sql")
     # fixture phase schedule guarantees camp-1 DROP then SPIKE alerts
     kinds = {r.alert_type for r in alerts.filter(F.col("campaign_id") == "camp-1").collect()}
     assert {"DROP", "SPIKE"} <= kinds

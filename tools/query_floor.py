@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -28,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/repo/.scale_data/sf3")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = m.group(1) if m else "custom"
     names = sys.argv[1].split(",") if len(sys.argv) > 1 else None
 
     from bench import materialize

@@ -41,6 +41,11 @@ def main() -> None:
             oracle = json.load(f)
         points[sf] = {"bench": bench, "oracle": oracle}
 
+    if not points:
+        raise SystemExit(
+            "no bench_sf*.json + duckdb_sf*.json artifact pairs found "
+            f"in {BDIR}; run bench.py and bench_duckdb.py first"
+        )
     sfs = sorted(points)
     # queries timed at every point (the sf>=1 headline set)
     common = set.intersection(
@@ -87,7 +92,7 @@ def main() -> None:
             "total_growth": round(
                 sum(qh[n] for n in common) / sum(ql[n] for n in common), 2
             ),
-            "max_query_growth": max(growth.values()),
+            "max_query_growth": max(growth.values(), default=0.0),
             "queries": growth,
         }
     path = os.path.join(BDIR, "scale_points.json")
