@@ -447,10 +447,34 @@ def _hashed_features(
     return feats.select(F.col(id_col), bucket.alias("bucket"))
 
 
-def dsir_logweights(
-    raw: DataFrame,
+def dsir_target_index(
     target: DataFrame,
     *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    seed: int = 23,
+) -> DataFrame:
+    """The persistable half of DSIR: the target domain's hashed-feature
+    bucket counts, (bucket, c_t), <= n_buckets rows.
+
+    In deployment the target corpus is fixed while raw dumps keep
+    arriving, so these counts are computed ONCE and written as a tiny
+    standing table (same pattern as incremental_dedup's corpus
+    signature index); every later dump scores against the stored index
+    via ``dsir_logweights(raw, target_index=...)`` with zero repeat
+    work on the target side. The (n_buckets, seed) pair is part of the
+    index's identity -- score only with matching parameters.
+    """
+    tb = _hashed_features(target, id_col, text_col, n_buckets, seed)
+    return tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame | None = None,
+    *,
+    target_index: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 10_000,
@@ -485,12 +509,29 @@ def dsir_logweights(
 
     Returns (id, n_feats, log_w). Raw documents whose text produces
     zero features are absent (no features, no evidence, no weight).
+
+    The target side comes from EITHER ``target`` (a corpus, hashed and
+    counted inline) or ``target_index`` (a precomputed
+    dsir_target_index table -- the standing-index deployment path);
+    exactly one must be given, and both yield identical weights
+    (tests/test_sampling.py pins this).
     """
+    if (target is None) == (target_index is None):
+        raise ValueError("pass exactly one of target / target_index")
     fb = _hashed_features(raw, id_col, text_col, n_buckets, seed)
-    tb = _hashed_features(target, id_col, text_col, n_buckets, seed)
     dbc = fb.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
     raw_counts = dbc.groupBy("bucket").agg(F.sum("c").alias("c_r"))
-    tgt_counts = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+    tgt_counts = (
+        target_index
+        if target_index is not None
+        else dsir_target_index(
+            target,
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=n_buckets,
+            seed=seed,
+        )
+    )
     # Totals as windows over the joined bucket table, NOT scalar-agg
     # crossJoins: a crossJoin per total would splice the whole
     # raw-count subtree (and its corpus scan) into the plan once per

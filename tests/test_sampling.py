@@ -316,3 +316,31 @@ def test_dsir_select_prefers_target_like_docs(spark):
     # weights dominate the bounded Gumbel noise on this separation:
     # at least 8 of 10 picks come from the target-like half
     assert sum(1 for r in picked if r["doc_id"] < 20) >= 8
+
+
+def test_dsir_standing_index_equals_direct(spark, tmp_path):
+    """The deployment path: target bucket counts persisted once as a
+    tiny parquet index, every later raw dump scored against it --
+    weights identical to hashing the target inline."""
+    from flink_ad_analytics_spark.operators.sampling import (
+        dsir_logweights,
+        dsir_target_index,
+    )
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("doc_id") < 20)
+    direct = sorted(dsir_logweights(docs, target).collect())
+
+    idx_path = str(tmp_path / "dsir_index")
+    dsir_target_index(target).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    assert idx.count() <= 10_000
+    via_index = sorted(
+        dsir_logweights(docs, target_index=idx).collect()
+    )
+    assert direct == via_index  # exact, incl. the double log_w
+
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_logweights(docs)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_logweights(docs, target, target_index=idx)
