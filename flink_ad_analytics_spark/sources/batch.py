@@ -231,3 +231,41 @@ def load_jsonl_corpus(
     if required_col is not None:
         df = df.filter(F.col(required_col).isNotNull())
     return df
+
+
+def load_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    header: bool = True,
+    drop_malformed: bool = True,
+    required_col: str | None = None,
+) -> DataFrame:
+    """CSV corpus reader with the same lenient-ingest contract as
+    load_jsonl_corpus: explicit schema (inference would cost a full
+    extra corpus scan at 100 TB), malformed rows dropped rather than
+    failing the job, and an optional required column for records that
+    parse but carry no payload.
+
+    Spark's native CSV source handles quoting/escaping and pushes
+    column pruning into the scan (only referenced columns are parsed
+    per line -- meaningful when the text column dominates row width).
+    DROPMALFORMED discards rows whose arity/types don't fit the
+    schema; with drop_malformed=False rows survive PERMISSIVE-style
+    with nulls in the broken fields.
+    """
+    ensure_engine_conf(spark)
+    df = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        # RFC-4180 doubled-quote escaping ("" inside a quoted field);
+        # Spark's default escape is backslash, which real CSV dumps
+        # don't use
+        .option("escape", '"')
+        .option("mode", "DROPMALFORMED" if drop_malformed else "PERMISSIVE")
+        .csv(path)
+    )
+    if required_col is not None:
+        df = df.filter(F.col(required_col).isNotNull())
+    return df
