@@ -253,6 +253,7 @@ def cosine_topk_vectorized(
     query_filter,
     k: int = 10,
     round_to: int | None = None,
+    max_cosine: float | None = None,
 ) -> DataFrame:
     """Production-scale brute-force top-k: Arrow-batched NumPy matmul.
 
@@ -318,6 +319,13 @@ def cosine_topk_vectorized(
     )
     if round_to is not None:
         scored = scored.withColumn("cosine", F.round(F.col("cosine"), round_to))
+    if max_cosine is not None:
+        # hard-negative mining (DPR, Karpukhin et al. 2020): the most
+        # similar candidates that are NOT near-duplicates -- exclude
+        # scores at/above the near-dup threshold BEFORE ranking, so
+        # every query still fills k. Applied to the rounded score so
+        # the DuckDB oracle's threshold comparison is bit-identical.
+        scored = scored.filter(F.col("cosine") < F.lit(max_cosine))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
         scored.filter(F.col("q_id") != F.col("c_id"))

@@ -300,6 +300,57 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
 WHERE rank <= 10
 """
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style hard-negative mining (Karpukhin et al., EMNLP 2020):
+    for each anchor, the top-k most-similar candidates that are NOT
+    near-duplicates -- cosine below the corpus's near-dup threshold
+    (0.4, the dedup_embedding_cosine boundary) but maximal under it.
+    The standard contrastive-training negative sampler: random
+    negatives are too easy, near-dups are false negatives; this band
+    is where the training signal lives. Same Arrow+BLAS scoring path
+    as ann_topk_vectorized with the exclusion applied to the rounded
+    score before ranking, so every anchor still fills k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_vectorized(
+        emb,
+        query_filter=F.col("vec_id") < 20,
+        k=5,
+        round_to=6,
+        max_cosine=0.4,
+    )
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS qv
+  FROM embeddings WHERE vec_id < 20),
+c AS (
+  SELECT vec_id AS c_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS cv
+  FROM embeddings),
+dots AS (
+  SELECT q_id, c_id,
+         CAST(ROUND(SUM({_DOT_TERM_SQL.format(a='qv', b='cv')}), 12) AS DOUBLE) AS dot
+  FROM q JOIN c USING (pos) GROUP BY 1, 2),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(ROUND(SUM({_DOT_TERM_SQL.format(a='v', b='v')}), 12) AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY 1),
+scored AS (
+  SELECT q_id, c_id, ROUND(dot / (qn.nrm * cn.nrm), 6) AS cosine
+  FROM dots
+  JOIN norms qn ON q_id = qn.vec_id
+  JOIN norms cn ON c_id = cn.vec_id
+  WHERE q_id <> c_id)
+SELECT q_id, c_id, cosine, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, c_id) AS rank
+      FROM scored WHERE cosine < 0.4)
+WHERE rank <= 5
+"""
+
+
 def q_ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production brute-force path: Arrow ``mapInPandas`` + BLAS matmul
     (operators/similarity.py:cosine_topk_vectorized). Ranks from
@@ -873,6 +924,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     ),
     "ann_cosine_topk": (q_ann_cosine_topk, ANN_COSINE_TOPK_SQL),
     "ann_topk_vectorized": (q_ann_topk_vectorized, ANN_COSINE_TOPK_SQL),
+    "hard_negatives": (q_hard_negatives, HARD_NEGATIVES_SQL),
     "ann_ivf_topk": (q_ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "top_terms": (q_top_terms, TOP_TERMS_SQL),

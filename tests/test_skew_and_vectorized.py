@@ -109,3 +109,25 @@ def test_evolving_table_defaults_absent_column(spark, tmp_path):
         spark, str(tmp_path / "t"), defaults={"split": "train"}
     )
     assert df.select("split").collect()[0].split == "train"
+
+
+def test_hard_negatives_exclude_near_dups_but_fill_k(spark):
+    from flink_ad_analytics_spark.queries_ext import (
+        q_ann_topk_vectorized,
+        q_hard_negatives,
+    )
+    from tests.conftest import SF_CORRECT
+
+    hn = q_hard_negatives(spark, SF_CORRECT).collect()
+    assert all(r.cosine < 0.4 for r in hn)
+    per_q = {}
+    for r in hn:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
+    ann = {
+        (r.q_id, r.c_id)
+        for r in q_ann_topk_vectorized(spark, SF_CORRECT).collect()
+    }
+    hn_pairs = {(r.q_id, r.c_id) for r in hn}
+    # non-vacuity: the near-dup exclusion changes at least one list
+    assert any(p not in hn_pairs for p in ann)
