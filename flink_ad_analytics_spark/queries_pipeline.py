@@ -2111,6 +2111,63 @@ JOIN banded c ON a.b = c.b AND a.band_key = c.band_key
 """
 
 
+def q_pcm_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg of the multimodal family: interpret each asset's
+    opaque payload as raw s16le PCM and compute frame-level
+    energy/peak/silence/clipping stats (operators/multimodal.py::
+    pcm_frame_stats). Raw-PCM decode is pure byte arithmetic, so
+    unlike the image/video legs it needs NO media library -- the whole
+    pipeline is codegen SQL on both engines and every output is an
+    exact integer."""
+    from .operators.multimodal import assets_from_documents, pcm_frame_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pcm_frame_stats(assets_from_documents(docs))
+
+
+PCM_FRAME_STATS_SQL = """
+WITH h AS (
+  SELECT doc_id AS asset_id,
+         hex(encode(text)) AS h,
+         CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples
+  FROM documents
+  WHERE octet_length(encode(text)) // 2 >= 32),
+per_sample AS (
+  SELECT asset_id, n_samples,
+         unnest(generate_series(0, CAST(n_samples AS INT) - 1)) AS i, h
+  FROM h),
+decoded AS (
+  SELECT asset_id, n_samples, i // 32 AS frame,
+         CAST('0x' || substring(h, 4 * i + 1, 2) AS BIGINT)
+         + 256 * CAST('0x' || substring(h, 4 * i + 3, 2) AS BIGINT) AS u
+  FROM per_sample),
+signed AS (
+  SELECT asset_id, n_samples, frame,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+  FROM decoded),
+frames AS (
+  SELECT asset_id, n_samples, frame,
+         COUNT(*) AS n,
+         CAST(SUM(s * s) AS BIGINT) AS energy,
+         MAX(abs(s)) AS peak,
+         CAST(SUM(CASE WHEN abs(s) >= 28000 THEN 1 ELSE 0 END) AS BIGINT) AS hot
+  FROM signed
+  GROUP BY asset_id, n_samples, frame
+  HAVING COUNT(*) = 32)
+SELECT asset_id,
+       MAX(n_samples) AS n_samples,
+       COUNT(*) AS n_frames,
+       CAST(SUM(energy) AS BIGINT) AS total_energy,
+       MAX(peak) AS peak,
+       CAST(SUM(CASE WHEN energy < 32 * CAST(20000 AS BIGINT) * 20000
+                     THEN 1 ELSE 0 END)
+            AS BIGINT) AS silence_frames,
+       CAST(SUM(hot) AS BIGINT) AS hot_samples
+FROM frames
+GROUP BY asset_id
+"""
+
+
 # -- declarative data-quality constraint suite -------------------------------
 
 
@@ -2372,6 +2429,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
     "data_quality": (q_data_quality, DATA_QUALITY_SQL),
     "multimodal_phash": (q_multimodal_phash, MULTIMODAL_PHASH_SQL),
+    "pcm_frame_stats": (q_pcm_frame_stats, PCM_FRAME_STATS_SQL),
     "quality_weighted_sample": (
         q_quality_weighted_sample,
         QUALITY_WEIGHTED_SAMPLE_SQL.replace("{CLASSIFIER}", CLASSIFIER_SCORES_SQL),

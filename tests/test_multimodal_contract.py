@@ -47,3 +47,53 @@ def test_fake_paths_produce_rows(assets):
     frames = sample_frames(assets, fake=True)
     per_asset = frames.groupBy("asset_id").count().collect()
     assert per_asset and all(1 <= r["count"] <= 30 for r in per_asset)
+
+
+def test_pcm_frame_stats_planted_payload(spark):
+    """Hand-computed s16le payload: 64 samples = 2 full frames plus a
+    3-sample tail (dropped), one silent frame, one loud frame with a
+    known peak and two hot samples; a second asset below one frame
+    vanishes entirely."""
+    import struct
+
+    from flink_ad_analytics_spark.operators.multimodal import pcm_frame_stats
+
+    quiet = [100, -100] * 16            # frame 0: energy 32*100^2 << floor
+    # frame 1: all near-peak -> energy 32*30000^2 = 2.88e10, above the
+    # 32*20000^2 = 1.28e10 silence floor; every sample hot
+    loud = [30000, -30000] * 16
+    tail = [5, 5, 5]                      # partial frame: dropped
+    samples = quiet + loud + tail
+    payload = struct.pack(f"<{len(samples)}h", *samples)
+    short = struct.pack("<3h", 1, 2, 3)   # < 32 samples: no output row
+    assets = spark.createDataFrame(
+        [(1, "audio/pcm", bytearray(payload)), (2, "audio/pcm", bytearray(short))],
+        "asset_id long, mime string, payload binary",
+    )
+    rows = pcm_frame_stats(assets).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.asset_id == 1
+    assert r.n_samples == 67
+    assert r.n_frames == 2
+    assert r.peak == 30000
+    assert r.silence_frames == 1
+    assert r.hot_samples == 32
+    expected_energy = sum(s * s for s in quiet) + sum(s * s for s in loud)
+    assert r.total_energy == expected_energy
+
+
+def test_pcm_arrow_equals_sql(spark):
+    """The zero-shuffle Arrow decode must be row-for-row identical to
+    the oracle-anchored SQL plan on the real fixture."""
+    from flink_ad_analytics_spark.operators.multimodal import (
+        pcm_frame_stats,
+        pcm_frame_stats_arrow,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = assets_from_documents(docs)
+    sql_rows = sorted(map(tuple, pcm_frame_stats(a).collect()))
+    arrow_rows = sorted(map(tuple, pcm_frame_stats_arrow(a).collect()))
+    assert sql_rows == arrow_rows
+    assert len(sql_rows) > 0
