@@ -2125,6 +2125,17 @@ def q_pcm_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pcm_frame_stats(assets_from_documents(docs))
 
 
+def q_pcm_frame_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form of ``pcm_frame_stats``: one zero-shuffle Arrow
+    pass (numpy s16le view, int64 accumulation) instead of the
+    per-sample hex explode. Output is bit-identical to the SQL form,
+    so it value-gates against the SAME oracle."""
+    from .operators.multimodal import assets_from_documents, pcm_frame_stats_arrow
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pcm_frame_stats_arrow(assets_from_documents(docs))
+
+
 PCM_FRAME_STATS_SQL = """
 WITH h AS (
   SELECT doc_id AS asset_id,
@@ -2430,6 +2441,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "data_quality": (q_data_quality, DATA_QUALITY_SQL),
     "multimodal_phash": (q_multimodal_phash, MULTIMODAL_PHASH_SQL),
     "pcm_frame_stats": (q_pcm_frame_stats, PCM_FRAME_STATS_SQL),
+    "pcm_frame_stats_arrow": (q_pcm_frame_stats_arrow, PCM_FRAME_STATS_SQL),
     "quality_weighted_sample": (
         q_quality_weighted_sample,
         QUALITY_WEIGHTED_SAMPLE_SQL.replace("{CLASSIFIER}", CLASSIFIER_SCORES_SQL),
