@@ -2125,6 +2125,57 @@ def q_pcm_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pcm_frame_stats(assets_from_documents(docs))
 
 
+def q_orc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC leg of the corpus-layout surface, driver-gated end to end:
+    write documents as a lang-partitioned, doc_id-sorted ORC corpus
+    (sources/corpus_writer.py with file_format='orc'), read it back
+    through the ORC scan, and aggregate per-lang integrity stats
+    (counts, distinct text digests, byte totals, id range). The oracle
+    computes the same stats from the parquet originals, so a match
+    proves the full write->read round trip preserved every row and
+    every text byte -- not just that the files appeared.
+
+    The write lands under a fixed per-SF temp path with
+    mode=overwrite, so the entry is idempotent across driver runs."""
+    import hashlib
+    import tempfile
+    import os as _os
+
+    from .sources.batch import load_table
+    from .sources.corpus_writer import read_corpus, write_partitioned_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = _os.path.join(tempfile.gettempdir(), f"spark_graft_orc_{tag}")
+    write_partitioned_corpus(
+        docs,
+        out,
+        partition_by=("lang",),
+        sort_within=("doc_id",),
+        file_format="orc",
+    )
+    back = read_corpus(spark, out, file_format="orc")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_distinct_texts"),
+        F.sum(F.octet_length("text")).alias("total_bytes"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+ORC_CORPUS_STATS_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+"""
+
+
 def q_pcm_frame_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production form of ``pcm_frame_stats``: one zero-shuffle Arrow
     pass (numpy s16le view, int64 accumulation) instead of the
@@ -2442,6 +2493,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "multimodal_phash": (q_multimodal_phash, MULTIMODAL_PHASH_SQL),
     "pcm_frame_stats": (q_pcm_frame_stats, PCM_FRAME_STATS_SQL),
     "pcm_frame_stats_arrow": (q_pcm_frame_stats_arrow, PCM_FRAME_STATS_SQL),
+    "orc_corpus_stats": (q_orc_corpus_stats, ORC_CORPUS_STATS_SQL),
     "quality_weighted_sample": (
         q_quality_weighted_sample,
         QUALITY_WEIGHTED_SAMPLE_SQL.replace("{CLASSIFIER}", CLASSIFIER_SCORES_SQL),

@@ -41,9 +41,18 @@ def write_partitioned_corpus(
     id_col: str = "doc_id",
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
+    file_format: str = "parquet",
 ) -> None:
     """Write ``df`` as a partitioned, sorted, file-count-controlled
-    parquet corpus under ``path``."""
+    columnar corpus under ``path``.
+
+    ``file_format`` is ``"parquet"`` (default) or ``"orc"`` -- the two
+    columnar formats Spark ships natively. Every layout lever above
+    applies identically to ORC: Hive directory partitioning, file-count
+    control, and in-file sorting (ORC keeps per-stripe/rowgroup min/max
+    plus optional bloom filters, so the sorted column prunes stripes
+    the way parquet prunes row groups).
+    """
     parts = [F.col(c) for c in partition_by]
     if files_per_partition > 1:
         # pmod, not %: xxhash64 is signed and Spark's % keeps the
@@ -62,13 +71,20 @@ def write_partitioned_corpus(
         out = out.sortWithinPartitions(
             *[F.col(c) for c in (list(partition_by) + list(sort_within))]
         )
+    if file_format not in ("parquet", "orc"):
+        raise ValueError(
+            f"write_partitioned_corpus: unsupported format {file_format!r} "
+            "(parquet and orc are the natively-shipped columnar formats)"
+        )
     writer = out.write.mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.partitionBy(*partition_by).parquet(path)
+    writer.partitionBy(*partition_by).format(file_format).save(path)
 
 
-def read_corpus(spark: SparkSession, path: str) -> DataFrame:
+def read_corpus(
+    spark: SparkSession, path: str, *, file_format: str = "parquet"
+) -> DataFrame:
     """Read a partitioned corpus (partition columns come back typed as
     written by partition discovery)."""
-    return spark.read.parquet(path)
+    return spark.read.format(file_format).load(path)

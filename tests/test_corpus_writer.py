@@ -133,3 +133,36 @@ def test_sorted_layout_makes_row_groups_skippable(spark, tmp_path):
     probe = 500_000  # mid-domain point predicate
     assert skippable_fraction(sorted_rg, probe) >= 0.8
     assert skippable_fraction(unsorted_rg, probe) <= 0.2
+
+
+def test_orc_roundtrip_and_pruning(spark, tmp_path):
+    """ORC leg of the same layout levers: identical round-trip values,
+    directory partition pruning in the ORC scan, and sorted files."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    out = str(tmp_path / "orc_corpus")
+    write_partitioned_corpus(
+        docs, out, partition_by=("lang",), sort_within=("doc_id",),
+        file_format="orc",
+    )
+    orc_files = glob.glob(os.path.join(out, "**", "*.orc"), recursive=True)
+    assert orc_files, "no .orc data files written"
+    back = read_corpus(spark, out, file_format="orc")
+    a = {tuple(r) for r in docs.select("doc_id", "lang", "n_chars").collect()}
+    b = {tuple(r) for r in back.select("doc_id", "lang", "n_chars").collect()}
+    assert a == b
+    df = back.filter(F.col("lang") == "en")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    assert re.search(r"PartitionFilters:.*lang#\d+ = en", plan), plan
+    assert df.count() == docs.filter("lang = 'en'").count()
+
+
+def test_orc_rejects_unknown_format(spark):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported format"):
+        write_partitioned_corpus(docs, "/tmp/never", file_format="avro")
