@@ -621,3 +621,83 @@ def dsir_select(
         "log_w",
         F.round(F.col("__key"), 6).alias("gumbel_key"),
     )
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez farthest-first
+    traversal) over an embedding column -- the diversity-sampling
+    counterpart to the similarity family: pick k vectors such that
+    every vector is close to some pick (2-approximation of the optimal
+    k-center cover), the standard coreset/facility-location recipe for
+    "train on a small but *spread-out* subset".
+
+    Cross-engine determinism comes from integer geometry: components
+    are quantized up front as floor(x * scale) (exact in IEEE doubles,
+    identical in every engine), so all pairwise distances are exact
+    BIGINT squared-Euclidean values, ties break on the id, and the
+    whole greedy trace -- not just the set -- is value-comparable
+    against a recursive-CTE oracle.
+
+    Output: (sel_rank, <id_col>, dist2) where dist2 is the vector's
+    exact squared distance to the previously-selected set at the
+    moment it was picked (0 for the seed, which is MIN(id)). dist2 is
+    non-increasing in sel_rank -- the coverage-radius curve; its last
+    value bounds max-distance-to-coreset for the whole corpus within
+    2x of optimal.
+
+    Scale shape: k bounded driver iterations; each is one narrow
+    column update against the SINGLE newest center (classic
+    incremental min-dist: older centers are already folded into
+    ``mind``) followed by a TakeOrdered(1) reduce -- no corpus
+    shuffle anywhere, one 1-row collect per iteration (the same
+    bounded-collect class as the k-means loop). The per-element
+    distance fold is a HOF (interpreted) on the DECLARED path for
+    oracle identity; at 100 TB swap the fold for the Arrow/BLAS pass
+    the ANN family ships -- selection identity is preserved because
+    the quantized integers, not the floats, define the order.
+    """
+    q = emb.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(x * {scale}) AS BIGINT))"
+        ).alias("__q"),
+    )
+
+    def dist2_to(center_vec: list[int]) -> Column:
+        lit = "array(" + ",".join(f"{v}L" for v in center_vec) + ")"
+        return F.expr(
+            f"aggregate(zip_with(__q, {lit}, (x, y) -> (x - y) * (x - y)), "
+            "0L, (acc, v) -> acc + v)"
+        )
+
+    seed = q.orderBy(F.col(id_col)).limit(1).collect()[0]
+    picks = [(1, seed[id_col], 0)]
+    state = q.withColumn("__mind", dist2_to(seed["__q"]))
+    for rank in range(2, k + 1):
+        state = state.localCheckpoint(eager=False)
+        far = (
+            state.filter(~F.col(id_col).isin([p[1] for p in picks]))
+            .orderBy(F.col("__mind").desc(), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break  # corpus smaller than k
+        far = far[0]
+        picks.append((rank, far[id_col], far["__mind"]))
+        # the TakeOrdered row already carries __q: the new center's
+        # vector rides back in the same 1-row collect
+        state = state.withColumn(
+            "__mind", F.least(F.col("__mind"), dist2_to(far["__q"]))
+        )
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        picks, f"sel_rank long, {id_col} long, dist2 long"
+    )

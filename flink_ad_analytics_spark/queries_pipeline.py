@@ -2125,6 +2125,47 @@ def q_pcm_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pcm_frame_stats(assets_from_documents(docs))
 
 
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling: greedy k-center (farthest-first) coreset of
+    the embedding corpus (operators/sampling.py::kcenter_coreset).
+    Integer-quantized geometry makes the ENTIRE greedy trace
+    value-exact against a DuckDB recursive-CTE oracle -- rank, picked
+    id, and the coverage-radius curve all hash-gated, not just row
+    counts on an iterative algorithm."""
+    from .operators.sampling import kcenter_coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, k=8)
+
+
+KCENTER_CORESET_SQL = """
+WITH RECURSIVE qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+sel AS (
+  SELECT 1 AS sel_rank,
+         (SELECT MIN(vec_id) FROM qv) AS vec_id,
+         CAST(0 AS BIGINT) AS dist2,
+         [(SELECT MIN(vec_id) FROM qv)] AS ids
+  UNION ALL
+  SELECT s.sel_rank + 1, w.vec_id, w.d, list_append(s.ids, w.vec_id)
+  FROM sel s, LATERAL (
+    SELECT p.cid AS vec_id,
+           MIN(list_sum(list_transform(generate_series(1, 64),
+               i -> (p.cq[i] - p.tq[i]) * (p.cq[i] - p.tq[i])))) AS d
+    FROM (
+      SELECT c.vec_id AS cid, c.q AS cq, t.q AS tq
+      FROM qv c JOIN qv t ON list_contains(s.ids, t.vec_id)
+      WHERE NOT list_contains(s.ids, c.vec_id)) p
+    GROUP BY p.cid
+    ORDER BY d DESC, p.cid
+    LIMIT 1) w
+  WHERE s.sel_rank < 8)
+SELECT sel_rank, vec_id, CAST(dist2 AS BIGINT) AS dist2 FROM sel
+"""
+
+
 def q_orc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC leg of the corpus-layout surface, driver-gated end to end:
     write documents as a lang-partitioned, doc_id-sorted ORC corpus
@@ -2494,6 +2535,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "pcm_frame_stats": (q_pcm_frame_stats, PCM_FRAME_STATS_SQL),
     "pcm_frame_stats_arrow": (q_pcm_frame_stats_arrow, PCM_FRAME_STATS_SQL),
     "orc_corpus_stats": (q_orc_corpus_stats, ORC_CORPUS_STATS_SQL),
+    "kcenter_coreset": (q_kcenter_coreset, KCENTER_CORESET_SQL),
     "quality_weighted_sample": (
         q_quality_weighted_sample,
         QUALITY_WEIGHTED_SAMPLE_SQL.replace("{CLASSIFIER}", CLASSIFIER_SCORES_SQL),

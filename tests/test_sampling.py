@@ -344,3 +344,56 @@ def test_dsir_standing_index_equals_direct(spark, tmp_path):
         dsir_logweights(docs)
     with pytest.raises(ValueError, match="exactly one"):
         dsir_logweights(docs, target, target_index=idx)
+
+
+class TestKCenterCoreset:
+    def test_planted_clusters_one_pick_each(self, spark):
+        """k-center with k = #clusters must land one pick per planted
+        cluster -- the property that makes it a DIVERSITY sampler
+        (uniform/random sampling concentrates in the big cluster)."""
+        import random
+
+        from flink_ad_analytics_spark.operators.sampling import kcenter_coreset
+
+        rng = random.Random(7)
+        centers = [[50.0 * c] * 8 for c in range(4)]
+        rows = []
+        vid = 0
+        # cluster 0 is 10x the size of the others: a frequency-driven
+        # sampler would pick it 4 times
+        for c, n in [(0, 100), (1, 10), (2, 10), (3, 10)]:
+            for _ in range(n):
+                rows.append(
+                    (vid, [v + rng.uniform(-1, 1) for v in centers[c]])
+                )
+                vid += 1
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        picks = kcenter_coreset(emb, k=4).collect()
+
+        # map vec_id back to its cluster by construction order
+        def cluster_of(v):
+            if v < 100: return 0
+            return 1 + (v - 100) // 10
+        assert sorted({cluster_of(r.vec_id) for r in picks}) == [0, 1, 2, 3]
+
+    def test_radius_curve_monotone_nonincreasing(self, spark):
+        from flink_ad_analytics_spark.operators.sampling import kcenter_coreset
+        from flink_ad_analytics_spark.sources.batch import load_table
+        from tests.conftest import SF_CORRECT
+
+        emb = load_table(spark, SF_CORRECT, "embeddings")
+        picks = kcenter_coreset(emb, k=6).collect()
+        d = [r.dist2 for r in sorted(picks, key=lambda r: r.sel_rank)][1:]
+        assert d == sorted(d, reverse=True)
+        assert all(x > 0 for x in d)
+
+    def test_corpus_smaller_than_k(self, spark):
+        from flink_ad_analytics_spark.operators.sampling import kcenter_coreset
+
+        emb = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        picks = kcenter_coreset(emb, k=5).collect()
+        assert len(picks) == 2
+        assert {r.vec_id for r in picks} == {1, 2}
