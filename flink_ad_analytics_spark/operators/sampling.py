@@ -630,6 +630,7 @@ def kcenter_coreset(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = False,
 ) -> DataFrame:
     """Greedy k-center coreset selection (Gonzalez farthest-first
     traversal) over an embedding column -- the diversity-sampling
@@ -657,11 +658,13 @@ def kcenter_coreset(
     incremental min-dist: older centers are already folded into
     ``mind``) followed by a TakeOrdered(1) reduce -- no corpus
     shuffle anywhere, one 1-row collect per iteration (the same
-    bounded-collect class as the k-means loop). The per-element
-    distance fold is a HOF (interpreted) on the DECLARED path for
-    oracle identity; at 100 TB swap the fold for the Arrow/BLAS pass
-    the ANN family ships -- selection identity is preserved because
-    the quantized integers, not the floats, define the order.
+    bounded-collect class as the k-means loop). With ``arrow=False``
+    (default) the per-element distance fold is a HOF (interpreted) --
+    the oracle-identity declared path; ``arrow=True`` swaps in a
+    vectorized Arrow batch update (numpy int64 matrix op per batch).
+    Selection identity is EXACTLY preserved either way because the
+    quantized int64s, not floats, define the order -- asserted by
+    ``test_kcenter_arrow_identical``.
     """
     q = emb.select(
         F.col(id_col),
@@ -670,12 +673,34 @@ def kcenter_coreset(
         ).alias("__q"),
     )
 
-    def dist2_to(center_vec: list[int]) -> Column:
-        lit = "array(" + ",".join(f"{v}L" for v in center_vec) + ")"
-        return F.expr(
-            f"aggregate(zip_with(__q, {lit}, (x, y) -> (x - y) * (x - y)), "
-            "0L, (acc, v) -> acc + v)"
-        )
+    if arrow:
+        import numpy as np
+        import pandas as pd
+
+        def dist2_to(center_vec: list[int]) -> Column:
+            c = np.asarray(list(center_vec), dtype=np.int64)
+
+            def d2(qs):
+                if not len(qs):
+                    return pd.Series([], dtype="int64")
+                m = np.stack([np.asarray(v, dtype=np.int64) for v in qs])
+                diff = m - c
+                return pd.Series((diff * diff).sum(axis=1))
+
+            # no type hints on purpose: the module's deferred
+            # annotations (string hints to a locally-imported pd)
+            # break pandas_udf's hint inference
+            udf = F.pandas_udf(d2, "long", F.PandasUDFType.SCALAR)
+            return udf(F.col("__q"))
+
+    else:
+
+        def dist2_to(center_vec: list[int]) -> Column:
+            lit = "array(" + ",".join(f"{v}L" for v in center_vec) + ")"
+            return F.expr(
+                f"aggregate(zip_with(__q, {lit}, (x, y) -> (x - y) * (x - y)), "
+                "0L, (acc, v) -> acc + v)"
+            )
 
     seed = q.orderBy(F.col(id_col)).limit(1).collect()[0]
     picks = [(1, seed[id_col], 0)]

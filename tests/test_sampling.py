@@ -397,3 +397,15 @@ class TestKCenterCoreset:
         picks = kcenter_coreset(emb, k=5).collect()
         assert len(picks) == 2
         assert {r.vec_id for r in picks} == {1, 2}
+
+    def test_kcenter_arrow_identical(self, spark):
+        """arrow=True (vectorized numpy int64 update) must reproduce
+        the HOF path's trace exactly -- same picks, same radii."""
+        from flink_ad_analytics_spark.operators.sampling import kcenter_coreset
+        from flink_ad_analytics_spark.sources.batch import load_table
+        from tests.conftest import SF_CORRECT
+
+        emb = load_table(spark, SF_CORRECT, "embeddings")
+        a = sorted(map(tuple, kcenter_coreset(emb, k=6).collect()))
+        b = sorted(map(tuple, kcenter_coreset(emb, k=6, arrow=True).collect()))
+        assert a == b
