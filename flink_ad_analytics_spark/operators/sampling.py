@@ -726,3 +726,63 @@ def kcenter_coreset(
     return spark.createDataFrame(
         picks, f"sel_rank long, {id_col} long, dist2 long"
     )
+
+
+def kcenter_assign(
+    emb: DataFrame,
+    coreset: DataFrame,
+    *,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The consumption half of k-center: assign every vector to its
+    nearest coreset center (same integer geometry as
+    :func:`kcenter_coreset`) and report per-cell coverage stats --
+    member count, coverage radius (max dist2 in the cell), and exact
+    integer inertia (sum of dist2). The radius column operationalizes
+    the 2-approximation guarantee: its max over cells is the realized
+    k-center objective.
+
+    Tie rule: (dist2, center_id) lexicographic min -- deterministic in
+    any engine, unlike bare min_by.
+
+    Scale shape: the coreset is k rows -- broadcast -- so assignment
+    is one map-side pass over the corpus (no shuffle) followed by a
+    k-row aggregation.
+    """
+    q = emb.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(x * {scale}) AS BIGINT))"
+        ).alias("__q"),
+    )
+    centers = F.broadcast(
+        q.join(
+            coreset.select(F.col(id_col).alias("__cid")),
+            F.col(id_col) == F.col("__cid"),
+        ).select(F.col("__cid"), F.col("__q").alias("__cq"))
+    )
+    scored = q.crossJoin(centers).select(
+        F.col(id_col),
+        F.col("__cid"),
+        F.expr(
+            "aggregate(zip_with(__q, __cq, (x, y) -> (x - y) * (x - y)), "
+            "0L, (acc, v) -> acc + v)"
+        ).alias("__d2"),
+    )
+    nearest = scored.groupBy(id_col).agg(
+        F.min(F.struct(F.col("__d2"), F.col("__cid"))).alias("__best")
+    )
+    return (
+        nearest.select(
+            F.col("__best.__cid").alias("center_id"),
+            F.col("__best.__d2").alias("d2"),
+        )
+        .groupBy("center_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("d2").alias("radius2"),
+            F.sum("d2").alias("inertia"),
+        )
+    )

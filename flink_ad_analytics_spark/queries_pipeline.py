@@ -2166,6 +2166,45 @@ SELECT sel_rank, vec_id, CAST(dist2 AS BIGINT) AS dist2 FROM sel
 """
 
 
+def q_kcenter_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage report of the k-center coreset: every vector assigned
+    to its nearest center (broadcast k centers, map-side pass, no
+    corpus shuffle), per-cell member counts, coverage radius, and
+    exact integer inertia. max(radius2) over the output is the
+    realized k-center objective the greedy trace 2-approximates."""
+    from .operators.sampling import kcenter_assign, kcenter_coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_assign(emb, kcenter_coreset(emb, k=8))
+
+
+KCENTER_COVERAGE_SQL = (
+    KCENTER_CORESET_SQL.rstrip().removesuffix(
+        "SELECT sel_rank, vec_id, CAST(dist2 AS BIGINT) AS dist2 FROM sel"
+    )
+    + """,
+scored AS (
+  SELECT v.vec_id,
+         s.vec_id AS center_id,
+         list_sum(list_transform(generate_series(1, 64),
+             i -> (v.q[i] - c.q[i]) * (v.q[i] - c.q[i]))) AS d2
+  FROM qv v
+  JOIN sel s ON TRUE
+  JOIN qv c ON c.vec_id = s.vec_id),
+nearest AS (
+  SELECT vec_id, center_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, center_id) AS rn
+  FROM scored)
+SELECT center_id,
+       COUNT(*) AS n_members,
+       CAST(MAX(d2) AS BIGINT) AS radius2,
+       CAST(SUM(d2) AS BIGINT) AS inertia
+FROM nearest WHERE rn = 1
+GROUP BY center_id
+"""
+)
+
+
 def q_orc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC leg of the corpus-layout surface, driver-gated end to end:
     write documents as a lang-partitioned, doc_id-sorted ORC corpus
@@ -2536,6 +2575,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "pcm_frame_stats_arrow": (q_pcm_frame_stats_arrow, PCM_FRAME_STATS_SQL),
     "orc_corpus_stats": (q_orc_corpus_stats, ORC_CORPUS_STATS_SQL),
     "kcenter_coreset": (q_kcenter_coreset, KCENTER_CORESET_SQL),
+    "kcenter_coverage": (q_kcenter_coverage, KCENTER_COVERAGE_SQL),
     "quality_weighted_sample": (
         q_quality_weighted_sample,
         QUALITY_WEIGHTED_SAMPLE_SQL.replace("{CLASSIFIER}", CLASSIFIER_SCORES_SQL),
