@@ -1103,3 +1103,138 @@ def cross_corpus_minhash_dups(
             "jaccard",
         )
     )
+
+
+def pagerank_fp(
+    edges: DataFrame,
+    *,
+    u_col: str = "doc_id_1",
+    v_col: str = "doc_id_2",
+    directed: bool = False,
+    iters: int = 5,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-point integer PageRank over a pair graph -- graph
+    centrality for canonical-representative selection (rank members of
+    a similarity graph by how central they are; the most central
+    member, not the min-id one, is the version others derive from).
+
+    The same determinism trick as kcenter_coreset, applied to an
+    iterative graph algorithm: all rank mass is integer (``scale``
+    units split evenly as the start vector), per-edge contributions
+    are integer floor-divisions r DIV deg, and the damping update is
+    (damping_pct * inc) DIV 100 -- so after any number of iterations
+    every rank is an exact BIGINT, bit-identical in any engine and
+    independent of partitioning/summation order (integer addition is
+    associative; float addition is not). Resolution is 1e-12 of total
+    mass; ordering -- the thing consumers use -- is unaffected.
+
+        r_0(v)     = scale DIV n
+        r_{t+1}(v) = ((100-damping_pct) * (scale DIV n)) DIV 100
+                     + (damping_pct * sum_{u->v} (r_t(u) DIV deg(u)))
+                       DIV 100
+
+    ``directed=False`` symmetrizes the pair list first (the near-dup
+    graph case). Dangling mass (out-degree-0 sinks in a directed
+    graph) is dropped, not redistributed -- fine for kNN graphs where
+    every node has out-degree k by construction. A property worth
+    knowing: on any REGULAR component (disjoint pairs, cycles,
+    cliques) the update converges to the uniform vector -- centrality
+    only discriminates where degrees differ (asserted in tests).
+
+    Scale shape: the edge list is hash-partitioned ONCE on the source
+    id and persisted; each iteration is the Pregel pair -- one
+    source-side join plus one exchange for the destination-side sum.
+    T iterations = T bounded shuffles of the EDGE list, never a corpus
+    shuffle; rank state is one row per graph node.
+    """
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    if not directed:
+        e = e.union(
+            edges.select(F.col(v_col).alias("u"), F.col(u_col).alias("v"))
+        )
+    e = e.repartition("u").persist()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    verts = (
+        e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    )
+    n = verts.count()
+    if n == 0:
+        e.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "doc_id long, pagerank_fp long"
+        )
+    r0 = scale // n
+    base = ((100 - damping_pct) * r0) // 100
+    ranks = verts.select("u", F.lit(r0).alias("r"))
+    for _ in range(iters):
+        contrib = ranks.join(deg, "u").select(
+            "u", F.expr("r DIV deg").alias("c")
+        )
+        inc = (
+            e.join(contrib, "u").groupBy("v").agg(F.sum("c").alias("inc"))
+        )
+        ranks = verts.join(
+            inc, verts["u"] == inc["v"], "left"
+        ).select(
+            verts["u"],
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_pct} * coalesce(inc, 0L)) DIV 100"
+                )
+            ).alias("r"),
+        )
+    return ranks.select(
+        F.col("u").alias("doc_id"), F.col("r").alias("pagerank_fp")
+    )
+
+
+def knn_graph(
+    emb: DataFrame,
+    *,
+    k: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Directed exact k-nearest-neighbor graph by integer dot-product
+    similarity (MIPS ranking on floor(x * scale) quantized vectors --
+    every score an exact BIGINT, ties to the smaller neighbor id).
+    The substrate for graph-centrality prototype selection: in-degree
+    concentration is what PageRank amplifies.
+
+    All-pairs within the input: run it on a stratum/sample, not a raw
+    100 TB corpus (the ANN family's IVF/LSH bucketing is the
+    candidate-generation path at scale; this exact form is the
+    oracle-checkable reference, same division of labor as
+    cosine_topk vs its vectorized twin).
+    """
+    q = emb.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(x * {scale}) AS BIGINT))"
+        ).alias("__q"),
+    )
+    a = q.select(F.col(id_col).alias("src"), F.col("__q").alias("qa"))
+    b = q.select(F.col(id_col).alias("dst"), F.col("__q").alias("qb"))
+    scored = (
+        a.join(F.broadcast(b), F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, "
+                "(acc, v) -> acc + v)"
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("dot").desc(), F.col("dst").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src", "dst", "dot")
+    )

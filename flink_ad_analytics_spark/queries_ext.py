@@ -907,7 +907,85 @@ FROM best WHERE r = 1
 """
 
 
+def q_knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-centrality prototype selection: fixed-point integer
+    PageRank (operators/dedup.py::pagerank_fp) over the directed
+    exact kNN graph (integer dot-product MIPS ranking) of an
+    embedding stratum. In-degree concentration -- which vectors many
+    others count among their nearest neighbors -- is what the rank
+    amplifies; the top-ranked vectors are the stratum's prototypes.
+    Every rank is an exact BIGINT, so 5 iterations of an iterative
+    graph algorithm hash-match the oracle's unrolled CTE levels
+    bit-for-bit (nothing rows-only here, unlike most iterative ops).
+
+    The stratum (vec_id % 5 = 0) keeps the exact all-pairs edge
+    construction at a size both engines handle at any test SF; at
+    100 TB the ANN family's IVF/LSH buckets generate the candidate
+    edges instead (same division of labor as cosine_topk vs its
+    vectorized twin)."""
+    from .operators.dedup import knn_graph, pagerank_fp
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    )
+    edges = knn_graph(emb, k=3)
+    return pagerank_fp(
+        edges, u_col="src", v_col="dst", directed=True, iters=5
+    )
+
+
+def _knn_pagerank_oracle(
+    iters: int = 5, scale: int = 10**12, k: int = 3
+) -> str:
+    """Unrolled fixed-iteration CTE chain (no recursion needed for a
+    fixed T): each level is one source join + destination group-by,
+    mirroring the engine's Pregel step with identical integer
+    arithmetic. Left join keeps in-degree-0 nodes at base rank."""
+    levels = []
+    prev = "pr0"
+    for t in range(1, iters + 1):
+        levels.append(
+            f"""inc{t} AS (
+  SELECT e.dst AS u, SUM(p.r // d.deg) AS s
+  FROM {prev} p JOIN deg d ON p.u = d.u JOIN edges e ON e.src = p.u
+  GROUP BY e.dst),
+pr{t} AS (
+  SELECT v.u,
+         (SELECT ((100 - 85) * ({scale} // n)) // 100 FROM params)
+         + (85 * COALESCE(i.s, 0)) // 100 AS r
+  FROM verts v LEFT JOIN inc{t} i ON v.u = i.u)"""
+        )
+        prev = f"pr{t}"
+    body = ",\n".join(levels)
+    return f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id % 5 = 0),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_sum(list_transform(generate_series(1, 64),
+             i -> a.q[i] * b.q[i])) AS dot
+  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY dot DESC, dst ASC) AS rn
+    FROM scored)
+  WHERE rn <= {k}),
+deg AS MATERIALIZED (SELECT src AS u, COUNT(*) AS deg FROM edges GROUP BY src),
+verts AS MATERIALIZED (
+  SELECT src AS u FROM edges UNION SELECT dst FROM edges),
+params AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),
+pr0 AS (SELECT u, (SELECT {scale} // n FROM params) AS r FROM verts),
+{body}
+SELECT u AS doc_id, CAST(r AS BIGINT) AS pagerank_fp FROM {prev}
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
+    "knn_graph_pagerank": (q_knn_graph_pagerank, _knn_pagerank_oracle()),
     "ann_filtered_topk": (q_ann_filtered_topk, ANN_FILTERED_TOPK_SQL),
     "containment_pairs": (q_containment_pairs, CONTAINMENT_PAIRS_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),

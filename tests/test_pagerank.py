@@ -1,0 +1,64 @@
+"""Fixed-point integer PageRank properties: centrality discriminates
+exactly where degrees differ, and the integer trace is invariant to
+partitioning (the determinism claim the oracle gate rests on)."""
+
+from __future__ import annotations
+
+from flink_ad_analytics_spark.operators.dedup import knn_graph, pagerank_fp
+
+
+def _ranks(df):
+    return {r.doc_id: r.pagerank_fp for r in df.collect()}
+
+
+def test_star_center_outranks_leaves(spark):
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "doc_id_1 long, doc_id_2 long"
+    )
+    r = _ranks(pagerank_fp(edges))
+    assert all(r[0] > r[i] for i in range(1, 6))
+    assert len({r[i] for i in range(1, 6)}) == 1  # leaves symmetric
+
+
+def test_regular_components_converge_uniform(spark):
+    # disjoint pair + triangle: every node degree-regular within its
+    # component -> identical ranks everywhere (the property that made
+    # the fixture near-dup graph a vacuous centrality substrate)
+    edges = spark.createDataFrame(
+        [(1, 2), (10, 11), (11, 12), (12, 10)],
+        "doc_id_1 long, doc_id_2 long",
+    )
+    assert len(set(_ranks(pagerank_fp(edges)).values())) == 1
+
+
+def test_directed_sink_receives_without_emitting(spark):
+    # u -> v only: v has no out-edges; its mass is dropped (documented)
+    # and v still outranks u (it receives, u only emits)
+    edges = spark.createDataFrame([(1, 2)], "doc_id_1 long, doc_id_2 long")
+    r = _ranks(pagerank_fp(edges, directed=True))
+    assert set(r) == {1, 2} and r[2] > r[1]
+
+
+def test_partitioning_invariance(spark):
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)] + [(1, 2), (3, 4)],
+        "doc_id_1 long, doc_id_2 long",
+    )
+    a = _ranks(pagerank_fp(edges))
+    b = _ranks(pagerank_fp(edges.repartition(13)))
+    assert a == b  # exact integer equality, not approximate
+
+
+def test_knn_graph_out_degree_and_tie_rule(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    edges = knn_graph(emb, k=2).collect()
+    out = {}
+    for e in edges:
+        out.setdefault(e.src, []).append((e.dot, e.dst))
+    assert all(len(v) == 2 for v in out.values())
+    # src 0: q=[0,1000]; dots with others = 1e6 for all -> tie broken
+    # by smallest dst ids (1, 2)
+    assert sorted(d for _, d in out[0]) == [1, 2]
