@@ -88,3 +88,59 @@ def read_corpus(
     """Read a partitioned corpus (partition columns come back typed as
     written by partition discovery)."""
     return spark.read.format(file_format).load(path)
+
+
+def compact_corpus(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: Sequence[str] = (),
+    sort_within: Sequence[str] = (),
+    id_col: str = "doc_id",
+    file_format: str = "parquet",
+) -> int:
+    """Rewrite a fragmented corpus with file counts sized from its
+    ACTUAL on-disk bytes -- the small-files fix every long-lived
+    100 TB corpus eventually needs (each incremental ingest appends a
+    few files; a thousand ingests later every scan pays a thousand
+    file-open round trips and the NameNode/listing layer groans).
+
+    The file budget comes from measured compressed bytes, not row
+    counts: n_files = ceil(total_bytes / target_file_bytes), floored
+    at one file per output partition. Rows are routed with the same
+    deterministic hash-salt as write_partitioned_corpus (task-retry
+    idempotent), and within-file sort is reapplied so the rewrite
+    RESTORES row-group pruning rather than destroying it.
+
+    Returns the file budget used. The budget applies PER OUTPUT
+    PARTITION (write_partitioned_corpus semantics): for the common
+    unpartitioned compaction it is the global file count; when
+    ``partition_by`` is set, size ``target_file_bytes`` for the
+    per-directory share. Listing cost is one driver-side directory
+    walk of file SIZES (no data read; swap os.walk for the Hadoop
+    FileSystem listing on an object store); the rewrite itself is one
+    exchange of the corpus -- the price of fixing layout once instead
+    of paying it on every later scan.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith((".parquet", ".orc")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = read_corpus(spark, src, file_format=file_format)
+    write_partitioned_corpus(
+        df,
+        dst,
+        partition_by=partition_by,
+        sort_within=sort_within,
+        files_per_partition=n_files,
+        id_col=id_col,
+        file_format=file_format,
+    )
+    return n_files

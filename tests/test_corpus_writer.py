@@ -166,3 +166,34 @@ def test_orc_rejects_unknown_format(spark):
 
     with pytest.raises(ValueError, match="unsupported format"):
         write_partitioned_corpus(docs, "/tmp/never", file_format="avro")
+
+
+def test_compact_corpus_reduces_files_and_preserves_content(spark, tmp_path):
+    """Fragmented write (1 file per task x no repartition) -> compact
+    -> file count collapses to the byte-sized budget, values and the
+    within-file sort survive."""
+    from flink_ad_analytics_spark.sources.corpus_writer import compact_corpus
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    frag = str(tmp_path / "fragmented")
+    # force fragmentation: many tiny files
+    docs.repartition(40).write.parquet(frag)
+    n_frag = len(_data_files(frag))
+    assert n_frag >= 30
+    out = str(tmp_path / "compacted")
+    total = sum(os.path.getsize(f) for f in _data_files(frag))
+    budget = compact_corpus(
+        spark, frag, out,
+        target_file_bytes=(total // 2) + 1,  # expect a 2-file budget
+        sort_within=("doc_id",),
+    )
+    assert budget == 2
+    files = _data_files(out)
+    assert len(files) <= 2
+    back = read_corpus(spark, out)
+    a = {tuple(r) for r in docs.select("doc_id", "lang", "n_chars").collect()}
+    b = {tuple(r) for r in back.select("doc_id", "lang", "n_chars").collect()}
+    assert a == b
+    for f in files:
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids == sorted(ids), f"{f} lost its sort"
