@@ -1167,8 +1167,9 @@ def pagerank_fp(
         )
     r0 = scale // n
     base = ((100 - damping_pct) * r0) // 100
+    verts = verts.persist()
     ranks = verts.select("u", F.lit(r0).alias("r"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = ranks.join(deg, "u").select(
             "u", F.expr("r DIV deg").alias("c")
         )
@@ -1186,6 +1187,14 @@ def pagerank_fp(
                 )
             ).alias("r"),
         )
+        # lineage truncation per round (the connected_components house
+        # style): rank state is one small row per node, but the LAZY
+        # chain would otherwise splice the whole upstream once per
+        # reference per level -- 5 rounds deep, that is a plan with
+        # ~44 cache scans / 144 exchanges and a multi-second codegen
+        # bill dwarfing the actual data work
+        if i < iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("u").alias("doc_id"), F.col("r").alias("pagerank_fp")
     )
