@@ -928,7 +928,7 @@ def q_knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 5 == 0
     )
-    edges = knn_graph(emb, k=3)
+    edges = knn_graph(emb, k=3, arrow=True)
     return pagerank_fp(
         edges, u_col="src", v_col="dst", directed=True, iters=5
     )

@@ -2175,7 +2175,7 @@ def q_kcenter_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import kcenter_assign, kcenter_coreset
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kcenter_assign(emb, kcenter_coreset(emb, k=8))
+    return kcenter_assign(emb, kcenter_coreset(emb, k=8), arrow=True)
 
 
 KCENTER_COVERAGE_SQL = (

@@ -62,3 +62,17 @@ def test_knn_graph_out_degree_and_tie_rule(spark):
     # src 0: q=[0,1000]; dots with others = 1e6 for all -> tie broken
     # by smallest dst ids (1, 2)
     assert sorted(d for _, d in out[0]) == [1, 2]
+
+
+def test_knn_graph_arrow_identical(spark):
+    """Vectorized int64-matmul kNN edges must match the HOF+window
+    form exactly (same integer dots, same tie rule)."""
+    from flink_ad_analytics_spark.sources.batch import load_table
+    from tests.conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").filter(
+        "vec_id % 5 = 0"
+    )
+    a = sorted(map(tuple, knn_graph(emb, k=3).collect()))
+    b = sorted(map(tuple, knn_graph(emb, k=3, arrow=True).collect()))
+    assert a == b and len(a) > 0
