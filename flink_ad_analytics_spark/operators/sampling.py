@@ -844,3 +844,63 @@ def kcenter_assign(
             F.sum("d2").alias("inertia"),
         )
     )
+
+
+def sqrt_temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    n_target: int,
+    id_col: str = "doc_id",
+    seed: int = 31,
+) -> DataFrame:
+    """Temperature-smoothed mixture sampling at alpha = 0.5: target
+    stratum shares proportional to sqrt(n_s) instead of n_s -- the
+    standard multilingual-corpus rebalance (upweight low-resource
+    strata, damp the head) without hand-written target shares
+    (rebalance_to_mix's job when you have them).
+
+    keep_fraction(s) = min(1, n_target * share_s / n_s),
+    share_s = sqrt(n_s) / sum_t sqrt(n_t).
+
+    Exactness engineering: IEEE sqrt is CORRECTLY ROUNDED (unlike pow,
+    which is why alpha is pinned to 0.5 on the declared path), so
+    sqrt(n_s) is bit-identical in any engine; it is then snapped to
+    integer micro-units floor(sqrt(n)*1e6 + 0.5) so the denominator is
+    an exact integer SUM (float summation order would differ across
+    engines/partitions), and the keep threshold is pure integer
+    arithmetic in DECIMAL(38,0) -- floor(2^32 * n_target * s_s /
+    (total * n_s)) -- compared against the portable md5-prefix integer
+    every sampler in this module uses.
+
+    Scale: one partial-aggregated stratum count + a tiny windowed
+    total; weights broadcast back; the corpus is never shuffled --
+    scan + filter, the same shape as rebalance_to_mix.
+    """
+    per = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    s_units = F.expr(
+        "CAST(floor(sqrt(CAST(__n AS DOUBLE)) * 1000000 + 0.5) "
+        "AS DECIMAL(38,0))"
+    )
+    sized = per.select(F.col(strata_col), F.col("__n"), s_units.alias("__s"))
+    tot = F.sum("__s").over(Window.partitionBy())
+    # integral DIV, not decimal '/': decimal-division result scales
+    # (and their rounding) differ between engines; A DIV B on exact
+    # integers is floor division everywhere (verified equal to
+    # DuckDB's HUGEINT //)
+    thr = F.least(
+        F.lit(_SPACE),
+        F.expr(
+            f"CAST({_SPACE} AS DECIMAL(38,0)) * CAST({n_target} AS "
+            "DECIMAL(38,0)) * __s DIV (CAST(__tot AS DECIMAL(38,0)) * "
+            "CAST(__n AS DECIMAL(38,0)))"
+        ),
+    )
+    weights = sized.withColumn("__tot", tot).select(
+        strata_col, thr.cast("long").alias("__thr")
+    )
+    h_int = F.conv(_bucket_hash(id_col, seed), 16, 10).cast("long")
+    return (
+        df.join(F.broadcast(weights), strata_col)
+        .filter(h_int < F.col("__thr"))
+        .drop("__thr")
+    )

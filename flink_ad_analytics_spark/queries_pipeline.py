@@ -1297,6 +1297,66 @@ ORDER BY source
 """
 
 
+_TEMP_MIX_SEED = 31
+_TEMP_MIX_TARGET = 150
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sqrt-temperature mixture sampling (alpha = 0.5) over the skewed
+    lang column (en is 3.4x fr in the fixture; sqrt smoothing flattens
+    that to 1.85x): target shares derived FROM the data as
+    sqrt(n)/sum(sqrt(n)) -- no hand-written mix -- then applied as the
+    module's deterministic hash-threshold filter. Exact cross-engine:
+    IEEE sqrt is correctly rounded, snapped to integer micro-units so
+    the share denominator is an exact integer sum, and the keep
+    threshold is integral DECIMAL(38,0) DIV arithmetic. Output mirrors
+    rebalanced_mix: per-stratum kept counts + id checksum so the gate
+    pins MEMBERSHIP, not just sizes."""
+    from .operators.sampling import _bucket_hash, sqrt_temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sqrt_temperature_mix(
+        docs, "lang", _TEMP_MIX_TARGET, seed=_TEMP_MIX_SEED
+    )
+    h_int = F.conv(
+        _bucket_hash("doc_id", _TEMP_MIX_SEED), 16, 10
+    ).cast("long")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(h_int).cast("long").alias("id_checksum"),
+    )
+
+
+def _temperature_mix_oracle() -> str:
+    from .operators.sampling import hash_int_sql
+
+    h = hash_int_sql("doc_id", _TEMP_MIX_SEED)
+    return f"""
+WITH per AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+sized AS (
+  SELECT lang, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS HUGEINT)
+           AS s
+  FROM per),
+tot AS (SELECT SUM(s) AS t FROM sized),
+w AS (
+  SELECT lang,
+         LEAST(CAST(4294967296 AS HUGEINT),
+               CAST(4294967296 AS HUGEINT) * {_TEMP_MIX_TARGET} * s
+               // (CAST((SELECT t FROM tot) AS HUGEINT)
+                   * CAST(n AS HUGEINT))) AS thr
+  FROM sized),
+kept AS (
+  SELECT d.lang, d.doc_id
+  FROM documents d JOIN w USING (lang)
+  WHERE {h} < CAST(w.thr AS BIGINT))
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(SUM({h}) AS BIGINT) AS id_checksum
+FROM kept
+GROUP BY lang
+"""
+
+
 # -- product-quantization ANN ----------------------------------------------
 
 
@@ -2602,6 +2662,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "curated_corpus": (q_curated_corpus, CURATED_CORPUS_SQL),
     "span_dedup": (q_span_dedup, SPAN_DEDUP_SQL),
     "rebalanced_mix": (q_rebalanced_mix, REBALANCED_MIX_SQL),
+    "temperature_mix": (q_temperature_mix, _temperature_mix_oracle()),
     "ann_pq_topk": (q_ann_pq_topk, None),
     "pq_codes": (q_pq_codes, PQ_CODES_SQL),
     "dataset_splits": (q_dataset_splits, DATASET_SPLITS_SQL),

@@ -434,3 +434,36 @@ class TestKCenterCoreset:
         # below the FIRST non-seed pick's distance (max over corpus)
         first = [r.dist2 for r in picks.collect() if r.sel_rank == 2][0]
         assert all(r.radius2 <= first for r in cells)
+
+
+def test_sqrt_temperature_mix_flattens_skew(spark):
+    """The point of temperature smoothing: the head stratum's kept
+    share must land BELOW its corpus share, tail strata above --
+    checked against the exact expected keep fractions, not just
+    directionally. Also: deterministic across reruns."""
+    import math
+
+    from flink_ad_analytics_spark.operators.sampling import sqrt_temperature_mix
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    per_in = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    n_target = 150
+    kept = sqrt_temperature_mix(docs, "lang", n_target)
+    per_out = {r[0]: r[1] for r in kept.groupBy("lang").count().collect()}
+    s = {k: math.floor(math.sqrt(n) * 1e6 + 0.5) for k, n in per_in.items()}
+    tot_s = sum(s.values())
+    total_in = sum(per_in.values())
+    for lang, n in per_in.items():
+        frac = min(1.0, n_target * s[lang] / (tot_s * n))
+        exp = n * frac
+        sd = math.sqrt(n * frac * (1 - frac)) if frac < 1 else 0.0
+        assert abs(per_out.get(lang, 0) - exp) <= 4 * sd + 1, (
+            lang, per_out.get(lang, 0), exp)
+    # smoothing direction: en (head, 218/500) keeps a smaller fraction
+    # than fr (tail, 64/500)
+    assert per_out["en"] / per_in["en"] < per_out["fr"] / per_in["fr"]
+    # sqrt target shares flatten the mix vs corpus shares
+    assert s["en"] / tot_s < per_in["en"] / total_in
+    again = {r[0]: r[1] for r in sqrt_temperature_mix(
+        docs.repartition(11), "lang", n_target).groupBy("lang").count().collect()}
+    assert again == per_out
