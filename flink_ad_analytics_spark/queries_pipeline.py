@@ -1927,6 +1927,64 @@ GROUP BY 1
 """
 
 
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit over customer quasi-identifiers (nation x
+    market segment x coarse balance band): for each privacy level k in
+    {2, 5, 10}, how many QI equivalence classes fall below k and how
+    many rows sit in them (the re-identification exposure a release
+    review asks for). One group-size aggregation feeds all three k
+    levels via conditional sums -- the table is scanned once, the
+    group-size relation is |distinct QI| rows, and adding k levels
+    costs nothing but another conditional sum."""
+    customer = load_table(spark, sf_dir, "customer")
+    groups = (
+        customer.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000).alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k")
+    )
+    return (
+        groups.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum("sz").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("sz") < F.col("k")).cast("long")).alias(
+                "n_small_groups"
+            ),
+            F.sum(
+                F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0)
+            ).cast("long").alias("n_rows_at_risk"),
+        )
+    )
+
+
+K_ANONYMITY_AUDIT_SQL = """
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+         COUNT(*) AS sz
+  FROM customer
+  GROUP BY 1, 2, 3),
+ks AS (SELECT unnest([2, 5, 10]) AS k)
+SELECT CAST(k AS INT) AS k,
+       CAST(SUM(sz) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_groups,
+       CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk
+FROM groups CROSS JOIN ks
+GROUP BY k
+"""
+
+
 # -- governance: cascading erasure audit -------------------------------------
 
 
@@ -2642,6 +2700,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     ),
     "token_budget": (q_token_budget, TOKEN_BUDGET_SQL),
     "user_erasure_audit": (q_user_erasure_audit, USER_ERASURE_AUDIT_SQL),
+    "k_anonymity_audit": (q_k_anonymity_audit, K_ANONYMITY_AUDIT_SQL),
     "price_band_peers": (q_price_band_peers, PRICE_BAND_PEERS_SQL),
     "count_zscore_alerts": (q_count_zscore_alerts, COUNT_ZSCORE_ALERTS_SQL),
     "split_contamination": (
