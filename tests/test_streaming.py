@@ -1122,3 +1122,67 @@ def test_tws_running_spend_equals_batch(spark, tmp_path):
         assert abs(last.loc[camp, "total_spend"] - batch.loc[camp, "total_spend"]) < 1e-9
     # every campaign emitted at least once per touching batch
     assert (emitted.groupby("campaign_id").size() >= 1).all()
+
+
+def test_streaming_hll_reach_equals_batch(spark, stream_fixture, tmp_path):
+    """DataSketches-HLL windowed reach (streaming/jobs.py::
+    streaming_hourly_reach) in APPEND mode: the bounded-state
+    (2^lg_k bytes per open window) distinct-reach job. HLL registers
+    keep per-slot maxima, so micro-batch boundaries and arrival order
+    cannot change the merged sketch -- streaming must equal batch
+    BIT-EXACTLY, not within-error."""
+    from flink_ad_analytics_spark.streaming.jobs import streaming_hourly_reach
+
+    sf = stream_fixture
+    imp, _clk = _streams(spark, sf)
+    # the sentinel watermark-driver rows are real stream input here
+    # (no campaign grouping keeps them out of a group of their own),
+    # so drop them before the sketch on BOTH sides
+    reach = streaming_hourly_reach(
+        imp.filter(F.col("campaign_id") != "camp-sentinel"),
+        window="5 minutes",
+    )
+    q = (
+        reach.writeStream.format("memory")
+        .queryName("hll_reach_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .start()
+    )
+    _drive(q, sf, sf["imp_dir"], sf["clk_dir"])
+    streamed = (
+        spark.table("hll_reach_stream")
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert len(streamed) > 0, "no windows closed -- watermark never advanced"
+    imp_b = spark.createDataFrame(sf["fx"].impressions).withColumn(
+        "event_time", F.timestamp_millis(F.col("event_timestamp"))
+    )
+    batch = (
+        streaming_hourly_reach(
+            imp_b.filter(F.col("campaign_id") != "camp-sentinel"),
+            window="5 minutes",
+        )
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match its batch twin exactly, sketch included
+    merged = streamed.merge(
+        batch, on=["window_start", "window_end"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(streamed)
+    assert (merged["reach_s"] == merged["reach_b"]).all()
+    # sanity: the estimate tracks the true distinct count within HLL
+    # error on at least one closed window
+    truth = (
+        imp_b.groupBy(F.window("event_time", "5 minutes"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+        .toPandas()
+    )
+    m2 = streamed.merge(truth, on="window_start")
+    assert ((m2["reach"] - m2["n"]).abs() <= 0.05 * m2["n"] + 3).all()
