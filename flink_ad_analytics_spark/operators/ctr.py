@@ -180,3 +180,75 @@ def linear_attribution(
             F.count(F.lit(1)).alias("n_click_touches"),
         )
     )
+
+
+def position_attribution(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    *,
+    band: str = "10 minutes",
+    imp_time: str = "event_time",
+    clk_time: str = "click_time",
+) -> DataFrame:
+    """Multi-touch U-SHAPED (position-based) attribution: 40% of each
+    click's credit to the first touch, 40% to the last, 20% split
+    across the middles -- the standard complement to last-touch
+    (click_attribution_asof) and linear (linear_attribution).
+
+    Exact integer scheme, 10000 bp per click, engine-independent:
+
+    * n = 1 -> 10000; n = 2 -> 5000 / 5000
+    * n >= 3 -> first 4000, last 4000, each middle
+      2000 DIV (n-2), with the remainder 2000 % (n-2) going +1 each to
+      the EARLIEST middles -- so every click's credits sum to exactly
+      10000 and no float ever appears. Touch order is
+      (impression time, impression_id): the id tie-break makes
+      positions -- and therefore credits -- deterministic under
+      same-timestamp touches.
+
+    Scale: same single user-keyed band join as linear_attribution; the
+    position numbering is one window over the join output's click
+    partitioning; the campaign rollup is a small-key aggregate.
+    """
+    from pyspark.sql import Window
+
+    j = clicks.alias("c").join(
+        impressions.alias("i"),
+        (F.col("c.user_id") == F.col("i.user_id"))
+        & (F.col(f"i.{imp_time}") <= F.col(f"c.{clk_time}"))
+        & (
+            F.col(f"i.{imp_time}")
+            >= F.col(f"c.{clk_time}") - F.expr(f"INTERVAL {band}")
+        ),
+    )
+    w = Window.partitionBy("c.click_id")
+    wo = Window.partitionBy("c.click_id").orderBy(
+        F.col(f"i.{imp_time}"), F.col("i.impression_id")
+    )
+    touches = j.select(
+        F.col("c.click_id").alias("click_id"),
+        F.col("i.campaign_id").alias("campaign_id"),
+        F.row_number().over(wo).alias("pos"),
+        F.count(F.lit(1)).over(w).alias("n_touch"),
+    )
+    credit = (
+        F.when(F.col("n_touch") == 1, F.lit(10000))
+        .when(F.col("n_touch") == 2, F.lit(5000))
+        .when(F.col("pos") == 1, F.lit(4000))
+        .when(F.col("pos") == F.col("n_touch"), F.lit(4000))
+        .otherwise(
+            F.expr("2000 DIV (n_touch - 2)")
+            + F.when(
+                F.col("pos") - 2 < F.expr("2000 % (n_touch - 2)"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+    )
+    return (
+        touches.select("campaign_id", credit.alias("credit_bp"))
+        .groupBy("campaign_id")
+        .agg(
+            F.sum("credit_bp").alias("credit_bp"),
+            F.count(F.lit(1)).alias("n_click_touches"),
+        )
+    )

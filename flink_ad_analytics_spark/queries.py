@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .functions.skew import salted_join
 from .operators.anomaly import detect_anomalies
 from .operators.asof import asof_join
-from .operators.ctr import ctr_windows, linear_attribution
+from .operators.ctr import ctr_windows, linear_attribution, position_attribution
 from .operators.engagement import engagement_windows
 from .sources.batch import load_events, load_table
 
@@ -2802,6 +2802,58 @@ ORDER BY campaign_id
 """
 
 
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch U-SHAPED attribution (operators/ctr.py::
+    position_attribution): 40/20/40 first/middles/last credit in exact
+    integer basis points with deterministic remainder placement --
+    completes the attribution family (last-touch as-of, linear,
+    position-based) on the same single band join."""
+    imps, clicks = _impressions_clicks(spark, sf_dir)
+    return position_attribution(imps, clicks, band="10 minutes").orderBy(
+        "campaign_id"
+    )
+
+
+POSITION_ATTRIBUTION_SQL = f"""
+WITH ev AS ({EV_SQL}),
+imps AS (
+  SELECT event_id AS impression_id, user_id,
+         'camp-' || CAST(user_id % 10 AS VARCHAR) AS campaign_id,
+         event_time
+  FROM ev WHERE event_type = 'view'),
+clicks AS (
+  SELECT event_id AS click_id, user_id, event_time FROM ev
+  WHERE event_type = 'click'),
+j AS (
+  SELECT c.click_id, i.campaign_id,
+         ROW_NUMBER() OVER (PARTITION BY c.click_id
+                            ORDER BY i.event_time, i.impression_id) AS pos,
+         COUNT(*) OVER (PARTITION BY c.click_id) AS n_touch
+  FROM clicks c JOIN imps i
+    ON c.user_id = i.user_id
+   AND i.event_time <= c.event_time
+   AND i.event_time >= c.event_time - INTERVAL 10 MINUTE),
+credited AS (
+  SELECT campaign_id,
+         CAST(CASE
+           WHEN n_touch = 1 THEN 10000
+           WHEN n_touch = 2 THEN 5000
+           WHEN pos = 1 THEN 4000
+           WHEN pos = n_touch THEN 4000
+           ELSE 2000 // (n_touch - 2)
+                + CASE WHEN pos - 2 < 2000 % (n_touch - 2)
+                       THEN 1 ELSE 0 END
+         END AS BIGINT) AS credit_bp
+  FROM j)
+SELECT campaign_id,
+       CAST(SUM(credit_bp) AS BIGINT) AS credit_bp,
+       COUNT(*) AS n_click_touches
+FROM credited
+GROUP BY campaign_id
+ORDER BY campaign_id
+"""
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by first-activity week,
     retention = share of the cohort active again N weeks later.
@@ -3346,6 +3398,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "table_profile_approx": (q_table_profile_approx, None),
     "numeric_profile": (q_numeric_profile, NUMERIC_PROFILE_SQL),
     "linear_attribution": (q_linear_attribution, LINEAR_ATTRIBUTION_SQL),
+    "position_attribution": (q_position_attribution, POSITION_ATTRIBUTION_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_COHORTS_SQL),
     "forecast_revenue_change": (
         q_forecast_revenue_change,

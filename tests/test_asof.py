@@ -94,3 +94,46 @@ def test_asof_left_rows_all_survive(frames):
     out = run(ldf, rdf)
     assert len(out) == len(left_rows)
     assert any(rt is None for (_, _, _, rt, _) in out)  # unmatched kept
+
+
+def test_position_attribution_exact_splits(spark):
+    """Hand-computed U-shaped credits: 1-touch 10000; 2-touch
+    5000/5000; 5-touch 4000 | 666+1,666+1,666 | 4000 (remainder
+    2000%3=2 goes to the earliest middles); every click sums to
+    exactly 10000."""
+    from flink_ad_analytics_spark.operators.ctr import position_attribution
+
+    t0 = 1_700_000_000_000
+
+    def imp(i, user, camp, ms):
+        return (f"imp-{i}", user, camp, ms)
+
+    imps_rows = (
+        [imp(0, "u1", "A", t0)]                                  # 1-touch
+        + [imp(i, "u2", c, t0 + i * 1000)                        # 2-touch
+           for i, c in [(10, "A"), (11, "B")]]
+        + [imp(i, "u3", c, t0 + i * 1000)                        # 5-touch
+           for i, c in [(20, "A"), (21, "B"), (22, "C"), (23, "D"), (24, "E")]]
+    )
+    imps = spark.createDataFrame(
+        imps_rows, "impression_id string, user_id string, campaign_id string, ts long"
+    ).select("impression_id", "user_id", "campaign_id",
+             F.timestamp_millis(F.col("ts")).alias("event_time"))
+    clicks = spark.createDataFrame(
+        [("c1", "u1", t0 + 60_000), ("c2", "u2", t0 + 60_000),
+         ("c3", "u3", t0 + 60_000)],
+        "click_id string, user_id string, ts long",
+    ).select("click_id", "user_id",
+             F.timestamp_millis(F.col("ts")).alias("click_time"))
+    got = {r.campaign_id: (r.credit_bp, r.n_click_touches)
+           for r in position_attribution(imps, clicks).collect()}
+    # u1: A=10000. u2: A=5000 (first), B=5000 (last).
+    # u3 middles (pos 2,3,4 -> B,C,D): base 666, remainder 2 -> B,C +1
+    assert got == {
+        "A": (10000 + 5000 + 4000, 3),
+        "B": (5000 + 667, 2),
+        "C": (667, 1),
+        "D": (666, 1),
+        "E": (4000, 1),
+    }
+    assert sum(bp for bp, _ in got.values()) == 30000
