@@ -1193,8 +1193,12 @@ def pagerank_fp(
         # reference per level -- 5 rounds deep, that is a plan with
         # ~44 cache scans / 144 exchanges and a multi-second codegen
         # bill dwarfing the actual data work
-        if i < iters - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=True)
+    # the final checkpoint above cut the lineage, so the caches can be
+    # dropped before returning (the session-lifetime pin was a leak:
+    # sibling connected_components unpersists per round)
+    e.unpersist()
+    verts.unpersist()
     return ranks.select(
         F.col("u").alias("doc_id"), F.col("r").alias("pagerank_fp")
     )
@@ -1226,17 +1230,22 @@ def knn_graph(
     stratum, 144M interpreted folds -> 32 batched matmuls). Output is
     bit-identical: integer dots either way.
     """
+    from .similarity import floor_scale_quant, int_dot
+
     q = emb.select(
-        F.col(id_col),
-        F.expr(
-            f"transform({vec_col}, x -> CAST(floor(x * {scale}) AS BIGINT))"
-        ).alias("__q"),
+        F.col(id_col), floor_scale_quant(vec_col, scale).alias("__q")
     )
     if arrow:
         import numpy as np
         import pandas as pd
 
         rows = q.collect()  # the stratum: bounded by construction
+        if not rows:
+            # empty stratum: same graceful empty edges the HOF twin
+            # produces (np.stack on [] would raise)
+            return emb.sparkSession.createDataFrame(
+                [], "src long, dst long, dot long"
+            )
         rows.sort(key=lambda r: r[id_col])
         ids = np.array([r[id_col] for r in rows], dtype=np.int64)
         mat = np.stack([np.asarray(r["__q"], dtype=np.int64) for r in rows])
@@ -1276,14 +1285,7 @@ def knn_graph(
     b = q.select(F.col(id_col).alias("dst"), F.col("__q").alias("qb"))
     scored = (
         a.join(F.broadcast(b), F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            F.expr(
-                "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, "
-                "(acc, v) -> acc + v)"
-            ).alias("dot"),
-        )
+        .select("src", "dst", int_dot("qa", "qb").alias("dot"))
     )
     w = Window.partitionBy("src").orderBy(
         F.col("dot").desc(), F.col("dst").asc()

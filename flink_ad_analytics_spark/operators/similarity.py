@@ -459,6 +459,23 @@ _IDOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, t) -> acc + t)"
 )
 
+#: Global floor-scale quantization: floor(x * scale) per component --
+#: the integer-geometry basis shared by the kNN graph (dedup.knn_graph)
+#: and the k-center family (sampling.kcenter_*). ONE definition so a
+#: rule tweak cannot desynchronize the operators' geometry from each
+#: other or from their oracles (which splice the same formula).
+FLOOR_SCALE_QUANT = "transform({v}, x -> CAST(floor(x * {scale}) AS BIGINT))"
+
+
+def floor_scale_quant(vec_col: str, scale: int) -> F.Column:
+    """Column form of FLOOR_SCALE_QUANT."""
+    return F.expr(FLOOR_SCALE_QUANT.format(v=vec_col, scale=scale))
+
+
+def int_dot(a: str, b: str) -> F.Column:
+    """Column form of the exact integer dot product fold."""
+    return F.expr(_IDOT.format(a=a, b=b))
+
 
 #: Shared quantization expressions -- ONE definition consumed by both
 #: quantize_int8 (the audited projection) and quantized_vecs (the

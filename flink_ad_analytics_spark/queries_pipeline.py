@@ -2343,7 +2343,13 @@ def q_orc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.corpus_writer import read_corpus, write_partitioned_corpus
 
     docs = load_table(spark, sf_dir, "documents")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # path salted with the Spark application id so concurrent sessions
+    # (a parity run next to a bench run) never overwrite each other's
+    # live ORC directory; within one session overwrite keeps the entry
+    # idempotent
+    tag = hashlib.md5(
+        f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
     out = _os.path.join(tempfile.gettempdir(), f"spark_graft_orc_{tag}")
     write_partitioned_corpus(
         docs,

@@ -42,6 +42,7 @@ def write_partitioned_corpus(
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
     file_format: str = "parquet",
+    exact_files: bool = False,
 ) -> None:
     """Write ``df`` as a partitioned, sorted, file-count-controlled
     columnar corpus under ``path``.
@@ -54,7 +55,15 @@ def write_partitioned_corpus(
     the way parquet prunes row groups).
     """
     parts = [F.col(c) for c in partition_by]
-    if files_per_partition > 1:
+    if exact_files and not parts:
+        # compaction contract: the file budget is EXACT, including 1
+        # (the default branch below would keep incoming scan
+        # parallelism -- hundreds of files for a 1-file budget)
+        salt = F.pmod(
+            F.xxhash64(F.col(id_col)), F.lit(files_per_partition)
+        ).alias("__salt")
+        out = df.repartition(files_per_partition, salt)
+    elif files_per_partition > 1:
         # pmod, not %: xxhash64 is signed and Spark's % keeps the
         # sign, which would silently double the salt space
         salt = F.pmod(
@@ -142,5 +151,6 @@ def compact_corpus(
         files_per_partition=n_files,
         id_col=id_col,
         file_format=file_format,
+        exact_files=True,
     )
     return n_files

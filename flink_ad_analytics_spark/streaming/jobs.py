@@ -218,7 +218,7 @@ def streaming_hourly_reach(
     *,
     window: str = "1 hour",
     key_col: str = "user_id",
-    lg_k: int = 14,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Windowed DISTINCT reach via DataSketches HLL in streaming --
     the bounded-state form of COUNT(DISTINCT user) per hour.
@@ -245,13 +245,13 @@ def streaming_hourly_reach(
     sparse->dense promotion than one-shot aggregation and shifts the
     estimate ~0.3%, so its streaming result differs from batch. Fine
     for monitoring, wrong for a bit-exact duality contract; HLL++ it
-    is. (``lg_k`` kept for signature parity; HLL++ precision rides
-    ``rsd`` instead.)
+    is -- precision rides ``rsd`` (relative standard deviation; avoid
+    0.01, whose register buffer is expensive to PLAN).
     """
     return events.groupBy(
         F.window("event_time", window).alias("w")
     ).agg(
-        F.approx_count_distinct(F.col(key_col).cast("string"), 0.02).alias(
+        F.approx_count_distinct(F.col(key_col).cast("string"), rsd).alias(
             "reach"
         )
     ).select(

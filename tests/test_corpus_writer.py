@@ -197,3 +197,20 @@ def test_compact_corpus_reduces_files_and_preserves_content(spark, tmp_path):
     for f in files:
         ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
         assert ids == sorted(ids), f"{f} lost its sort"
+
+
+def test_compact_to_single_file_budget(spark, tmp_path):
+    """The flagship small-files case: many fragments, budget computes
+    to ONE file -- the output must actually be one file, not one per
+    scan task (the silent-claim bug the exact_files branch fixes)."""
+    from flink_ad_analytics_spark.sources.corpus_writer import compact_corpus
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    frag = str(tmp_path / "frag1")
+    docs.repartition(30).write.parquet(frag)
+    assert len(_data_files(frag)) >= 25
+    out = str(tmp_path / "one")
+    budget = compact_corpus(spark, frag, out, target_file_bytes=10**12)
+    assert budget == 1
+    assert len(_data_files(out)) == 1
+    assert read_corpus(spark, out).count() == docs.count()
