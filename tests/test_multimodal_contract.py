@@ -97,3 +97,55 @@ def test_pcm_arrow_equals_sql(spark):
     arrow_rows = sorted(map(tuple, pcm_frame_stats_arrow(a).collect()))
     assert sql_rows == arrow_rows
     assert len(sql_rows) > 0
+
+
+def test_pcm_random_payloads_match_python_reference(spark):
+    """Seeded random s16le payloads (odd byte counts, empty, short,
+    peak values included) vs an independent pure-Python computation of
+    the same frame stats -- catches sign/endianness/framing slips the
+    planted-payload test's tidy values could miss."""
+    import random
+    import struct
+
+    from flink_ad_analytics_spark.operators.multimodal import (
+        pcm_frame_stats_arrow,
+    )
+
+    rng = random.Random(20260814)
+    payloads = {}
+    for aid in range(20):
+        n = rng.choice([0, 1, 7, 31, 32, 33, 64, 257, 1024])
+        samples = [rng.randint(-32768, 32767) for _ in range(n)]
+        raw = struct.pack(f"<{n}h", *samples)
+        if rng.random() < 0.3:
+            raw += b"\x7f"  # trailing odd byte: not a full sample
+        payloads[aid] = (raw, samples)
+
+    def ref(samples, w=32, silence=20000, hot=28000):
+        n_full = len(samples) // w
+        if n_full == 0:
+            return None
+        frames = [samples[i * w:(i + 1) * w] for i in range(n_full)]
+        return (
+            len(samples), n_full,
+            sum(s * s for f in frames for s in f),
+            max(abs(s) for f in frames for s in f),
+            sum(1 for f in frames if sum(s * s for s in f) < w * silence**2),
+            sum(1 for f in frames for s in f if abs(s) >= hot),
+        )
+
+    assets = spark.createDataFrame(
+        [(aid, "audio/pcm", bytearray(raw)) for aid, (raw, _) in payloads.items()],
+        "asset_id long, mime string, payload binary",
+    )
+    got = {r.asset_id: (r.n_samples, r.n_frames, r.total_energy, r.peak,
+                        r.silence_frames, r.hot_samples)
+           for r in pcm_frame_stats_arrow(assets).collect()}
+    expected = {}
+    for aid, (raw, _) in payloads.items():
+        samples = list(struct.unpack(f"<{len(raw)//2}h", raw[: len(raw) // 2 * 2]))
+        r = ref(samples)
+        if r is not None:
+            expected[aid] = r
+    assert got == expected
+    assert len(expected) >= 5  # the seed produced full-frame assets
