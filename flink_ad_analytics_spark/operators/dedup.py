@@ -598,8 +598,11 @@ def connected_components(
     e = edges.select(
         F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
     )
-    e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     if algorithm == "star":
+        # no symmetric union here: the star solver's first step
+        # re-canonicalizes every edge to (greatest, least) + distinct,
+        # so a both-directions union would only double that distinct's
+        # input for zero information
         labels = _star_components_labels(e, max_iter)
         return vertices.select(F.col(id_col)).join(
             labels.select(F.col("v").alias(id_col), "label"), id_col, "left"
@@ -607,6 +610,11 @@ def connected_components(
             id_col,
             F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
         )
+    # min-label propagation DOES need both directions (labels flow
+    # along edges either way)
+    e = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     e = e.persist()
     # Iterate over EDGE-TOUCHED vertices only: near-dup graphs are
     # sparse (most of a 100 TB corpus is singletons), and a label row

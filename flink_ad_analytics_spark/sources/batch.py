@@ -25,10 +25,12 @@ from ..session import ensure_engine_conf
 
 
 #: Scan-parallelism floor: sizing constant for one unit of scan work.
-#: ~1 MB of compressed parquet per slot -- sized for the engine's most
-#: compute-dense scans (text feature extraction runs ~100x the decode
-#: cost per byte), while tables under 1 MB (broadcast dims) skip the
-#: floor entirely. Oversplitting a scan-bound query costs one cheap
+#: 1 MB of UNCOMPRESSED row-group bytes per slot (_parquet_layout sums
+#: the footer's total_byte_size, which is the uncompressed figure) --
+#: sized for the engine's most compute-dense scans (text feature
+#: extraction runs ~100x the decode cost per byte), while tables whose
+#: uncompressed size is under 1 MB (broadcast dims) skip the floor
+#: entirely. Oversplitting a scan-bound query costs one cheap
 #: exchange; undersplitting a compute-bound one serializes 32 cores.
 _SCAN_TARGET_BYTES_PER_SLOT = 1024 * 1024
 
@@ -45,7 +47,7 @@ def _with_scan_parallelism(spark: SparkSession, df: DataFrame, path: str) -> Dat
     (measured 3-5x whole-query slowdowns at sf1).
 
     The floor: when the scan yields fewer partitions than the data
-    volume warrants (one slot per ~8 MB, capped at the session's core
+    volume warrants (one slot per ~1 MB uncompressed, capped at the session's core
     count), round-robin repartition after the scan. Catalyst still
     pushes filters and column pruning THROUGH the repartition into the
     scan (verified by tests/test_plan_digests.py's pushdown digests),
@@ -248,24 +250,55 @@ def load_csv_corpus(
     failing the job, and an optional required column for records that
     parse but carry no payload.
 
-    Spark's native CSV source handles quoting/escaping and pushes
-    column pruning into the scan (only referenced columns are parsed
-    per line -- meaningful when the text column dominates row width).
-    DROPMALFORMED discards rows whose arity/types don't fit the
-    schema; with drop_malformed=False rows survive PERMISSIVE-style
-    with nulls in the broken fields.
+    Spark's native CSV source handles quoting/escaping.
+
+    Type validation is DECLARATIVE, not parser-internal, on purpose:
+    the scan reads every field as a string (PERMISSIVE -- no
+    parser-side drops), then ``try_cast`` + an explicit
+    any-field-failed predicate decide each row's fate inside the
+    query plan. The parser-side alternative (mode=DROPMALFORMED) only
+    type-validates the columns a query references once column pruning
+    kicks in, so the SAME DataFrame returns different corpora for
+    different projections -- df.count() keeps a type-malformed row
+    that df.collect() drops, and df.select('text') resurrects it
+    (reproduced in test_csv_corpus; the columnPruning conf does not
+    close it on this Spark). Corpus membership must never depend on
+    which columns a downstream stage selects. try_cast (not cast)
+    keeps the read ANSI-safe.
+
+    ``drop_malformed=True`` drops rows where any non-string field has
+    a non-null raw token that fails its cast; ``False`` keeps such
+    rows with nulls in the broken fields (PERMISSIVE semantics).
     """
     ensure_engine_conf(spark)
-    df = (
-        spark.read.schema(schema)
+    raw_schema = T.StructType(
+        [T.StructField(f.name, T.StringType(), True) for f in schema.fields]
+    )
+    raw = (
+        spark.read.schema(raw_schema)
         .option("header", str(header).lower())
         # RFC-4180 doubled-quote escaping ("" inside a quoted field);
         # Spark's default escape is backslash, which real CSV dumps
         # don't use
         .option("escape", '"')
-        .option("mode", "DROPMALFORMED" if drop_malformed else "PERMISSIVE")
+        .option("mode", "PERMISSIVE")
         .csv(path)
     )
+    typed_cols = []
+    bad_any = F.lit(False)
+    for f in schema.fields:
+        if isinstance(f.dataType, T.StringType):
+            typed_cols.append(F.col(f.name))
+            continue
+        typed = F.expr(
+            f"try_cast(`{f.name}` AS {f.dataType.simpleString()})"
+        )
+        bad_any = bad_any | (F.col(f.name).isNotNull() & typed.isNull())
+        typed_cols.append(typed.alias(f.name))
+    df = raw
+    if drop_malformed:
+        df = df.filter(~bad_any)
+    df = df.select(*typed_cols)
     if required_col is not None:
         df = df.filter(F.col(required_col).isNotNull())
     return df

@@ -27,5 +27,14 @@ def assert_df_equal(a, b, name):
     ra, ca = sorted_rows(a)
     rb, cb = sorted_rows(b)
     assert ca == cb, f"{name}: columns {ca} != {cb}"
-    assert sorted(ra) == sorted(rb), f"{name}: values differ"
+
+    # None-safe ordering: a column mixing None and values would make a
+    # bare sorted() raise TypeError inside the assertion instead of
+    # reporting the value diff
+    def _key(t):
+        return [(v is None, str(type(v)), v) for v in t]
+
+    assert sorted(ra, key=_key) == sorted(rb, key=_key), (
+        f"{name}: values differ"
+    )
     assert ra, f"{name}: empty result"

@@ -60,3 +60,30 @@ def test_pipeline_compatibility_dedup(spark, tmp_path):
     assert 0 in keepers and 3 not in keepers  # duplicate text keeps min id
     assert {1, 4} <= keepers
     assert {r["keeper_doc_id"]: r["n_docs"] for r in groups}[0] == 2
+
+
+def test_malformed_drop_is_projection_independent(spark, tmp_path):
+    """DROPMALFORMED membership must not depend on which columns a
+    downstream query selects. With CSV column pruning on (the Spark
+    default), a type-malformed row is dropped by collect() but counted
+    by count() and resurrected by select('text') -- the reader
+    disables pruning so all projections agree."""
+    p = tmp_path / "c.csv"
+    p.write_text(
+        "doc_id,text,lang\n"
+        "1,good row,en\n"
+        "not-a-number,broken row,xx\n"
+        "2,another,de\n"
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    df = load_csv_corpus(spark, str(p), schema, required_col="text")
+    assert df.count() == 2
+    assert len(df.collect()) == 2
+    texts = {r.text for r in df.select("text").collect()}
+    assert texts == {"good row", "another"}
+    langs = {r.lang for r in df.select("lang").collect()}
+    assert langs == {"en", "de"}
