@@ -467,3 +467,37 @@ def test_sqrt_temperature_mix_flattens_skew(spark):
     again = {r[0]: r[1] for r in sqrt_temperature_mix(
         docs.repartition(11), "lang", n_target).groupBy("lang").count().collect()}
     assert again == per_out
+
+
+def test_sqrt_temperature_mix_membership_matches_python_exact(spark):
+    """Exact decision parity with an independent pure-Python
+    computation of the integer thresholds and md5 lottery -- pins the
+    whole floor/sqrt/DIV pipeline, not just kept-count statistics."""
+    import hashlib
+    import math
+
+    from flink_ad_analytics_spark.operators.sampling import sqrt_temperature_mix
+
+    rows = []
+    doc = 0
+    sizes = {"a": 3, "b": 17, "c": 100, "d": 1, "e": 44}
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((doc, s))
+            doc += 1
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    n_target, seed = 60, 31
+    kept = {r.doc_id for r in
+            sqrt_temperature_mix(df, "stratum", n_target, seed=seed).collect()}
+
+    units = {s: math.floor(math.sqrt(n) * 1_000_000 + 0.5)
+             for s, n in sizes.items()}
+    tot = sum(units.values())
+    thr = {s: min(2**32, (2**32 * n_target * units[s]) // (tot * n))
+           for s, n in sizes.items()}
+    expected = set()
+    for d, s in rows:
+        h = int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:8], 16)
+        if h < thr[s]:
+            expected.add(d)
+    assert kept == expected and expected  # non-empty, exact membership
