@@ -154,3 +154,53 @@ def compact_corpus(
         exact_files=True,
     )
     return n_files
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Sequence[str],
+    sort_within: Sequence[str] = (),
+    files_per_partition: int = 1,
+    id_col: str = "doc_id",
+    file_format: str = "parquet",
+) -> None:
+    """Idempotent partition backfill: rewrite ONLY the Hive partitions
+    present in ``df``, leaving every other directory untouched -- the
+    re-run semantics an incremental ingest needs (reprocessing one
+    day/dump must not truncate the table, which is exactly what a
+    plain mode=overwrite does).
+
+    Uses Spark's dynamic partition-overwrite mode, set per-write via
+    the DataFrameWriter option (not the session conf, so concurrent
+    writes elsewhere keep their own semantics). Same layout levers as
+    write_partitioned_corpus; re-running the same input is a no-op
+    rewrite of the same directories (deterministic salt routing).
+    """
+    if not partition_by:
+        raise ValueError(
+            "overwrite_partitions requires partition_by: without "
+            "partition directories there is nothing to scope the "
+            "overwrite to (use write_partitioned_corpus for full "
+            "rewrites)"
+        )
+    parts = [F.col(c) for c in partition_by]
+    if files_per_partition > 1:
+        salt = F.pmod(
+            F.xxhash64(F.col(id_col)), F.lit(files_per_partition)
+        ).alias("__salt")
+        out = df.repartition(*(parts + [salt]))
+    else:
+        out = df.repartition(*parts)
+    if sort_within:
+        out = out.sortWithinPartitions(
+            *[F.col(c) for c in (list(partition_by) + list(sort_within))]
+        )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .format(file_format)
+        .save(path)
+    )

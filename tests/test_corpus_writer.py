@@ -214,3 +214,45 @@ def test_compact_to_single_file_budget(spark, tmp_path):
     assert budget == 1
     assert len(_data_files(out)) == 1
     assert read_corpus(spark, out).count() == docs.count()
+
+
+def test_overwrite_partitions_touches_only_present_dirs(spark, tmp_path):
+    """Backfill semantics: rewriting one lang's rows replaces that
+    directory only; other partitions keep their exact prior files and
+    rows (a plain overwrite would truncate them)."""
+    from flink_ad_analytics_spark.sources.corpus_writer import (
+        overwrite_partitions,
+        write_partitioned_corpus,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    out = str(tmp_path / "corpus")
+    write_partitioned_corpus(docs, out, partition_by=("lang",))
+    before = {
+        f: os.path.getmtime(f)
+        for f in _data_files(out)
+        if "lang=en" not in f
+    }
+    n_before = read_corpus(spark, out).count()
+    # backfill: en rows with text rewritten
+    en_fixed = docs.filter(F.col("lang") == "en").withColumn(
+        "text", F.concat(F.lit("fixed: "), F.col("text"))
+    )
+    overwrite_partitions(en_fixed, out, partition_by=("lang",))
+    after = read_corpus(spark, out)
+    assert after.count() == n_before
+    assert after.filter("lang = 'en'").filter(
+        ~F.col("text").startswith("fixed: ")
+    ).count() == 0
+    assert after.filter("lang != 'en'").filter(
+        F.col("text").startswith("fixed: ")
+    ).count() == 0
+    untouched = {
+        f: os.path.getmtime(f)
+        for f in _data_files(out)
+        if "lang=en" not in f
+    }
+    assert untouched == before  # other partitions' files not rewritten
+
+    with __import__("pytest").raises(ValueError, match="requires partition_by"):
+        overwrite_partitions(docs, out, partition_by=())
