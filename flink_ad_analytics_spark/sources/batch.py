@@ -244,35 +244,45 @@ def load_csv_corpus(
     drop_malformed: bool = True,
     required_col: str | None = None,
 ) -> DataFrame:
-    """CSV corpus reader with the same lenient-ingest contract as
+    """CSV corpus reader with the lenient-ingest contract of
     load_jsonl_corpus: explicit schema (inference would cost a full
-    extra corpus scan at 100 TB), malformed rows dropped rather than
-    failing the job, and an optional required column for records that
-    parse but carry no payload.
+    extra corpus scan at 100 TB), malformed rows handled declaratively,
+    and an optional required column for records that parse but carry
+    no payload. Spark's native CSV source handles quoting/escaping
+    and the header line.
 
-    Spark's native CSV source handles quoting/escaping.
+    Validation happens IN THE PLAN, not inside the parser, on purpose:
+    Spark's mode=DROPMALFORMED only type-validates the columns a
+    projection references once column pruning kicks in, so the SAME
+    DataFrame returns different corpora for different projections --
+    df.count() keeps a type-malformed row that df.collect() drops, and
+    df.select('text') resurrects it (reproduced in test_csv_corpus;
+    the columnPruning conf does not close it on this Spark). Here the
+    scan reads every declared field as a string plus one overflow
+    column, and the drop decisions are ordinary Column predicates, so
+    corpus membership can never depend on which columns a downstream
+    stage selects. try_cast (not cast) keeps the read ANSI-safe.
 
-    Type validation is DECLARATIVE, not parser-internal, on purpose:
-    the scan reads every field as a string (PERMISSIVE -- no
-    parser-side drops), then ``try_cast`` + an explicit
-    any-field-failed predicate decide each row's fate inside the
-    query plan. The parser-side alternative (mode=DROPMALFORMED) only
-    type-validates the columns a query references once column pruning
-    kicks in, so the SAME DataFrame returns different corpora for
-    different projections -- df.count() keeps a type-malformed row
-    that df.collect() drops, and df.select('text') resurrects it
-    (reproduced in test_csv_corpus; the columnPruning conf does not
-    close it on this Spark). Corpus membership must never depend on
-    which columns a downstream stage selects. try_cast (not cast)
-    keeps the read ANSI-safe.
+    The precise contract under ``drop_malformed=True``:
 
-    ``drop_malformed=True`` drops rows where any non-string field has
-    a non-null raw token that fails its cast; ``False`` keeps such
-    rows with nulls in the broken fields (PERMISSIVE semantics).
+    * type-malformed rows (a non-null raw token that fails its cast)
+      are DROPPED;
+    * over-long rows (more tokens than schema fields -- the shifted-
+      field shape unescaped delimiters produce) are DROPPED, detected
+      by the overflow column;
+    * SHORT rows are kept with nulls in the missing trailing fields
+      (indistinguishable at parse level from legitimately empty
+      fields, which must survive) -- enforce presence explicitly via
+      ``required_col`` or a downstream NotNull rule where it matters.
+
+    ``drop_malformed=False`` keeps every row PERMISSIVE-style with
+    nulls in broken fields.
     """
     ensure_engine_conf(spark)
+    overflow = "__csv_overflow"
     raw_schema = T.StructType(
         [T.StructField(f.name, T.StringType(), True) for f in schema.fields]
+        + [T.StructField(overflow, T.StringType(), True)]
     )
     raw = (
         spark.read.schema(raw_schema)
@@ -285,7 +295,7 @@ def load_csv_corpus(
         .csv(path)
     )
     typed_cols = []
-    bad_any = F.lit(False)
+    bad_any = F.col(overflow).isNotNull()
     for f in schema.fields:
         if isinstance(f.dataType, T.StringType):
             typed_cols.append(F.col(f.name))

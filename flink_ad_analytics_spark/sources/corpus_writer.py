@@ -43,6 +43,7 @@ def write_partitioned_corpus(
     mode: str = "overwrite",
     file_format: str = "parquet",
     exact_files: bool = False,
+    dynamic_overwrite: bool = False,
 ) -> None:
     """Write ``df`` as a partitioned, sorted, file-count-controlled
     columnar corpus under ``path``.
@@ -86,6 +87,11 @@ def write_partitioned_corpus(
             "(parquet and orc are the natively-shipped columnar formats)"
         )
     writer = out.write.mode(mode)
+    if dynamic_overwrite:
+        # scope the overwrite to the partitions present in df (per-write
+        # option, not session conf, so concurrent writers keep their own
+        # semantics)
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(*partition_by).format(file_format).save(path)
@@ -161,9 +167,10 @@ def overwrite_partitions(
     path: str,
     *,
     partition_by: Sequence[str],
-    sort_within: Sequence[str] = (),
+    sort_within: Sequence[str] = ("doc_id",),
     files_per_partition: int = 1,
     id_col: str = "doc_id",
+    max_records_per_file: int | None = None,
     file_format: str = "parquet",
 ) -> None:
     """Idempotent partition backfill: rewrite ONLY the Hive partitions
@@ -172,11 +179,13 @@ def overwrite_partitions(
     day/dump must not truncate the table, which is exactly what a
     plain mode=overwrite does).
 
-    Uses Spark's dynamic partition-overwrite mode, set per-write via
-    the DataFrameWriter option (not the session conf, so concurrent
-    writes elsewhere keep their own semantics). Same layout levers as
-    write_partitioned_corpus; re-running the same input is a no-op
-    rewrite of the same directories (deterministic salt routing).
+    A thin wrapper over :func:`write_partitioned_corpus` with dynamic
+    partition-overwrite: same layout levers, same format validation,
+    and the SAME default within-file sort -- a default-args backfill
+    must not silently replace sorted partitions with unsorted files
+    and destroy their row-group pruning. Re-running the same input is
+    a no-op rewrite of the same directories (deterministic salt
+    routing).
     """
     if not partition_by:
         raise ValueError(
@@ -185,22 +194,15 @@ def overwrite_partitions(
             "overwrite to (use write_partitioned_corpus for full "
             "rewrites)"
         )
-    parts = [F.col(c) for c in partition_by]
-    if files_per_partition > 1:
-        salt = F.pmod(
-            F.xxhash64(F.col(id_col)), F.lit(files_per_partition)
-        ).alias("__salt")
-        out = df.repartition(*(parts + [salt]))
-    else:
-        out = df.repartition(*parts)
-    if sort_within:
-        out = out.sortWithinPartitions(
-            *[F.col(c) for c in (list(partition_by) + list(sort_within))]
-        )
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_by)
-        .format(file_format)
-        .save(path)
+    write_partitioned_corpus(
+        df,
+        path,
+        partition_by=partition_by,
+        sort_within=sort_within,
+        files_per_partition=files_per_partition,
+        id_col=id_col,
+        max_records_per_file=max_records_per_file,
+        mode="overwrite",
+        file_format=file_format,
+        dynamic_overwrite=True,
     )

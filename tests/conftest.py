@@ -28,11 +28,20 @@ def assert_df_equal(a, b, name):
     rb, cb = sorted_rows(b)
     assert ca == cb, f"{name}: columns {ca} != {cb}"
 
-    # None-safe ordering: a column mixing None and values would make a
+    # None-safe ordering (recursively, so array columns with NULL
+    # elements sort too): a column mixing None and values would make a
     # bare sorted() raise TypeError inside the assertion instead of
-    # reporting the value diff
+    # reporting the value diff. No type tag in the key -- 1 and 1.0
+    # must stay in one equality class, as they were under plain sort.
+    def _kv(v):
+        if v is None:
+            return (1, 0)
+        if isinstance(v, (list, tuple)):
+            return (0, tuple(_kv(x) for x in v))
+        return (0, v)
+
     def _key(t):
-        return [(v is None, str(type(v)), v) for v in t]
+        return [_kv(v) for v in t]
 
     assert sorted(ra, key=_key) == sorted(rb, key=_key), (
         f"{name}: values differ"

@@ -63,11 +63,13 @@ def test_pipeline_compatibility_dedup(spark, tmp_path):
 
 
 def test_malformed_drop_is_projection_independent(spark, tmp_path):
-    """DROPMALFORMED membership must not depend on which columns a
-    downstream query selects. With CSV column pruning on (the Spark
-    default), a type-malformed row is dropped by collect() but counted
-    by count() and resurrected by select('text') -- the reader
-    disables pruning so all projections agree."""
+    """Malformed-row membership must not depend on which columns a
+    downstream query selects. Under parser-side DROPMALFORMED with
+    column pruning (the Spark default), a type-malformed row is
+    dropped by collect() but counted by count() and resurrected by
+    select('text') -- this reader validates DECLARATIVELY (all-string
+    scan + try_cast + overflow column as plan predicates), so all
+    projections agree by construction."""
     p = tmp_path / "c.csv"
     p.write_text(
         "doc_id,text,lang\n"
@@ -75,15 +77,34 @@ def test_malformed_drop_is_projection_independent(spark, tmp_path):
         "not-a-number,broken row,xx\n"
         "2,another,de\n"
     )
-    schema = T.StructType([
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-    ])
-    df = load_csv_corpus(spark, str(p), schema, required_col="text")
+    df = load_csv_corpus(spark, str(p), SCHEMA, required_col="text")
     assert df.count() == 2
     assert len(df.collect()) == 2
     texts = {r.text for r in df.select("text").collect()}
     assert texts == {"good row", "another"}
     langs = {r.lang for r in df.select("lang").collect()}
     assert langs == {"en", "de"}
+
+
+def test_arity_contract(spark, tmp_path):
+    """Over-long (shifted-field) rows dropped via the overflow column;
+    short rows kept with nulls but catchable via required_col; legit
+    empty fields survive."""
+    p = tmp_path / "arity.csv"
+    p.write_text(
+        "doc_id,text,lang\n"
+        "1,good,en\n"
+        "2,shifted text,xx,EXTRA,EXTRA2\n"   # unescaped-delimiter shape
+        "3,short-no-lang\n"
+        "4,,de\n"                             # empty text: legit null
+    )
+    df = load_csv_corpus(spark, str(p), SCHEMA)
+    rows = {r.doc_id: (r.text, r.lang) for r in df.collect()}
+    assert 2 not in rows                      # over-long dropped
+    assert rows[3] == ("short-no-lang", None)  # short kept with null
+    assert rows[4] == (None, "de")             # empty field survives
+    # presence enforced explicitly where it matters
+    strict = load_csv_corpus(spark, str(p), SCHEMA, required_col="lang")
+    assert {r.doc_id for r in strict.collect()} == {1, 4}
+    # projection independence holds for the arity drop too
+    assert df.count() == len(df.collect()) == 3
