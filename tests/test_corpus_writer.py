@@ -8,6 +8,7 @@ import glob
 import os
 
 import pyarrow.parquet as pq
+import pytest
 from pyspark.sql import functions as F
 
 from flink_ad_analytics_spark.sources.batch import load_table
@@ -254,5 +255,5 @@ def test_overwrite_partitions_touches_only_present_dirs(spark, tmp_path):
     }
     assert untouched == before  # other partitions' files not rewritten
 
-    with __import__("pytest").raises(ValueError, match="requires partition_by"):
+    with pytest.raises(ValueError, match="requires partition_by"):
         overwrite_partitions(docs, out, partition_by=())
