@@ -137,3 +137,40 @@ def test_position_attribution_exact_splits(spark):
         "E": (4000, 1),
     }
     assert sum(bp for bp, _ in got.values()) == 30000
+
+
+def test_position_attribution_conserves_credit_and_is_order_stable(spark):
+    """Property over randomized touch chains: total credit == 10000 *
+    n_clicks regardless of chain lengths, and the result is identical
+    when the input rows arrive in a different order/partitioning
+    (the (time, impression_id) tie rule at work)."""
+    import random
+
+    from flink_ad_analytics_spark.operators.ctr import position_attribution
+
+    rng = random.Random(4242)
+    t0 = 1_700_000_000_000
+    imps, clicks = [], []
+    iid = 0
+    for u in range(30):
+        n = rng.randint(1, 9)
+        for j in range(n):
+            # duplicate timestamps on purpose: exercise the id tie-break
+            ts = t0 + rng.choice([0, 1000, 1000, 2000, 5000])
+            imps.append((f"i{iid}", f"u{u}", f"camp-{rng.randint(0, 4)}", ts))
+            iid += 1
+        clicks.append((f"c{u}", f"u{u}", t0 + 60_000))
+    imp_df = spark.createDataFrame(
+        imps, "impression_id string, user_id string, campaign_id string, ts long"
+    ).select("impression_id", "user_id", "campaign_id",
+             F.timestamp_millis(F.col("ts")).alias("event_time"))
+    clk_df = spark.createDataFrame(
+        clicks, "click_id string, user_id string, ts long"
+    ).select("click_id", "user_id",
+             F.timestamp_millis(F.col("ts")).alias("click_time"))
+    out = position_attribution(imp_df, clk_df).collect()
+    assert sum(r.credit_bp for r in out) == 10000 * len(clicks)
+    reordered = position_attribution(
+        imp_df.orderBy(F.desc("impression_id")).repartition(7), clk_df
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, reordered))
