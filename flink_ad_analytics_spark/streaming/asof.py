@@ -89,7 +89,11 @@ def _attribute(
     out_rows: list[dict] = []
     ii = n_emitted = 0
     for ct, cid in clks:
-        if ct > wm_us:
+        if ct >= wm_us:
+            # STRICTLY below the watermark only: Spark admits rows AT
+            # the watermark as on-time, so a click at exactly wm could
+            # still gain a co-timestamped impression from a later
+            # batch -- finalizing it here would break batch parity
             break
         ii = advance(ct, ii)  # inclusive: impression at ct matches
         n_emitted += 1
@@ -108,7 +112,7 @@ def _attribute(
                 ),
             }
         )
-    ii = advance(wm_us, ii)  # finalize remaining pre-watermark imps
+    ii = advance(wm_us - 1, ii)  # finalize STRICTLY pre-watermark imps
     imps, clks = imps[ii:], clks[n_emitted:]
 
     state.update(
@@ -122,7 +126,9 @@ def _attribute(
         )
     )
     if clks:
-        state.setTimeoutTimestamp(clks[0][0] // 1000)
+        # clamp: Spark requires a strictly positive timeout; first-ms
+        # (and pre-epoch) event times otherwise crash the query
+        state.setTimeoutTimestamp(max(1, clks[0][0] // 1000))
     if out_rows:
         yield pd.DataFrame(out_rows)
 

@@ -68,11 +68,11 @@ def streaming_band_join(
     )
 
     # The band condition references both raw event-time columns, so the
-    # streaming planner derives join-state watermarks from it.
-    band = (
-        (F.col(right_time) >= F.col(left_time) - F.expr(f"INTERVAL {band_before}"))
-        & (F.col(right_time) <= F.col(left_time) + F.expr(f"INTERVAL {band_after}"))
-    )
+    # streaming planner derives join-state watermarks from it. Reuses
+    # the SAME lo/hi expressions that sized the bucket replication --
+    # one definition, so an edit to a band bound cannot desynchronize
+    # the replication range from the residual predicate.
+    band = (F.col(right_time) >= lo) & (F.col(right_time) <= hi)
     cond = F.col("__bucket") == F.col("__rbucket")
     r_binned = r_binned.withColumnRenamed("__bucket", "__rbucket")
     for c in extra_on:

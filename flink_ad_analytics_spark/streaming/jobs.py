@@ -135,7 +135,6 @@ def streaming_trending_topk(
     events: DataFrame,
     *,
     window: str = "1 hour",
-    k: int = 3,
     key_col: str = "event_type",
 ) -> DataFrame:
     """Per-window trending top-k: the leaderboard every real-time
@@ -149,10 +148,11 @@ def streaming_trending_topk(
     per micro-batch downstream (each closed window arrives complete in
     one batch, so the rank is final). State is the open windows only.
 
-    Returns the PRE-RANK closed-window counts; pair with
-    ``rank_topk`` in foreachBatch (see test) or over the result of a
-    replayed bus. Kept separate so the append-mode contract is visible
-    to the caller.
+    Returns the PRE-RANK closed-window counts (deliberately no k
+    parameter here -- truncation belongs to the ranking stage); pair
+    with ``rank_topk`` in foreachBatch (see test) or over the result
+    of a replayed bus. Kept separate so the append-mode contract is
+    visible to the caller.
     """
     from pyspark.sql import functions as F
 
@@ -166,13 +166,17 @@ def streaming_trending_topk(
     )
 
 
-def rank_topk(closed_windows: DataFrame, *, k: int = 3) -> DataFrame:
-    """Final top-k rank over CLOSED windows (batch or foreachBatch)."""
+def rank_topk(
+    closed_windows: DataFrame, *, k: int = 3, key_col: str = "event_type"
+) -> DataFrame:
+    """Final top-k rank over CLOSED windows (batch or foreachBatch).
+    ``key_col`` must mirror the producer's -- the tie-break orders by
+    it, so a hardcoded column would crash any non-default pairing."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     w = W.partitionBy("window_start").orderBy(
-        F.col("n_events").desc(), F.col("event_type")
+        F.col("n_events").desc(), F.col(key_col)
     )
     return (
         closed_windows.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -117,9 +117,9 @@ def _capped_sessions(
     else:
         state.update((sess, idx, s0, s1, n, last, buf))
         if buf:
-            state.setTimeoutTimestamp(buf[0] // 1000)
+            state.setTimeoutTimestamp(max(1, buf[0] // 1000))
         else:
-            state.setTimeoutTimestamp((last + GAP_US) // 1000 + 1)
+            state.setTimeoutTimestamp(max(1, (last + GAP_US) // 1000 + 1))
     if out:
         yield pd.DataFrame(out)
 

@@ -146,9 +146,22 @@ def upsert_sink(
         # streaming aggregation) recomputes per action (dual_sink
         # applies the same rule)
         tagged = batch.withColumn("__bucket", bucket).persist()
+        try:
+            _merge_tagged(spark, tagged)
+        finally:
+            # foreachBatch retries re-enter merge(); without the
+            # finally a transient failure between persist and the end
+            # of the merge would leak one cached batch per attempt
+            # (dual_sink guards its writers the same way)
+            tagged.unpersist()
+
+    def _merge_tagged(spark: "SparkSession", tagged: DataFrame) -> None:
+        import os
+
+        from pyspark.sql import Window
+
         touched = [r[0] for r in tagged.select("__bucket").distinct().collect()]
         if not touched:
-            tagged.unpersist()
             return
         if os.path.isdir(path) and any(
             e.startswith("__bucket=") for e in os.listdir(path)
@@ -172,7 +185,6 @@ def upsert_sink(
         (latest.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("__bucket").parquet(path))
-        tagged.unpersist()
 
     return (
         df.writeStream.foreachBatch(merge)

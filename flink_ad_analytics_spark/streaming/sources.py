@@ -89,6 +89,7 @@ def file_event_stream(
     watermark: str | None = "5 seconds",
     max_files_per_trigger: int | None = 1,
     starting_position: str = "earliest",
+    latest_marker: str | None = None,
 ) -> DataFrame:
     """Parquet-directory stream with the same typed output as the
     Kafka path (used by tests; also the shape of a data-lake tailing
@@ -97,12 +98,24 @@ def file_event_stream(
     ``starting_position`` mirrors Kafka ``startingOffsets`` (S3/T10):
     ``"earliest"`` consumes the pre-existing backlog (the reference
     main job, flink_job.sql:23); ``"latest"`` skips files last
-    modified before this stream was DEFINED, so a late subscriber sees
-    only post-subscription data -- the file-source analogue of the
-    anomaly job's ``scan.startup.mode = latest-offset``
-    (anomaly_job.sql:27). The cutoff is evaluated per-file from the
+    modified before the SUBSCRIPTION, so a late subscriber sees only
+    post-subscription data -- the file-source analogue of the anomaly
+    job's ``scan.startup.mode = latest-offset`` (anomaly_job.sql:27).
+    The cutoff is evaluated per-file from the
     ``_metadata.file_modification_time`` column, i.e. distributed, no
     driver-side listing.
+
+    Restart semantics matter here: Kafka's latest-offset cut applies
+    ONLY on first start -- after a crash, offsets resume from the
+    checkpoint with no loss. A cutoff recomputed at every stream
+    (re)definition would silently drop files written during downtime
+    (listed by the source, marked processed in the checkpoint,
+    filtered to zero rows -- permanent loss). So the subscription
+    instant is PERSISTED: pass ``latest_marker`` (a path stored with
+    your checkpoint); the first definition writes now() there, every
+    restart reads the original instant back. Without a marker the
+    cutoff is this definition's now() and restart-loss is on the
+    caller (acceptable only for marker-less tests).
     """
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -110,8 +123,19 @@ def file_event_stream(
     df = reader.parquet(path)
     if starting_position == "latest":
         import datetime as _dt
+        import os as _os
 
-        cutoff = _dt.datetime.now(_dt.timezone.utc)
+        if latest_marker is not None and _os.path.exists(latest_marker):
+            with open(latest_marker) as fh:
+                cutoff = _dt.datetime.fromisoformat(fh.read().strip())
+        else:
+            cutoff = _dt.datetime.now(_dt.timezone.utc)
+            if latest_marker is not None:
+                _os.makedirs(_os.path.dirname(latest_marker), exist_ok=True)
+                tmp = latest_marker + ".tmp"
+                with open(tmp, "w") as fh:
+                    fh.write(cutoff.isoformat())
+                _os.replace(tmp, latest_marker)  # atomic: no torn reads
         df = (
             df.select(
                 "*",

@@ -116,7 +116,9 @@ def _lag_alerts(
     if buf:
         # flush the rest as soon as the watermark reaches the earliest
         # buffered row, even if this key never sees data again
-        state.setTimeoutTimestamp(buf[0][0] // 1000)
+        # clamp like zscore.py: Spark requires a strictly positive
+        # timeout timestamp (first-ms / pre-epoch event times)
+        state.setTimeoutTimestamp(max(1, buf[0][0] // 1000))
     if out_rows:
         yield pd.DataFrame(out_rows)
 

@@ -1020,7 +1020,7 @@ def test_streaming_trending_topk_equals_batch(spark, tmp_path):
         .select("event_type", F.col("ts").alias("event_time"))
         .withWatermark("event_time", "10 seconds")
     )
-    closed = streaming_trending_topk(stream, window="1 hour", k=2)
+    closed = streaming_trending_topk(stream, window="1 hour")
     sink: list = []
 
     def to_sink(batch_df, _bid):
@@ -1186,3 +1186,67 @@ def test_streaming_hll_reach_equals_batch(spark, stream_fixture, tmp_path):
     )
     m2 = streamed.merge(truth, on="window_start")
     assert ((m2["reach"] - m2["n"]).abs() <= 0.05 * m2["n"] + 3).all()
+
+
+def test_latest_marker_preserves_cutoff_across_restart(spark, tmp_path):
+    """Kafka latest-offset applies only on FIRST start; a restart must
+    resume from the checkpoint without re-cutting. Without the marker,
+    a stream redefined after downtime recomputes cutoff=now() and
+    silently drops every file written while it was down (listed by the
+    source, marked processed, filtered to zero rows)."""
+    import time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    marker = str(tmp_path / "ckpt" / "latest.marker")
+    ckpt = str(tmp_path / "ckpt" / "cp")
+
+    def rows(prefix, n):
+        return pd.DataFrame(
+            [{"impression_id": f"{prefix}-{i}", "user_id": "u1",
+              "campaign_id": prefix, "ad_id": "a", "device_type": "d",
+              "browser": "b",
+              "event_timestamp": VIRTUAL_START_MS + i * 1000, "cost": 0.1}
+             for i in range(n)]
+        )
+
+    backlog = f"{src}/part-backlog.parquet"
+    rows("old", 4).to_parquet(backlog, index=False)
+    past = time.time() - 3600
+    os.utime(backlog, (past, past))
+    schema = spark.read.parquet(src).schema
+
+    out_dir = str(tmp_path / "out")
+
+    def subscribe():
+        return (
+            file_event_stream(
+                spark, src, schema, watermark=None,
+                max_files_per_trigger=None,
+                starting_position="latest", latest_marker=marker,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = subscribe()
+    q.processAllAvailable()
+    q.stop()
+    cut1 = open(marker).read()
+
+    # downtime: a file arrives while no query is running
+    rows("downtime", 3).to_parquet(f"{src}/part-downtime.parquet", index=False)
+    time.sleep(0.05)
+
+    # restart from the same checkpoint + marker
+    q2 = subscribe()
+    q2.processAllAvailable()
+    q2.stop()
+    assert open(marker).read() == cut1, "restart must not re-cut"
+    got = {r.campaign_id for r in
+           spark.read.parquet(out_dir).select("campaign_id").distinct().collect()}
+    assert "downtime" in got, "files written during downtime must survive restart"
+    assert "old" not in got, "pre-subscription backlog stays skipped"
