@@ -91,13 +91,24 @@ def main() -> None:
     )
     os.makedirs(bench_dir, exist_ok=True)
     full_path = os.path.join(bench_dir, f"bench_sf{sf}.json")
-    if subset and os.path.exists(full_path):
+    merged_from_subset = False
+    if subset:
+        if not os.path.exists(full_path):
+            # a subset-only run must never masquerade as the full-set
+            # artifact (metric name says "headline_query_set"): refuse
+            # rather than commit a partial total
+            raise SystemExit(
+                f"SPARK_GRAFT_QUERIES is set but {full_path} does not "
+                "exist -- run the full bench once first, then subset "
+                "reruns merge into it"
+            )
         # subset rerun: merge into the existing artifact (same
         # incremental-refresh contract as bench_duckdb.py) so a
         # two-query retiming can't clobber the full record
         with open(full_path) as f:
             prior = json.load(f)
         timings = {**prior.get("queries", {}), **timings}
+        merged_from_subset = True
 
     out = {
         "metric": "headline_query_set_runtime",
@@ -105,6 +116,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # provenance: total is a sum over n_queries timings; when
+        # merged_from_subset is true, those timings come from more
+        # than one run (incremental refresh), not one fresh session
+        "n_queries": len(timings),
+        "merged_from_subset": merged_from_subset,
+        "subset_last_run": sorted(names) if subset else None,
     }
 
     baseline_path = os.path.join(bench_dir, f"duckdb_sf{sf}.json")

@@ -533,7 +533,14 @@ def _star_components_labels(e: DataFrame, max_iter: int) -> DataFrame:
         cur.unpersist()
         cur = nxt
         prev_stats = stats
-    # converged: stars centered at component minima -- every non-center
+    # converged: the returned labels are lazy over the final edge set,
+    # so a plain return would pin its cache for the session lifetime
+    # (the pagerank_fp leak class). Materialize via eager checkpoint,
+    # then release the cache.
+    final = cur.localCheckpoint(eager=True)
+    cur.unpersist()
+    cur = final
+    # stars centered at component minima -- every non-center
     # vertex appears as u exactly once with v = its center; centers
     # appear only as v. min() guards the not-fully-converged case
     # (max_iter hit) with the best label seen.
@@ -1220,6 +1227,7 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     arrow: bool = False,
+    max_stratum: int = 200_000,
 ) -> DataFrame:
     """Directed exact k-nearest-neighbor graph by integer dot-product
     similarity (MIPS ranking on floor(x * scale) quantized vectors --
@@ -1247,7 +1255,20 @@ def knn_graph(
         import numpy as np
         import pandas as pd
 
-        rows = q.collect()  # the stratum: bounded by construction
+        # the stratum contract, enforced (not just documented): the
+        # arrow path collects the stratum to the driver to broadcast
+        # its matrix, so a caller handing it a raw corpus must fail
+        # loudly BEFORE the driver OOMs. limit(cap+1).count() probes
+        # at most cap+1 rows -- no full count of an oversized input.
+        over = q.limit(max_stratum + 1).count()
+        if over > max_stratum:
+            raise ValueError(
+                f"knn_graph(arrow=True) input exceeds max_stratum="
+                f"{max_stratum} rows: this exact all-pairs form is for "
+                "strata/samples; use the ANN family (IVF/LSH) for "
+                "corpus-scale candidate generation"
+            )
+        rows = q.collect()
         if not rows:
             # empty stratum: same graceful empty edges the HOF twin
             # produces (np.stack on [] would raise)

@@ -688,8 +688,9 @@ def kcenter_coreset(
 
             # no type hints on purpose: the module's deferred
             # annotations (string hints to a locally-imported pd)
-            # break pandas_udf's hint inference
-            udf = F.pandas_udf(d2, "long", F.PandasUDFType.SCALAR)
+            # break pandas_udf's hint inference; SCALAR is the
+            # default, and the PandasUDFType form is deprecated
+            udf = F.pandas_udf(d2, "long")
             return udf(F.col("__q"))
 
     else:

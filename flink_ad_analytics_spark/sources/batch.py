@@ -85,8 +85,11 @@ def _with_scan_parallelism(spark: SparkSession, df: DataFrame, path: str) -> Dat
     return df.repartition(target)
 
 
-#: (path, mtime) -> (file size, row-group count); footer metadata only.
-_LAYOUT_CACHE: dict[tuple[str, float], tuple[int, int]] = {}
+#: path -> (mtime, (uncompressed size, row-group count)); footer
+#: metadata only. Keyed by path with the mtime stored as a validity
+#: stamp so a rewritten file REPLACES its entry instead of
+#: accumulating one stale record per rewrite for the process lifetime.
+_LAYOUT_CACHE: dict[str, tuple[float, tuple[int | None, int]]] = {}
 
 
 def _parquet_layout(path: str) -> tuple[int | None, int]:
@@ -98,15 +101,16 @@ def _parquet_layout(path: str) -> tuple[int | None, int]:
     are the true upper bound on single-file scan parallelism,
     regardless of split config."""
     try:
-        key = (path, os.path.getmtime(path))
+        mtime = os.path.getmtime(path)
     except OSError:
         return None, 0
-    if key not in _LAYOUT_CACHE:
+    hit = _LAYOUT_CACHE.get(path)
+    if hit is None or hit[0] != mtime:
         try:
             import pyarrow.parquet as pq
 
             meta = pq.ParquetFile(path).metadata
-            _LAYOUT_CACHE[key] = (
+            layout = (
                 sum(
                     meta.row_group(i).total_byte_size
                     for i in range(meta.num_row_groups)
@@ -115,7 +119,9 @@ def _parquet_layout(path: str) -> tuple[int | None, int]:
             )
         except Exception:
             return None, 0
-    return _LAYOUT_CACHE[key]
+        _LAYOUT_CACHE[path] = (mtime, layout)
+        return layout
+    return hit[1]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

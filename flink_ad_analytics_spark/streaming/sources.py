@@ -131,7 +131,9 @@ def file_event_stream(
         else:
             cutoff = _dt.datetime.now(_dt.timezone.utc)
             if latest_marker is not None:
-                _os.makedirs(_os.path.dirname(latest_marker), exist_ok=True)
+                marker_dir = _os.path.dirname(latest_marker)
+                if marker_dir:  # bare filename -> cwd, nothing to make
+                    _os.makedirs(marker_dir, exist_ok=True)
                 tmp = latest_marker + ".tmp"
                 with open(tmp, "w") as fh:
                     fh.write(cutoff.isoformat())
