@@ -2689,7 +2689,102 @@ GROUP BY e.event_id
 """
 
 
+# -- URL / domain-level curation --------------------------------------------
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/web.py::canonicalize_url): the
+    fixture's deterministic messy URL (mixed-case scheme/host, www
+    prefixes, default/explicit ports, tracking params, fragments,
+    trailing slashes) reduced to canonical form + registrable domain.
+    Pure codegen string expressions, zero shuffle -- the scan-side
+    first stage of C4/RefinedWeb-style web curation."""
+    from .operators.web import canonicalize_url, with_synth_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    return canonicalize_url(with_synth_url(docs)).select(
+        "doc_id", "raw_url", "canon_url", "url_host", "url_domain", "url_path"
+    )
+
+
+def _url_canonicalize_sql() -> str:
+    from .operators.web import canonical_cte_sql
+
+    return f"""
+WITH {canonical_cte_sql()}
+SELECT doc_id, raw_url, canon_url, url_host, url_domain, url_path
+FROM canon
+"""
+
+
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/web.py::domain_caps): rank
+    each registrable domain's documents by (n_chars DESC, doc_id) and
+    keep the top 20. One shuffle on the domain key; heavy-hitter
+    domains are exactly what the cap trims at 100 TB."""
+    from .operators.web import canonicalize_url, domain_caps, with_synth_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_caps(canonicalize_url(with_synth_url(docs)), cap=20)
+
+
+def _domain_caps_sql() -> str:
+    from .operators.web import canonical_cte_sql
+
+    return f"""
+WITH {canonical_cte_sql(extra_cols=", n_chars")}
+SELECT doc_id, url_domain,
+       CAST(row_number() OVER (PARTITION BY url_domain
+                               ORDER BY n_chars DESC, doc_id) AS INT)
+         AS domain_rank,
+       (row_number() OVER (PARTITION BY url_domain
+                           ORDER BY n_chars DESC, doc_id) <= 20) AS kept
+FROM canon
+"""
+
+
+def q_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain reputation gate (operators/web.py::domain_reputation):
+    exact-integer per-domain quality aggregate (>= 5 docs AND >= 30%
+    of docs >= 250 chars) deciding keep/drop for the whole domain.
+    ONE shuffle; the result is tiny (one row per domain), so gating
+    the corpus itself is a broadcast semi-join back onto the scan."""
+    from .operators.web import (
+        canonicalize_url,
+        domain_reputation,
+        with_synth_url,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_reputation(canonicalize_url(with_synth_url(docs)))
+
+
+def _domain_reputation_sql() -> str:
+    from .operators.web import canonical_cte_sql
+
+    return f"""
+WITH {canonical_cte_sql(extra_cols=", n_chars")}
+SELECT url_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
+       (COUNT(*) >= 5 AND
+        SUM(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END) * 100
+          >= COUNT(*) * 30) AS rep_keep,
+       CASE WHEN COUNT(*) >= 5 AND
+                 SUM(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END) * 100
+                   >= COUNT(*) * 30
+            THEN CAST(COUNT(*) AS BIGINT) ELSE 0 END AS n_docs_admitted
+FROM canon
+GROUP BY url_domain
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "url_canonicalize": (q_url_canonicalize, _url_canonicalize_sql()),
+    "domain_caps": (q_domain_caps, _domain_caps_sql()),
+    "domain_reputation": (q_domain_reputation, _domain_reputation_sql()),
     "event_bursts": (q_event_bursts, EVENT_BURSTS_SQL),
     "classifier_scores": (q_classifier_scores, CLASSIFIER_SCORES_SQL),
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
