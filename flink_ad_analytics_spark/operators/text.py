@@ -923,3 +923,77 @@ def gopher_rules(
             r_words & r_mean & r_sym & r_bullet & r_ellip & r_alpha & r_stop
         ).alias("gopher_keep"),
     )
+
+
+def c4_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_sentences: int = 3,
+    min_line_words: int = 5,
+) -> DataFrame:
+    """The C4 cleaning rule battery (Raffel et al., "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", arXiv 1910.10683 §2.2) as ONE codegen projection --
+    the complement to :func:`gopher_rules`.
+
+    Line rules (a line survives iff ALL hold):
+    - ends in a terminal punctuation mark (``. ! ?``);
+    - contains at least ``min_line_words`` words;
+    - does not contain the word "javascript" (case-insensitive).
+
+    Page rules:
+    - at least ``min_sentences`` sentences survive line filtering
+      (sentences counted as terminal marks in kept lines);
+    - the page does not contain "lorem ipsum" (case-insensitive);
+    - the page does not contain a curly bracket;
+    - at least one line survived.
+
+    ``clean_md5`` is the md5 of the kept-lines reconstruction
+    (newline-joined), which value-gates the *content* of the line
+    filter, not just its counts. All thresholds are exact integers;
+    zero shuffle, zero UDFs -- a scan-side gate that runs at any
+    corpus size, same as the Gopher battery.
+    """
+    t = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("__txt"),
+        F.split(F.col(text_col), r"\n").alias("lns"),
+    )
+    kept = F.expr(
+        r"filter(lns, l -> l rlike '[.!?]\\s*$'"
+        rf" AND size(split(trim(l), '\\s+')) >= {min_line_words}"
+        r" AND NOT contains(lower(l), 'javascript'))"
+    )
+    m = t.withColumn("kept", kept).select(
+        F.col(id_col),
+        F.expr("size(lns)").cast("long").alias("n_lines"),
+        F.expr("size(kept)").cast("long").alias("n_kept_lines"),
+        F.expr(
+            "aggregate(kept, 0L, (acc, l) -> acc + length(l)"
+            " - length(regexp_replace(l, '[.!?]', '')))"
+        ).alias("n_sentences"),
+        F.md5(F.expr("array_join(kept, chr(10))")).alias("clean_md5"),
+        F.expr("NOT contains(lower(__txt), 'lorem ipsum')").alias(
+            "rule_no_lorem"
+        ),
+        F.expr("NOT contains(__txt, '{')").alias("rule_no_brace"),
+    )
+    r_sent = F.col("n_sentences") >= min_sentences
+    return m.select(
+        id_col,
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "clean_md5",
+        r_sent.alias("rule_min_sentences"),
+        "rule_no_lorem",
+        "rule_no_brace",
+        (
+            r_sent
+            & F.col("rule_no_lorem")
+            & F.col("rule_no_brace")
+            & (F.col("n_kept_lines") >= 1)
+        ).alias("c4_keep"),
+    )

@@ -2689,6 +2689,79 @@ GROUP BY e.event_id
 """
 
 
+# -- C4 rule battery ---------------------------------------------------------
+
+
+def _c4_shim_expr(id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Deterministic re-punctuation shim, valid in both Spark SQL and
+    DuckDB: the driver fixture is single-line prose with no sentence
+    punctuation, which would leave every C4 rule constant. The shim
+    inserts sentence breaks (' the ' -> '. The '), punctuated line
+    breaks (' table '), unpunctuated line breaks (' window ', so the
+    terminal-punctuation line rule has both outcomes), a javascript
+    token (' slow '), and rare page-level lorem-ipsum / curly-brace
+    suffixes keyed on doc_id residues. Pure replace()/CASE -- the
+    shimmed text is bit-identical across engines, so the oracle
+    value-gates the rules on genuinely mixed inputs."""
+    t, i = text_col, id_col
+    return (
+        f"replace(replace(replace(replace({t},"
+        f" ' the ', '. The '),"
+        f" ' table ', '.' || chr(10) || 'Table '),"
+        f" ' window ', chr(10) || 'Window '),"
+        f" ' slow ', ' javascript ')"
+        f" || '.'"
+        f" || CASE WHEN {i} % 13 = 0 THEN ' Lorem ipsum dolor sit.' "
+        f"ELSE '' END"
+        f" || CASE WHEN {i} % 17 = 0 THEN ' var x = {{x}};' ELSE '' END"
+    )
+
+
+def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning battery (operators/text.py::c4_rules) over the
+    re-punctuated fixture: line-level terminal-punctuation / min-word
+    / javascript filters with an md5-gated kept-line reconstruction,
+    plus the page-level sentence-count, lorem-ipsum, and curly-brace
+    rules. One zero-shuffle codegen projection, the same scan-side
+    gate shape as gopher_quality."""
+    from .operators.text import c4_rules
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(_c4_shim_expr())
+    )
+    return c4_rules(docs)
+
+
+def _c4_quality_sql() -> str:
+    return f"""
+WITH shim AS (SELECT doc_id, {_c4_shim_expr()} AS text FROM documents),
+t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lns FROM shim),
+k AS (SELECT doc_id, text, lns,
+        list_filter(lns, l -> regexp_matches(l, '[.!?]\\s*$')
+          AND len(string_split_regex(trim(l), '\\s+')) >= 5
+          AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM t),
+m AS (SELECT doc_id, text, lns, kept,
+        CAST(COALESCE(list_sum(list_transform(kept,
+          l -> length(l) - length(regexp_replace(l, '[.!?]', '', 'g')))),
+          0) AS BIGINT) AS n_sentences
+      FROM k)
+SELECT doc_id,
+  CAST(len(lns) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+  n_sentences,
+  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS clean_md5,
+  (n_sentences >= 3) AS rule_min_sentences,
+  NOT contains(lower(text), 'lorem ipsum') AS rule_no_lorem,
+  NOT contains(text, '{{') AS rule_no_brace,
+  (n_sentences >= 3
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{{')
+   AND len(kept) >= 1) AS c4_keep
+FROM m
+"""
+
+
 # -- URL / domain-level curation --------------------------------------------
 
 
@@ -2782,6 +2855,7 @@ GROUP BY url_domain
 
 
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "c4_quality": (q_c4_quality, _c4_quality_sql()),
     "url_canonicalize": (q_url_canonicalize, _url_canonicalize_sql()),
     "domain_caps": (q_domain_caps, _domain_caps_sql()),
     "domain_reputation": (q_domain_reputation, _domain_reputation_sql()),
