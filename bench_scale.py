@@ -142,6 +142,24 @@ def run_size(spark, n_docs: int) -> dict:
 
         run("span_dedup", lambda: span_dedup(docs).count())
 
+        # sliding-window (stride-1) repeated-substring dedup: the
+        # scale-defining quantities are total window occurrences
+        # (exactly total tokens - (W-1)*docs: linear by construction)
+        # and DUPLICATE occurrences (proportional to the planted
+        # duplicated share, not the corpus) -- recorded so the curve
+        # proves the shuffle volume stays ~linear per doubling
+        from flink_ad_analytics_spark.operators.dedup import window_dedup
+
+        wd = run(
+            "window_dedup",
+            lambda: window_dedup(docs)
+            .agg(
+                F.sum("n_windows").alias("w"),
+                F.sum("n_dup_occurrences").alias("d"),
+            )
+            .collect()[0],
+        )
+
         # connected components over the LSH pair graph: per-round cost
         # must track edge ENDPOINTS (sparse), not corpus size -- the
         # singleton-exclusion property this curve demonstrates. The
@@ -269,6 +287,8 @@ def run_size(spark, n_docs: int) -> dict:
             "simhash_candidates": sim_cands,
             "simhash_pairs_found": sim_pairs,
             "sparse_cosine_pairs": sparse_pairs,
+            "window_occurrences": int(wd.w),
+            "window_dup_occurrences": int(wd.d),
             "n_clean": n_clean,
             "semantic_n_vecs": n_vecs,
             "semantic_k": k_sem,
@@ -308,6 +328,10 @@ def main() -> None:
                 ),
                 "simhash_candidate_factor": round(
                     b["simhash_candidates"] / max(1, a["simhash_candidates"]), 2
+                ),
+                "window_occurrence_factor": round(
+                    b["window_occurrences"] / max(1, a["window_occurrences"]),
+                    2,
                 ),
                 "runtime_factor": round(b["total_sec"] / a["total_sec"], 2),
             }

@@ -1324,3 +1324,121 @@ def knn_graph(
         .filter(F.col("rn") <= k)
         .select("src", "dst", "dot")
     )
+
+
+def window_dedup(
+    docs: DataFrame,
+    *,
+    window_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-substring dedup at sliding token-window
+    grain with keep-first-occurrence trimming (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv 2107.06499 §3: remove every repeated >=N-token substring,
+    retaining one occurrence).
+
+    The stride-1 sibling of :func:`span_dedup`: span_dedup's
+    non-overlapping windows miss boilerplate that is not span-aligned;
+    here EVERY ``window_tokens``-gram is fingerprinted, a fingerprint
+    seen more than once (cross-doc or within-doc) keeps only its
+    globally first occurrence (min (doc_id, start)), and every token
+    covered by a non-first duplicate window is trimmed. Documents are
+    reassembled from surviving tokens.
+
+    Output per input document: (id, n_tokens, n_windows,
+    n_dup_occurrences, n_removed_tokens, clean_md5, clean_tokens).
+
+    Scale design: window fingerprinting is a zero-shuffle generator
+    projection (explode starts + slice + md5) -- the x``window_tokens``
+    text inflation happens inside codegen, only (doc, start, md5) rows
+    ever shuffle, O(corpus tokens) with unskewed keys. The
+    keep-first rank is ONE exchange on the fingerprint; covered
+    positions explode only DUPLICATED occurrences (proportional to the
+    duplicated share, not the corpus); trimming is an anti join on
+    (doc, pos) and reassembly one exchange on doc id. Lee et al.'s
+    suffix array finds arbitrary-length repeats in O(n) on one
+    machine; this fixed-grain form is the shuffle-native equivalent
+    a 1000-executor cluster can run without a giant shared index --
+    any repeat of length >= 2*window_tokens - 1 is fully covered by
+    repeated windows, shorter overlaps are trimmed at window grain.
+    """
+    from .text import TOKENS
+
+    W = window_tokens
+    toks = docs.select(
+        F.col(id_col), F.expr(TOKENS.format(col=text_col)).alias("ws")
+    )
+    # Spark's sequence(a, b) DESCENDS when b < a -- guard short docs
+    starts = F.expr(
+        f"CASE WHEN size(ws) >= {W} THEN sequence(0, size(ws) - {W}) "
+        "ELSE array() END"
+    )
+    occ = toks.select(
+        id_col, F.explode(starts).alias("s"), "ws"
+    ).select(
+        id_col,
+        "s",
+        F.md5(
+            F.array_join(F.expr(f"slice(ws, s + 1, {W})"), " ")
+        ).alias("fp"),
+    )
+    wfp = Window.partitionBy("fp")
+    worder = Window.partitionBy("fp").orderBy(F.col(id_col), F.col("s"))
+    dup = (
+        occ.select(
+            id_col,
+            "s",
+            F.count(F.lit(1)).over(wfp).alias("cnt"),
+            F.row_number().over(worder).alias("rn"),
+        )
+        .filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
+        .select(id_col, "s")
+    )
+    covered = dup.select(
+        id_col, F.explode(F.expr(f"sequence(s, s + {W} - 1)")).alias("pos")
+    ).distinct()
+    tok = toks.select(id_col, F.posexplode("ws").alias("pos", "tok"))
+    kept = tok.join(covered, [id_col, "pos"], "left_anti")
+    base = toks.select(
+        F.col(id_col),
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.expr(f"greatest(size(ws) - {W} + 1, 0)")
+        .cast("long")
+        .alias("n_windows"),
+    )
+    dup_per_doc = dup.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_dup")
+    )
+    clean = kept.groupBy(id_col).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x.tok,
+                ),
+                " ",
+            )
+        ).alias("__clean_md5"),
+        F.count(F.lit(1)).alias("__clean_tokens"),
+    )
+    empty_md5 = F.md5(F.lit(""))
+    kept_n = F.coalesce("__clean_tokens", F.lit(0)).cast("long")
+    # removed tokens == tokens minus survivors: derived, not a third
+    # aggregate-plus-join over the covered set
+    return (
+        base.join(dup_per_doc, id_col, "left")
+        .join(clean, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_windows",
+            F.coalesce("__n_dup", F.lit(0))
+            .cast("long")
+            .alias("n_dup_occurrences"),
+            (F.col("n_tokens") - kept_n).alias("n_removed_tokens"),
+            F.coalesce("__clean_md5", empty_md5).alias("clean_md5"),
+            kept_n.alias("clean_tokens"),
+        )
+    )

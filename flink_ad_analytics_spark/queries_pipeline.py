@@ -1249,6 +1249,71 @@ GROUP BY doc_id
 """
 
 
+# -- sliding-window repeated-substring dedup --------------------------------
+
+_WINDOW_TOKENS = 16
+
+
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window repeated-substring dedup (operators/
+    dedup.py::window_dedup, Lee et al. 2022 semantics): every 16-gram
+    is fingerprinted at stride 1, duplicated fingerprints keep only
+    their globally first occurrence, covered tokens are trimmed, and
+    the per-doc reconstruction is md5-gated. Catches cross-doc
+    boilerplate that span_dedup's non-overlapping grid misses."""
+    from .operators.dedup import window_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return window_dedup(docs, window_tokens=_WINDOW_TOKENS)
+
+
+WINDOW_DEDUP_SQL = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+occ AS MATERIALIZED (
+  SELECT doc_id, s,
+         md5(array_to_string(
+           list_slice(ws, s + 1, s + {_WINDOW_TOKENS}), ' ')) AS fp
+  FROM t, UNNEST(range(0, greatest(len(ws) - {_WINDOW_TOKENS} + 1, 0)))
+       AS u(s)),
+r AS (
+  SELECT doc_id, s,
+         COUNT(*) OVER (PARTITION BY fp) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, s) AS rn
+  FROM occ),
+dup AS (SELECT doc_id, s FROM r WHERE cnt >= 2 AND rn > 1),
+cov AS (
+  SELECT DISTINCT doc_id, pos
+  FROM dup, UNNEST(range(s, s + {_WINDOW_TOKENS})) AS v(pos)),
+tok AS (
+  SELECT doc_id, p - 1 AS pos, ws[p] AS tok
+  FROM t, UNNEST(range(1, len(ws) + 1)) AS w(p)),
+kept AS (
+  SELECT k.doc_id, k.pos, k.tok
+  FROM tok k ANTI JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos),
+clean AS (
+  SELECT doc_id,
+         md5(COALESCE(string_agg(tok, ' ' ORDER BY pos), '')) AS clean_md5,
+         COUNT(*) AS clean_tokens
+  FROM kept GROUP BY doc_id),
+base AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(greatest(len(ws) - {_WINDOW_TOKENS} + 1, 0) AS BIGINT)
+           AS n_windows
+  FROM t),
+d2 AS (SELECT doc_id, COUNT(*) AS n_dup FROM dup GROUP BY doc_id)
+SELECT b.doc_id, n_tokens, n_windows,
+       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_occurrences,
+       n_tokens - CAST(COALESCE(clean_tokens, 0) AS BIGINT)
+         AS n_removed_tokens,
+       COALESCE(clean_md5, md5('')) AS clean_md5,
+       CAST(COALESCE(clean_tokens, 0) AS BIGINT) AS clean_tokens
+FROM base b
+LEFT JOIN d2 USING (doc_id)
+LEFT JOIN clean USING (doc_id)
+"""
+
+
 # -- self-tuning mix rebalance (materialized) ------------------------------
 
 #: non-uniform target: share of src<i> proportional to (i % 4) + 1.
@@ -2895,6 +2960,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "bpe_vocab": (q_bpe_vocab, None),
     "curated_corpus": (q_curated_corpus, CURATED_CORPUS_SQL),
     "span_dedup": (q_span_dedup, SPAN_DEDUP_SQL),
+    "window_dedup": (q_window_dedup, WINDOW_DEDUP_SQL),
     "rebalanced_mix": (q_rebalanced_mix, REBALANCED_MIX_SQL),
     "temperature_mix": (q_temperature_mix, _temperature_mix_oracle()),
     "ann_pq_topk": (q_ann_pq_topk, None),
