@@ -359,3 +359,264 @@ def run_batch(
         # a later statement may read this sink as ITS source
         result.createOrReplaceTempView(name)
     return bound_sinks
+
+
+# -- streaming execution ------------------------------------------------------
+#
+# The reference jobs run with 'execution.runtime-mode' = 'streaming'
+# (flink_job.sql:2, anomaly_job.sql:4). Spark's streaming engine
+# cannot execute their SELECTs as raw SQL -- COUNT(DISTINCT) and
+# OVER windows are unsupported on streams -- so, exactly like Flink's
+# planner, run_streaming RECOGNIZES the logical statement shapes and
+# binds them to the engine's physical streaming operators (the twins
+# in streaming/jobs.py and streaming/stateful.py, each proven
+# value-equal to its batch form in tests/test_streaming.py). The
+# dispatch is structural and fail-fast: a statement that matches no
+# supported shape and cannot run as generic streaming SQL raises.
+
+_S_FROMJOIN_RE = re.compile(
+    r"FROM\s+(\w+)\s+(\w+)\s+LEFT\s+JOIN\s+(\w+)\s+(\w+)\s+ON\s+"
+    r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s+AND\s+"
+    r"(\w+)\.(\w+)\s+BETWEEN\s+(\w+)\.(\w+)\s+AND\s+(\w+)\.(\w+)\s*\+\s*"
+    r"INTERVAL\s+'(\d+)'\s+(\w+)",
+    re.I | re.S,
+)
+_S_GROUP_RE = re.compile(
+    r"GROUP\s+BY\s+window\(\s*(\w+)\.(\w+)\s*,\s*'([^']+)'\s*\)\s*,\s*"
+    r"(\w+)\.(\w+)",
+    re.I | re.S,
+)
+_S_CDIST_RE = re.compile(
+    r"COUNT\s*\(\s*DISTINCT\s+(\w+)\.(\w+)\s*\)\s+as\s+(\w+)", re.I
+)
+_S_COALESCE_RE = re.compile(
+    r"COALESCE\s*\(\s*(\w+)\.(\w+)\s*,\s*'([^']+)'\s*\)\s+as\s+(\w+)", re.I
+)
+_S_LAG_RE = re.compile(
+    r"LAG\s*\(\s*(\w+)\s*(?:,\s*1\s*)?\)\s+OVER\s*\(\s*PARTITION\s+BY\s+"
+    r"(\w+)\s+ORDER\s+BY\s+(\w+)\s*\)",
+    re.I,
+)
+_S_FROM_RE = re.compile(r"FROM\s+(\w+)", re.I)
+
+
+def _interval_str(n: str, unit: str) -> str:
+    return f"{n} {unit.lower()}"
+
+
+def _match_windowed_join_agg(select: str) -> dict | None:
+    """Structural match for the reference's CTR/engagement statement:
+    event-time interval LEFT join + tumbling window + per-key
+    COUNT(DISTINCT) aggregates (flink_job.sql:77-120)."""
+    mj = _S_FROMJOIN_RE.search(select)
+    mg = _S_GROUP_RE.search(select)
+    if not (mj and mg):
+        return None
+    (lt, la, rt, ra,
+     e1a, e1c, e2a, e2c,
+     ba, bc, lo1a, lo1c, lo2a, lo2c, bn, bu) = mj.groups()
+    wa, wc, wsize, ga, gc = mg.groups()
+    # orientation + consistency checks (fail loud on unexpected shapes)
+    if {e1a, e2a} != {la, ra} or e1c != e2c:
+        raise ValueError(f"unsupported join key shape: {select[:120]!r}")
+    if not (ba == ra and lo1a == la and lo2a == la and lo1c == lo2c):
+        raise ValueError(
+            f"unsupported interval-band shape: {select[:120]!r}"
+        )
+    if wa != la or ga != la:
+        raise ValueError(
+            "window/group key must come from the left (probe) stream"
+        )
+    dists = {a: (c, out) for a, c, out in _S_CDIST_RE.findall(select)}
+    if set(dists) != {la, ra}:
+        return None
+    co = _S_COALESCE_RE.search(select)
+    coalesced = None
+    if co and co.group(1) == la and co.group(2) == gc:
+        coalesced = (co.group(3), co.group(4))
+    return {
+        "imp_table": lt,
+        "clk_table": rt,
+        "key": e1c,
+        "imp_time": lo1c,
+        "clk_time": bc,
+        "band": _interval_str(bn, bu),
+        "window": wsize,
+        "group_col": gc,
+        "imp_id": dists[la][0],
+        "click_id": dists[ra][0],
+        "coalesced": coalesced,
+    }
+
+
+def _match_lag_alerts(
+    select: str, views: dict[str, str], ts: TranslatedScript
+) -> dict | None:
+    """Structural match for the anomaly statement: a view computing
+    LAG(ctr) OVER (PARTITION BY key ORDER BY event-time) consumed by a
+    CASE/WHERE alert projection (anomaly_job.sql:49-85)."""
+    mf = _S_FROM_RE.search(select)
+    if not mf or mf.group(1) not in views:
+        return None
+    view_sql = views[mf.group(1)]
+    ml = _S_LAG_RE.search(view_sql)
+    if not ml:
+        return None
+    lag_col, part_col, order_col = ml.groups()
+    mv = _S_FROM_RE.search(view_sql)
+    if not mv:
+        return None
+    src = mv.group(1)
+    return {
+        "source": src,
+        "lag_col": lag_col,
+        "part_col": part_col,
+        "order_col": order_col,
+    }
+
+
+def run_streaming(
+    spark: SparkSession,
+    script: str,
+    streams: dict[str, DataFrame],
+) -> dict[str, DataFrame]:
+    """Execute a translated Flink script in STREAMING mode.
+
+    ``streams`` binds each source table name to a STREAMING DataFrame
+    of its PHYSICAL columns (readStream; in production
+    `streaming/sources.py::kafka_json_stream` -- the broker socket is
+    the one thing this sandbox cannot host, so tests bind the file
+    bus). Computed columns and the DDL's WATERMARK are applied from
+    the verbatim table definitions -- the watermark delay the job
+    declares is the one the stream runs with.
+
+    Each INSERT is dispatched on its logical shape:
+
+    * interval LEFT join + TUMBLE + COUNT(DISTINCT) (flink_job.sql's
+      two statements) -> ``streaming_ctr_windows`` /
+      ``streaming_engagement_windows`` (the dedup-decomposed plans,
+      proven == batch countDistinct semantics);
+    * LAG OVER per key through a view (anomaly_job.sql) ->
+      ``streaming_anomaly_alerts`` (the buffered event-time-ordered
+      stateful operator, proven == batch detect_anomalies);
+    * anything else -> generic streaming SQL over the bound temp
+      views, failing loudly if Spark's streaming engine rejects it.
+
+    Returns {sink name: UNSTARTED streaming DataFrame} with exactly
+    the sink's declared columns; the caller owns writeStream (sink
+    choice, checkpointing, triggers -- streaming/sinks.py). Verbatim
+    two-script chaining works like the reference's topic bus: write
+    stage 1's sink to a bus, readStream it back as stage 2's source.
+    """
+    from ..streaming.jobs import (
+        streaming_ctr_windows,
+        streaming_engagement_windows,
+    )
+    from ..streaming.stateful import streaming_anomaly_alerts
+
+    ts = translate_script(script)
+    missing_binds = sorted(set(ts.sources) - set(streams))
+    if missing_binds:
+        raise KeyError(f"source tables not bound: {missing_binds}")
+    bound: dict[str, DataFrame] = {}
+    raw_bound: dict[str, DataFrame] = {}
+    for name, src in ts.sources.items():
+        df = streams[name]
+        if not df.isStreaming:
+            raise ValueError(f"table {name!r}: bound DataFrame is batch")
+        declared = [c for c, _ in src.columns]
+        missing_cols = sorted(set(declared) - set(df.columns))
+        if missing_cols:
+            raise ValueError(
+                f"table {name!r}: declared columns missing from the "
+                f"bound stream: {missing_cols}"
+            )
+        raw_bound[name] = df.selectExpr(*declared)
+        out = df.selectExpr(
+            *declared, *[f"{expr} AS {col}" for col, expr in src.computed]
+        )
+        if src.watermark is not None:
+            wcol, delay = src.watermark
+            out = out.withWatermark(wcol, delay)
+        bound[name] = out
+
+    views = {n: sql for k, n, sql in ts.statements if k == "view"}
+    results: dict[str, DataFrame] = {}
+    generic_registered = False
+    for kind, name, select in ts.statements:
+        if kind == "view":
+            continue
+        sink_cols = [c for c, _ in ts.tables[name].columns]
+        agg = _match_windowed_join_agg(select)
+        if agg is not None:
+            imp, clk = bound[agg["imp_table"]], bound[agg["clk_table"]]
+            kwargs = dict(
+                key=agg["key"],
+                imp_id=agg["imp_id"],
+                click_id=agg["click_id"],
+                imp_time=agg["imp_time"],
+                click_time=agg["clk_time"],
+                window=agg["window"],
+                band=agg["band"],
+            )
+            if agg["coalesced"] is not None:
+                default, out_name = agg["coalesced"]
+                out = streaming_engagement_windows(
+                    imp, clk,
+                    segment_col=agg["group_col"], default=default, **kwargs,
+                ).withColumnRenamed(agg["group_col"], out_name)
+            else:
+                out = streaming_ctr_windows(
+                    imp, clk, group_key=agg["group_col"], **kwargs
+                )
+            missing_out = sorted(set(sink_cols) - set(out.columns))
+            if missing_out:
+                raise ValueError(
+                    f"INSERT INTO {name}: streaming plan lacks declared "
+                    f"sink columns {missing_out}"
+                )
+            results[name] = out.select(*sink_cols)
+            continue
+        lag = _match_lag_alerts(select, views, ts)
+        if lag is not None:
+            src_def = ts.tables[lag["source"]]
+            # the twin's contract: per-campaign LAG(ctr) ordered by the
+            # window end (the view's event_time is computed AS
+            # window_end -- identity); reject anything else rather than
+            # silently running the wrong operator
+            computed = dict(src_def.computed)
+            order_src = computed.get(lag["order_col"], lag["order_col"])
+            if (
+                lag["part_col"] != "campaign_id"
+                or lag["lag_col"] != "ctr"
+                or order_src.strip() != "window_end"
+            ):
+                raise ValueError(
+                    f"unsupported LAG shape: partition {lag['part_col']}, "
+                    f"lag {lag['lag_col']}, order {order_src}"
+                )
+            delay = (
+                src_def.watermark[1] if src_def.watermark else "10 seconds"
+            )
+            out = streaming_anomaly_alerts(
+                raw_bound[lag["source"]], watermark=delay
+            )
+            results[name] = out.select(*sink_cols)
+            continue
+        # generic fallback: stateless projections/filters run as plain
+        # streaming SQL over the bound views
+        if not generic_registered:
+            for n, df in bound.items():
+                df.createOrReplaceTempView(n)
+            for n, vsql in views.items():
+                spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {n} AS {vsql}")
+            generic_registered = True
+        result = spark.sql(select)
+        if len(result.columns) != len(sink_cols):
+            raise ValueError(
+                f"INSERT INTO {name}: SELECT produces "
+                f"{len(result.columns)} columns, sink declares "
+                f"{len(sink_cols)}"
+            )
+        results[name] = result.toDF(*sink_cols)
+    return results

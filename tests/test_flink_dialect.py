@@ -217,3 +217,152 @@ def test_view_reading_earlier_insert_runs_in_script_order(spark):
     df = spark.createDataFrame([("x", 1), ("x", 2)], "a string, n long")
     out = run_batch(spark, script, {"src": df})
     assert [tuple(r) for r in out["fin"].collect()] == [("x", 6)]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{_REF_DIR}/flink_job.sql"),
+    reason="reference checkout not present",
+)
+def test_reference_jobs_verbatim_streaming(spark, tmp_path):
+    """The reference's own two scripts, untouched, executed in their
+    declared runtime mode ('execution.runtime-mode' = 'streaming'):
+    run_streaming binds the verbatim DDL (computed columns, DDL
+    watermarks) to file streams, stage 1's ctr sink feeds stage 2
+    through a bus exactly like the ctr_results topic, and every sink
+    equals the batch run of the same verbatim scripts -- including the
+    camp-1 DROP -> SPIKE -> DROP sequence."""
+    import pandas as pd
+
+    from flink_ad_analytics_spark.sql.flink_dialect import run_streaming
+    from flink_ad_analytics_spark.streaming.sinks import to_parquet_dir
+    from tests.test_streaming import (
+        _sentinel_clk,
+        _sentinel_imp,
+        _write_halves,
+    )
+
+    with open(f"{_REF_DIR}/flink_job.sql") as f:
+        stage1 = f.read()
+    with open(f"{_REF_DIR}/anomaly_job.sql") as f:
+        stage2 = f.read()
+
+    fx = generate(duration_sec=1200, seed=42)
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    imp_rest = _write_halves(fx.impressions, imp_dir)
+    clk_rest = _write_halves(fx.clicks, clk_dir)
+    imp_stream = spark.readStream.schema(
+        spark.read.parquet(imp_dir).schema
+    ).parquet(imp_dir)
+    clk_stream = spark.readStream.schema(
+        spark.read.parquet(clk_dir).schema
+    ).parquet(clk_dir)
+
+    sinks = run_streaming(
+        spark, stage1, {"impressions": imp_stream, "clicks": clk_stream}
+    )
+    assert set(sinks) == {"ctr_results_sink", "engagement_results_sink"}
+    assert all(df.isStreaming for df in sinks.values())
+    bus = str(tmp_path / "ctr_bus")
+    q_ctr = to_parquet_dir(
+        sinks["ctr_results_sink"], path=bus,
+        checkpoint=str(tmp_path / "ck_ctr"),
+    )
+    q_eng = (
+        sinks["engagement_results_sink"]
+        .writeStream.format("memory").queryName("fd_eng")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_eng"))
+        .start()
+    )
+
+    def _settle():
+        q_ctr.processAllAvailable()
+        q_eng.processAllAvailable()
+
+    _settle()
+    imp_rest.to_parquet(f"{imp_dir}/part-1.parquet", index=False)
+    clk_rest.to_parquet(f"{clk_dir}/part-1.parquet", index=False)
+    _settle()
+    _sentinel_imp().to_parquet(f"{imp_dir}/part-2-s.parquet", index=False)
+    _sentinel_clk().to_parquet(f"{clk_dir}/part-2-s.parquet", index=False)
+    _settle()
+    q_ctr.stop()
+    q_eng.stop()
+
+    # stage 2: the bus IS the ctr_results topic (one-batch replay, same
+    # rationale as test_two_stage_pipeline)
+    bus_schema = spark.read.parquet(bus).schema
+    src = spark.readStream.schema(bus_schema).parquet(bus)
+    out2 = run_streaming(spark, stage2, {"ctr_results_source": src})
+    q_al = (
+        out2["anomaly_alerts_sink"]
+        .writeStream.format("memory").queryName("fd_alerts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_al"))
+        .start()
+    )
+    q_al.processAllAvailable()
+    q_al.stop()
+
+    # batch truth: the SAME verbatim scripts through run_batch
+    imp_raw = spark.createDataFrame(fx.impressions)
+    clk_raw = spark.createDataFrame(fx.clicks)
+    b1 = run_batch(
+        spark, stage1, {"impressions": imp_raw, "clicks": clk_raw}
+    )
+    b2 = run_batch(
+        spark, stage2, {"ctr_results_source": b1["ctr_results_sink"]}
+    )
+
+    def _cmp(streamed_df, batch_df, keys, label):
+        s = (
+            streamed_df.toPandas()
+            .sort_values(keys, kind="stable")
+            .reset_index(drop=True)
+        )
+        b = (
+            batch_df.toPandas()
+            .sort_values(keys, kind="stable")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(s, b, check_dtype=False, obj=label)
+
+    not_sentinel = F.col("campaign_id") != "camp-sentinel"
+    _cmp(
+        spark.read.parquet(bus).filter(not_sentinel),
+        b1["ctr_results_sink"],
+        ["window_start", "campaign_id"],
+        "ctr_results_sink",
+    )
+    # sentinel rows land in a far-future window; real windows are
+    # untouched, so filter by window_start instead of a key column
+    from tests.test_streaming import SENTINEL_MS
+
+    eng_real = F.col("window_start") < F.timestamp_millis(
+        F.lit(SENTINEL_MS)
+    )
+    _cmp(
+        spark.table("fd_eng").filter(eng_real),
+        b1["engagement_results_sink"],
+        ["window_start", "device_type"],
+        "engagement_results_sink",
+    )
+    _cmp(
+        spark.table("fd_alerts").filter(not_sentinel),
+        b2["anomaly_alerts_sink"],
+        ["alert_time", "campaign_id"],
+        "anomaly_alerts_sink",
+    )
+    got = {
+        (r.alert_time.minute, r.alert_type)
+        for r in spark.table("fd_alerts")
+        .filter(F.col("campaign_id") == "camp-1")
+        .collect()
+    }
+    # camp-1 phase boundaries (generate_events.py:108-121): DROP after
+    # 300s, SPIKE after 600s, recovery DROP after 900s (window ends).
+    # In-phase noise adds further alerts; those are value-gated by the
+    # streaming==batch compare above.
+    assert (6, "DROP") in got
+    assert (11, "SPIKE") in got
+    assert (16, "DROP") in got
