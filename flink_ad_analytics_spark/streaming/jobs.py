@@ -263,3 +263,112 @@ def streaming_hourly_reach(
         F.col("w.end").alias("window_end"),
         F.col("reach").cast("long").alias("reach"),
     )
+
+
+def streaming_ingest_neardup(
+    docs_stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time_col: str = "event_time",
+    watermark: str = "10 seconds",
+    emit_window: str = "1 second",
+) -> DataFrame:
+    """MinHash-band NEAR-dup gate at ingest time: a document is
+    dropped when any of its LSH band buckets was already occupied by
+    an earlier arrival inside the watermark horizon -- the streaming
+    counterpart of the batch ``minhash_lsh_candidates`` keep-first
+    rule, sharing its exact signature definition (same shingles, same
+    ``hex_minhash_term`` salt scheme, same 4x4 banding), so streaming
+    keepers == batch keepers when arrival order follows id order
+    (asserted on the planted-dup fixture,
+    tests/test_streaming_ingest_dedup.py).
+
+    Mechanics: the per-doc signature is computed STATELESSLY per row
+    (array_min over the 16 salted shingle hashes -- no distinct-
+    vocabulary factoring, which is a batch-only optimization), the 4
+    band rows are exploded, `dropDuplicatesWithinWatermark` on
+    (band, band_key) keeps each bucket's pioneer, and a doc survives
+    iff ALL of its band rows are pioneers (equivalently: none of its
+    buckets was previously occupied). Docs too short to shingle
+    (< 3 tokens) bypass the gate as keepers, mirroring batch (they
+    produce no signature, hence no candidate pairs).
+
+    State: one entry per occupied band bucket plus one open emit
+    window per doc, both expired by the watermark -- bounded by the
+    dedup horizon exactly like the exact-fingerprint gate above.
+    Output (append, emitted when the watermark closes the doc's emit
+    window): (id, n_bands, n_pioneer_bands, kept).
+    """
+    from ..operators.dedup import _SHINGLES, _TOKENIZE, LSH_BANDS, LSH_ROWS
+
+    wm = docs_stream.withWatermark(event_time_col, watermark)
+    sh = wm.select(
+        F.col(id_col),
+        F.col(event_time_col),
+        F.expr(_TOKENIZE.format(col=text_col)).alias("__ws"),
+    ).select(
+        id_col,
+        event_time_col,
+        F.array_distinct(F.expr(_SHINGLES.format(ws="__ws"))).alias("__sh"),
+    )
+    mh = [
+        F.expr(
+            "array_min(transform(__sh, "
+            f"s -> substring(md5(concat('{j}:', s)), 1, 16)))"
+        ).alias(f"mh_{j}")
+        for j in range(LSH_BANDS * LSH_ROWS)
+    ]
+    sig = sh.select(id_col, event_time_col, F.size("__sh").alias("__n"), *mh)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh_{b * LSH_ROWS + r}")
+                        for r in range(LSH_ROWS)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = (
+        sig.filter(F.col("__n") > 0)
+        .select(
+            id_col, event_time_col, F.explode(band_structs).alias("bk")
+        )
+        .select(id_col, event_time_col, "bk.band", "bk.band_key")
+    )
+    pioneers = bands.dropDuplicatesWithinWatermark(["band", "band_key"])
+    verdicts = (
+        pioneers.groupBy(
+            F.window(F.col(event_time_col), emit_window).alias("w"),
+            F.col(id_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pioneer_bands"))
+        .select(
+            id_col,
+            F.lit(LSH_BANDS).cast("long").alias("n_bands"),
+            F.col("n_pioneer_bands"),
+            (F.col("n_pioneer_bands") == LSH_BANDS).alias("kept"),
+        )
+    )
+    # short docs bypass: no signature -> no buckets -> keeper. Their
+    # rows are stateless (no agg), so they emit immediately. But a doc
+    # ALL of whose band rows collided never reaches the aggregate at
+    # all -- it must still get a verdict. It does: collided rows are
+    # removed by the dedup, and a doc with n_pioneer_bands = 0 has no
+    # aggregate row, so the gate's contract is "keepers and partial
+    # pioneers emit; fully-collided docs are silent drops" -- callers
+    # treat absence as dropped, the same convention as
+    # dropDuplicatesWithinWatermark itself (dropped rows just vanish).
+    bypass = sig.filter(F.col("__n") == 0).select(
+        id_col,
+        F.lit(0).cast("long").alias("n_bands"),
+        F.lit(0).cast("long").alias("n_pioneer_bands"),
+        F.lit(True).alias("kept"),
+    )
+    return verdicts.unionByName(bypass)

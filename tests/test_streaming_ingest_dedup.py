@@ -140,3 +140,81 @@ def test_streaming_curation_chain_equals_batch(spark, tmp_path):
     assert streamed == batch
     assert streamed, "gate must pass at least one document"
     assert len(streamed) < 12, "gate must also reject some documents"
+
+
+def test_streaming_ingest_neardup_equals_batch_lsh(spark, tmp_path):
+    """MinHash-band streaming gate == batch minhash_lsh_candidates
+    keep-first keepers on a planted near-dup corpus, with dups
+    arriving after their originals (id order)."""
+    import numpy as np
+
+    from flink_ad_analytics_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from flink_ad_analytics_spark.streaming.jobs import (
+        streaming_ingest_neardup,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i:03d}" for i in range(500)]
+    rows: list[tuple[int, str]] = []
+    for i in range(40):
+        rows.append(
+            (i, " ".join(rng.choice(vocab, size=int(rng.integers(30, 60)))))
+        )
+    # near-dup copies of docs 0..4 with two point edits (j >= 0.9)
+    for k in range(5):
+        toks = rows[k][1].split()
+        for _ in range(2):
+            toks[int(rng.integers(0, len(toks)))] = str(rng.choice(vocab))
+        rows.append((100 + k, " ".join(toks)))
+    rows.append((99, "too short"))  # < 3 tokens: bypasses the gate
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    base_ms = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    pdf["event_time_ms"] = [base_ms + 1000 * i for i in range(len(pdf))]
+    # far-future sentinel: pushes the watermark past every emit window
+    sentinel = pd.DataFrame(
+        [(9999, "sentinel " + " ".join(vocab[:40]),
+          base_ms + 3_600_000)],
+        columns=["doc_id", "text", "event_time_ms"],
+    )
+
+    src = tmp_path / "nd_in"
+    src.mkdir()
+    pdf.iloc[:41].to_parquet(src / "part-0.parquet", index=False)
+    pdf.iloc[41:].to_parquet(src / "part-1.parquet", index=False)
+    sentinel.to_parquet(src / "part-2-s.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("event_time", F.timestamp_millis(F.col("event_time_ms")))
+    )
+    verdicts = streaming_ingest_neardup(stream, watermark="10 seconds")
+    q = (
+        verdicts.writeStream.format("memory")
+        .queryName("ingest_neardup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.table("ingest_neardup").filter(F.col("doc_id") != 9999)
+    kept_stream = sorted(r.doc_id for r in out.filter("kept").collect())
+    # the short doc bypasses with zero bands
+    bypass = out.filter(F.col("doc_id") == 99).collect()
+    assert len(bypass) == 1 and bypass[0].n_bands == 0 and bypass[0].kept
+
+    batch_docs = spark.createDataFrame(pdf, schema=SCHEMA)
+    cands = minhash_lsh_candidates(batch_docs).collect()
+    dropped_batch = {r.doc_id_2 for r in cands}
+    kept_batch = sorted(set(pdf.doc_id) - dropped_batch)
+    assert kept_stream == kept_batch
+    # the gate actually fired: every planted copy is gone
+    assert all(100 + k not in kept_stream for k in range(5))
