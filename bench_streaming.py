@@ -66,34 +66,62 @@ def main() -> None:
                 f"{clk_dir}/part-{i}.parquet", index=False
             )
 
-        imp_s = file_event_stream(
-            spark, imp_dir, spark.read.parquet(imp_dir).schema,
-            watermark="5 seconds", max_files_per_trigger=1,
-        )
-        clk_s = (
-            file_event_stream(
-                spark, clk_dir, spark.read.parquet(clk_dir).schema,
-                watermark=None, max_files_per_trigger=1,
-                event_time_col="click_time",
+        # Methodology (pinned in round 4 so round-over-round numbers
+        # are comparable): FIXED virtual duration, N independent
+        # repeats of the full pipeline (fresh checkpoint + sink each),
+        # 1-minute load average recorded immediately before each
+        # repeat, and the reported value is the MEDIAN of the repeats
+        # with the min/max band alongside. A repeat whose load average
+        # exceeds ~25% of the core count is flagged loaded=true --
+        # treat its number as suspect rather than silently averaging
+        # it in.
+        repeats = 3
+        if "--repeats" in sys.argv:
+            repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
+        runs = []
+        out_rows = 0
+        for rep in range(repeats):
+            load1 = os.getloadavg()[0]
+            imp_s = file_event_stream(
+                spark, imp_dir, spark.read.parquet(imp_dir).schema,
+                watermark="5 seconds", max_files_per_trigger=1,
             )
-            .drop("event_timestamp")
-            .withWatermark("click_time", "5 seconds")
-        )
-        result = streaming_ctr_windows(
-            imp_s, clk_s, window="1 minute", band="10 minutes"
-        )
-        t0 = time.perf_counter()
-        q = (
-            result.writeStream.format("memory")
-            .queryName("bench_stream")
-            .outputMode("append")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .start()
-        )
-        q.processAllAvailable()
-        elapsed = time.perf_counter() - t0
-        q.stop()
-        out_rows = spark.table("bench_stream").count()
+            clk_s = (
+                file_event_stream(
+                    spark, clk_dir, spark.read.parquet(clk_dir).schema,
+                    watermark=None, max_files_per_trigger=1,
+                    event_time_col="click_time",
+                )
+                .drop("event_timestamp")
+                .withWatermark("click_time", "5 seconds")
+            )
+            result = streaming_ctr_windows(
+                imp_s, clk_s, window="1 minute", band="10 minutes"
+            )
+            t0 = time.perf_counter()
+            q = (
+                result.writeStream.format("memory")
+                .queryName(f"bench_stream_r{rep}")
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt_r{rep}")
+                .start()
+            )
+            q.processAllAvailable()
+            rep_elapsed = time.perf_counter() - t0
+            q.stop()
+            out_rows = spark.table(f"bench_stream_r{rep}").count()
+            runs.append(
+                {
+                    "events_per_sec": round(n_events / rep_elapsed, 1),
+                    "elapsed_sec": round(rep_elapsed, 2),
+                    "load_avg_1m_before": round(load1, 2),
+                    "loaded": load1 > cpus * 0.25,
+                }
+            )
+            print(json.dumps({"repeat": rep, **runs[-1]}), file=sys.stderr)
+        rates = sorted(r["events_per_sec"] for r in runs)
+        median_rate = rates[len(rates) // 2]
+        elapsed = sorted(r["elapsed_sec"] for r in runs)[len(runs) // 2]
 
         # second stage: stateful as-of attribution over the same feed
         from flink_ad_analytics_spark.streaming.asof import (
@@ -129,8 +157,13 @@ def main() -> None:
         # Listener delivery is async: poll until the recorder has seen
         # every input row of both queries (or time out) rather than
         # assuming a fixed drain time.
-        expected = {"bench_stream": n_events + len(fx.impressions),
-                    "bench_asof": n_events}
+        expected = {
+            **{
+                f"bench_stream_r{i}": n_events + len(fx.impressions)
+                for i in range(repeats)
+            },
+            "bench_asof": n_events,
+        }
         deadline = time.monotonic() + 30
         while time.monotonic() < deadline:
             health = recorder.summary()
@@ -144,16 +177,33 @@ def main() -> None:
             ".benchmarks", "streaming_health.json",
         )
         with open(health_path, "w") as f:
-            json.dump(health, f, indent=1)
+            json.dump(
+                {
+                    "methodology": {
+                        "virtual_duration_sec": duration,
+                        "repeats": repeats,
+                        "cpus": cpus,
+                        "state_store": store,
+                        "value_is": "median events/sec over repeats",
+                        "runs": runs,
+                    },
+                    "queries": health,
+                },
+                f,
+                indent=1,
+            )
 
         print(
             json.dumps(
                 {
                     "metric": "streaming_ctr_throughput",
-                    "value": round(n_events / elapsed, 1),
+                    "value": median_rate,
                     "unit": "events/sec",
+                    "band": [rates[0], rates[-1]],
+                    "repeats": repeats,
+                    "runs": runs,
                     "events": n_events,
-                    "elapsed_sec": round(elapsed, 2),
+                    "elapsed_sec": elapsed,
                     "result_rows": out_rows,
                     "state_store": store,
                     "virtual_duration_sec": duration,

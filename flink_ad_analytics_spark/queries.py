@@ -538,6 +538,19 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: single scan, map-side partial aggregation, 6 output groups;
     the shipdate filter pushes into the parquet scan.
+
+    Decimal-vs-long-cents, measured (tools/decimal_bench.py,
+    .benchmarks/decimal_longcents.json): summing exact integer cents /
+    micros with ``try_sum(long)`` is 2.0x (sf1) / 2.2x (sf10) faster
+    than these decimal sums and value-identical after rescaling, with
+    overflow turned into NULL (a sound rerun-exact trigger) instead of
+    a silent wrap. REJECTED as the shipped default: the charge
+    accumulator wraps past ~2.3e9 rows per group (100 TB territory for
+    skewed groups), so the fast path needs a detect-and-rerun second
+    pass -- two-path complexity for a query that is not a bench
+    bottleneck. The recipe stays in decimal_bench.py for pipelines
+    where money aggregation IS the dominant cost and group sizes are
+    bounded.
     """
     li = load_table(spark, sf_dir, "lineitem")
     # Money columns are exact 2dp (tests/test_testdata_contract.py), so

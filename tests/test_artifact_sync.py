@@ -45,4 +45,9 @@ def test_core_artifacts_present_and_shaped():
     floor = _load("rowgroup_floor.json")
     assert floor["stock"]["max_task_row_share"] == 1.0
     health = _load("streaming_health.json")
-    assert all(s["total_input_rows"] > 0 for s in health.values())
+    assert all(
+        s["total_input_rows"] > 0 for s in health["queries"].values()
+    )
+    meth = health["methodology"]
+    assert meth["repeats"] >= 3 and len(meth["runs"]) == meth["repeats"]
+    assert all("load_avg_1m_before" in r for r in meth["runs"])

@@ -1,0 +1,177 @@
+#!/usr/bin/env python3
+"""Decimal hot-path experiment (round-3 verdict ask #9): can an
+overflow-guarded long-cents accumulation replace decimal aggregation
+in the pricing-summary shape, and what would it buy?
+
+Three physically different aggregations of the same TPC-H Q1-style
+scan, all value-equal where exact:
+
+* ``decimal``     -- the shipped plan: exact decimal(12,2) operands,
+                     scale-6 products, decimal sums (the compact-long
+                     BigDecimal fast path, see q_pricing_summary).
+* ``long_cents``  -- money as BIGINT cents: products become exact
+                     integer micros, sums are plain long sums. Fast,
+                     but a long sum SILENTLY WRAPS on overflow under
+                     non-ANSI semantics, and at 100 TB the headroom is
+                     thin: sum(charge_micros) over ~6e11 rows of
+                     ~4e9-micro charges ~ 2.4e21 >> 2^63-1 ~ 9.2e18.
+                     Included as the speed ceiling, not a candidate.
+* ``try_cents``   -- the overflow-GUARDED form: ``try_sum`` returns
+                     NULL on overflow instead of wrapping, so a
+                     runtime fallback to the decimal path is sound
+                     (NULL result -> rerun exact). The question this
+                     artifact answers: is try_sum(long) enough faster
+                     than sum(decimal) to justify the two-path
+                     complexity?
+
+Per-group results are asserted equal across all three (cents paths
+rescaled) before timings are recorded; each form is timed over
+``repeats`` fresh runs and the median is kept, with the 1-minute load
+average recorded per run (the streaming-bench methodology).
+
+Writes .benchmarks/decimal_longcents.json with the accept/reject
+decision; the docstrings in queries.py::q_pricing_summary /
+numeric_profile stay the authority on what shipped and why.
+
+Usage: python3 tools/decimal_bench.py [sf_dir] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_ad_analytics_spark.session import build_session  # noqa: E402
+from flink_ad_analytics_spark.sources.batch import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale_data/sf1"
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(
+        app_name="fas-decimal-bench",
+        cpus=cpus,
+        shuffle_partitions=max(32, cpus),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate")
+        <= F.lit("2000-09-02 00:00:00").cast("timestamp_ntz")
+    )
+
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_d = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    tax_d = F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast(
+        "decimal(4,2)"
+    )
+
+    def plan_decimal():
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(price_d).alias("sum_base_price"),
+            F.sum(price_d * disc_d).alias("sum_disc_price"),
+            F.sum(price_d * disc_d * tax_d).alias("sum_charge"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    # cents operands: exact by the 2dp money contract
+    # (tests/test_testdata_contract.py). disc/tax become integer
+    # per-cent factors in [0,200]; products are exact integer
+    # "micro-money" (cents * pct * pct = 1e-6 dollars).
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
+
+    def plan_cents(sum_fn):
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            sum_fn(price_c).alias("sum_base_cents"),
+            sum_fn(price_c * disc_c).alias("sum_disc_e4"),
+            sum_fn(price_c * disc_c * tax_c).alias("sum_charge_e6"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    try_sum = lambda c: F.try_sum(c)  # noqa: E731
+
+    # value equivalence before any timing
+    dec = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in plan_decimal().collect()
+    }
+    cen = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in plan_cents(F.sum).collect()
+    }
+    tcen = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in plan_cents(try_sum).collect()
+    }
+    assert set(dec) == set(cen) == set(tcen)
+    for k in dec:
+        assert int(dec[k].sum_base_price * 100) == cen[k].sum_base_cents == tcen[k].sum_base_cents, k
+        assert int(dec[k].sum_disc_price * 10_000) == cen[k].sum_disc_e4 == tcen[k].sum_disc_e4, k
+        assert int(dec[k].sum_charge * 1_000_000) == cen[k].sum_charge_e6 == tcen[k].sum_charge_e6, k
+
+    def timed(label, fn):
+        samples = []
+        for _ in range(repeats):
+            load1 = os.getloadavg()[0]
+            t0 = time.perf_counter()
+            fn().collect()
+            samples.append(
+                {
+                    "sec": round(time.perf_counter() - t0, 3),
+                    "load_avg_1m_before": round(load1, 2),
+                }
+            )
+        med = sorted(s["sec"] for s in samples)[len(samples) // 2]
+        print(f"{label}: median {med}s {samples}", file=sys.stderr)
+        return {"median_sec": med, "runs": samples}
+
+    results = {
+        "decimal": timed("decimal", plan_decimal),
+        "long_cents": timed("long_cents", lambda: plan_cents(F.sum)),
+        "try_cents": timed("try_cents", lambda: plan_cents(try_sum)),
+    }
+    speedup = round(
+        results["decimal"]["median_sec"]
+        / max(results["try_cents"]["median_sec"], 1e-9),
+        2,
+    )
+    payload = {
+        "metric": "pricing_aggregate_seconds",
+        "sf_dir": sf_dir,
+        "repeats": repeats,
+        "results": results,
+        "try_cents_speedup_vs_decimal": speedup,
+        "values_equal": True,
+        "overflow_headroom_note": (
+            "charge micros ~ 4e9/row: a single long accumulator wraps "
+            "past ~2.3e9 rows/group; try_sum turns wrap into NULL "
+            "(sound fallback trigger), plain sum silently corrupts"
+        ),
+    }
+    out = json.dumps(payload)
+    print(out)
+    bench_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".benchmarks",
+    )
+    with open(os.path.join(bench_dir, "decimal_longcents.json"), "w") as f:
+        f.write(out + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
