@@ -158,7 +158,7 @@ def canonicalize_url(
     )
 
 
-def canonical_cte_sql(extra_cols: str = "") -> str:
+def canonical_cte_sql(extra_cols: str = "", url_expr: str | None = None) -> str:
     """DuckDB CTE chain mirroring :func:`with_synth_url` +
     :func:`canonicalize_url` over the ``documents`` view, ending in a
     CTE named ``canon`` with columns ``doc_id, raw_url, canon_url,
@@ -167,7 +167,7 @@ def canonical_cte_sql(extra_cols: str = "") -> str:
     twin is the Column pipeline in :func:`_canon_cols`."""
     return f"""
 raw AS (SELECT doc_id{extra_cols},
-               {synth_url_expr()} AS raw_url FROM documents),
+               {url_expr or synth_url_expr()} AS raw_url FROM documents),
 s1 AS (SELECT *, regexp_replace(raw_url, '#.*$', '') AS defrag FROM raw),
 s2 AS (SELECT *, lower(regexp_extract(defrag, '^[^:]+')) AS scheme,
          substr(defrag,
@@ -190,8 +190,9 @@ s5 AS (SELECT *,
               WHEN scheme = 'https' AND port = ':443' THEN ''
               ELSE port END AS cport,
          regexp_replace(path, '/+$', '') AS url_path,
-         array_to_string(list_sort(list_filter(
-             string_split(query, '&'), p -> {_KEEP_PARAM})), '&') AS qs
+         COALESCE(array_to_string(list_sort(list_filter(
+             string_split(query, '&'), p -> {_KEEP_PARAM})), '&'), '')
+           AS qs
        FROM s4),
 canon AS (SELECT doc_id{extra_cols}, raw_url,
          scheme || '://' || url_domain || cport || url_path
@@ -288,4 +289,100 @@ def domain_reputation(
     return rep.withColumn(
         "n_docs_admitted",
         F.when(F.col("rep_keep"), F.col("n_docs")).otherwise(F.lit(0)),
+    )
+
+
+def synth_url_colliding_expr(
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    path_mod: int = 150,
+) -> str:
+    """Variant of :func:`synth_url_expr` whose PATH is keyed on
+    ``doc_id % path_mod`` instead of the unique doc_id, so distinct
+    raw URLs (different scheme case / www / ports / tracking params)
+    COLLIDE after canonicalization whenever two docs share
+    (source, doc_id mod path_mod) -- the substrate for URL-grain
+    dedup, which is only correct post-canonicalization."""
+    i, s = id_col, source_col
+    return (
+        f"CASE {i} % 4 WHEN 0 THEN 'http://' WHEN 1 THEN 'https://' "
+        f"WHEN 2 THEN 'HTTPS://WWW.' ELSE 'https://www.' END "
+        f"|| CASE WHEN {i} % 4 = 2 THEN upper({s}) ELSE {s} END "
+        f"|| '.example.com' "
+        # default ports only, so the port never splits a canon group
+        f"|| CASE WHEN {i} % 5 = 0 THEN ':443' ELSE '' END "
+        f"|| '/Articles/' || CAST({i} % {path_mod} AS STRING) "
+        f"|| CASE WHEN {i} % 3 = 0 THEN '/' ELSE '' END "
+        f"|| CASE WHEN {i} % 2 = 0 THEN '?utm_source=feed' "
+        f"ELSE '?ref=rss' END "
+        f"|| CASE WHEN {i} % 7 = 0 THEN '#section-2' ELSE '' END"
+    )
+
+
+def url_dedup(
+    docs_with_canon: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-grain exact dedup (the first dedup stage of C4: one
+    document per canonical URL): group on ``canon_url``, keep the
+    min-id representative, report group size and how many RAW
+    spellings the canonical form absorbed.
+
+    One shuffle on the canonical-URL key (high-cardinality, unskewed)
+    with map-side partial aggregation -- the optimal exact-dedup plan
+    at any scale, same shape as content ``exact_dedup``.
+    """
+    return (
+        docs_with_canon.groupBy("canon_url")
+        .agg(
+            F.min(id_col).alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("raw_url").alias("n_raw_variants"),
+        )
+    )
+
+
+def domain_suffixes_expr(domain_col: str = "url_domain") -> str:
+    """SQL expression (Spark dialect) producing the label-suffix set
+    of a domain: 'a.b.example.com' -> ['a.b.example.com',
+    'b.example.com', 'example.com', 'com']. A blocklist entry blocks a
+    domain iff it appears in this set (suffix-match semantics)."""
+    d = domain_col
+    return (
+        f"transform(sequence(1, size(split({d}, '\\\\.'))), "
+        f"i -> array_join(slice(split({d}, '\\\\.'), i, "
+        f"size(split({d}, '\\\\.')) - i + 1), '.'))"
+    )
+
+
+def domain_blocklist_filter(
+    docs_with_domain: DataFrame,
+    blocklist: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Suffix-matching domain blocklist gate: a document is blocked
+    when ANY label-suffix of its ``url_domain`` appears in the
+    blocklist (blocking 'example.com' blocks 'a.b.example.com').
+
+    ``blocklist`` is a one-column DataFrame (``blocked_domain``).
+    Plan: the domain explodes into its <= #labels suffixes (a handful
+    per row) and EQUI-joins the broadcast blocklist -- no theta/regex
+    join, so at 100 TB this is a plain broadcast hash semi-join on a
+    short string key even with a multi-million-entry blocklist
+    (at which point the broadcast flips to a shuffle semi-join on the
+    same key, still never a cross product). Returns the input rows
+    plus a ``blocked`` flag.
+    """
+    suffixes = F.expr(domain_suffixes_expr())
+    exploded = docs_with_domain.select(
+        F.col(id_col), F.explode(suffixes).alias("blocked_domain")
+    )
+    hits = (
+        exploded.join(F.broadcast(blocklist), "blocked_domain", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    return docs_with_domain.join(hits, id_col, "left").withColumn(
+        "blocked", F.coalesce(F.col("blocked"), F.lit(False))
     )

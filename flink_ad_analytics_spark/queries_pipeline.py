@@ -2919,8 +2919,89 @@ GROUP BY url_domain
 """
 
 
+_BLOCKLIST = ("src3.example.com", "src7.example.com", "example.org")
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-grain exact dedup (operators/web.py::url_dedup) over the
+    COLLIDING fixture synthesizer: raw URLs that differ in scheme
+    case / www / default port / tracking params collapse to one
+    canonical URL, and one document per canonical URL survives --
+    C4's first dedup stage, correct only post-canonicalization."""
+    from .operators.web import (
+        canonicalize_url,
+        synth_url_colliding_expr,
+        url_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "raw_url", F.expr(synth_url_colliding_expr())
+    )
+    return url_dedup(canonicalize_url(docs))
+
+
+def _url_dedup_sql() -> str:
+    from .operators.web import canonical_cte_sql, synth_url_colliding_expr
+
+    return f"""
+WITH {canonical_cte_sql(url_expr=synth_url_colliding_expr())}
+SELECT canon_url,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_raw_variants
+FROM canon
+GROUP BY canon_url
+"""
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-matching domain blocklist gate (operators/web.py::
+    domain_blocklist_filter): the domain explodes into its label
+    suffixes and equi-joins a broadcast blocklist -- never a
+    theta/regex join. Reported per domain."""
+    from .operators.web import (
+        canonicalize_url,
+        domain_blocklist_filter,
+        with_synth_url,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bl = spark.createDataFrame(
+        [(d,) for d in _BLOCKLIST], "blocked_domain string"
+    )
+    gated = domain_blocklist_filter(
+        canonicalize_url(with_synth_url(docs)), bl
+    )
+    return gated.groupBy("url_domain", "blocked").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _domain_blocklist_sql() -> str:
+    from .operators.web import canonical_cte_sql
+
+    bl = ", ".join(f"'{d}'" for d in _BLOCKLIST)
+    return f"""
+WITH {canonical_cte_sql()},
+lbl AS (SELECT doc_id, url_domain,
+               string_split(url_domain, '.') AS labels FROM canon),
+gated AS (
+  SELECT doc_id, url_domain,
+         len(list_intersect(
+           list_transform(range(1, len(labels) + 1),
+             i -> array_to_string(list_slice(labels, i, len(labels)), '.')),
+           [{bl}])) > 0 AS blocked
+  FROM lbl)
+SELECT url_domain, blocked, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM gated
+GROUP BY url_domain, blocked
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "c4_quality": (q_c4_quality, _c4_quality_sql()),
+    "url_dedup": (q_url_dedup, _url_dedup_sql()),
+    "domain_blocklist": (q_domain_blocklist, _domain_blocklist_sql()),
     "url_canonicalize": (q_url_canonicalize, _url_canonicalize_sql()),
     "domain_caps": (q_domain_caps, _domain_caps_sql()),
     "domain_reputation": (q_domain_reputation, _domain_reputation_sql()),

@@ -129,3 +129,49 @@ def test_domain_reputation_thresholds(spark):
         "doc_id long, url_domain string, n_chars long, text string",
     )
     assert domain_reputation(edge).collect()[0].rep_keep
+
+
+def test_url_dedup_collapses_raw_variants(spark):
+    from flink_ad_analytics_spark.operators.web import url_dedup
+
+    rows = [
+        (1, "HTTPS://WWW.A.Example.com:443/p?utm_x=1"),
+        (2, "https://a.example.com/p"),           # same canonical as 1
+        (3, "https://a.example.com/p/#frag"),     # same canonical as 1
+        (4, "https://a.example.com/q"),           # distinct
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, raw_url string")
+    from flink_ad_analytics_spark.operators.web import canonicalize_url
+
+    out = {r.canon_url: r for r in url_dedup(canonicalize_url(docs)).collect()}
+    grp = out["https://a.example.com/p"]
+    assert grp.n_docs == 3 and grp.keeper_doc_id == 1
+    assert grp.n_raw_variants == 3
+    assert out["https://a.example.com/q"].n_docs == 1
+
+
+def test_domain_blocklist_suffix_semantics(spark):
+    from flink_ad_analytics_spark.operators.web import (
+        domain_blocklist_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "bad.example.com"),
+            (2, "a.b.bad.example.com"),   # subdomain of a blocked entry
+            (3, "notbad.example.com"),    # suffix must respect label
+                                          # boundaries: NOT blocked
+            (4, "good.example.org"),
+            (5, "bad.example.com.evil.net"),  # blocked name as a NON-
+                                              # suffix infix: not blocked
+        ],
+        "doc_id long, url_domain string",
+    )
+    bl = spark.createDataFrame(
+        [("bad.example.com",)], "blocked_domain string"
+    )
+    got = {
+        r.doc_id: r.blocked
+        for r in domain_blocklist_filter(docs, bl).collect()
+    }
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: False}
