@@ -603,6 +603,17 @@ def run_streaming(
             )
             results[name] = out.select(*sink_cols)
             continue
+        wd = _match_windowed_distinct_agg(select)
+        if wd is not None:
+            out = _build_windowed_distinct_agg(bound[wd["table"]], wd)
+            missing_out = sorted(set(sink_cols) - set(out.columns))
+            if missing_out:
+                raise ValueError(
+                    f"INSERT INTO {name}: streaming plan lacks declared "
+                    f"sink columns {missing_out}"
+                )
+            results[name] = out.select(*sink_cols)
+            continue
         # generic fallback: stateless projections/filters run as plain
         # streaming SQL over the bound views
         if not generic_registered:
@@ -620,3 +631,104 @@ def run_streaming(
             )
         results[name] = result.toDF(*sink_cols)
     return results
+
+
+_S_GROUP_SINGLE_RE = re.compile(
+    r"GROUP\s+BY\s+window\(\s*(?:(\w+)\.)?(\w+)\s*,\s*'([^']+)'\s*\)\s*"
+    r"(?:,\s*(?:(\w+)\.)?(\w+))?\s*;?\s*$",
+    re.I | re.S,
+)
+_S_FROM_SINGLE_RE = re.compile(
+    r"FROM\s+(\w+)(?:\s+(?!GROUP\b)(\w+))?\s+GROUP\s+BY", re.I | re.S
+)
+_S_OTHER_AGG_RE = re.compile(
+    r"\b(?:SUM|AVG|MIN|MAX)\s*\(|COUNT\s*\(\s*(?!DISTINCT)", re.I
+)
+_S_CDIST_OPT_RE = re.compile(
+    r"COUNT\s*\(\s*DISTINCT\s+(?:(\w+)\.)?(\w+)\s*\)\s+as\s+(\w+)", re.I
+)
+
+
+def _match_windowed_distinct_agg(select: str) -> dict | None:
+    """Structural match for a SINGLE-source tumbling aggregate whose
+    aggregates are all COUNT(DISTINCT ...) -- the remaining Flink-SQL
+    statement shape Spark streaming cannot run natively. Rewritten by
+    dedup-decomposition (dropDuplicatesWithinWatermark per distinct
+    column, then plain counts -- the proven streaming_ctr technique),
+    exactly equal to the batch countDistinct semantics."""
+    mf = _S_FROM_SINGLE_RE.search(select)
+    mg = _S_GROUP_SINGLE_RE.search(select)
+    if not (mf and mg):
+        return None
+    table, alias = mf.groups()
+    wa, tcol, wiv, ka, kcol = mg.groups()
+    names_ok = {alias, table, None}
+    if wa not in names_ok or ka not in names_ok:
+        return None
+    if _S_OTHER_AGG_RE.search(select):
+        return None  # mixed aggregates: out of this rewrite's scope
+    dists = [
+        (a, c, out)
+        for a, c, out in _S_CDIST_OPT_RE.findall(select)
+        if (a or None) in names_ok or a == ""
+    ]
+    if not dists:
+        return None
+    # projection list: everything between SELECT and FROM, each item
+    # one of window.start/window.end/key/COUNT(DISTINCT ...) [as name]
+    body = re.search(r"SELECT\s+(.*?)\s+FROM\s", select, re.I | re.S)
+    projections: list[tuple[str, str]] = []  # (source, out name)
+    for item in _split_top_level_commas(body.group(1)):
+        item = item.strip()
+        m = re.match(r"^(.*?)\s+as\s+(\w+)$", item, re.I | re.S)
+        expr, out = (m.group(1), m.group(2)) if m else (item, None)
+        expr = expr.strip()
+        prefix = r"(?:\w+\.)?"
+        if re.fullmatch(r"window\.start", expr, re.I):
+            projections.append(("w.start", out or "start"))
+        elif re.fullmatch(r"window\.end", expr, re.I):
+            projections.append(("w.end", out or "end"))
+        elif kcol and re.fullmatch(prefix + kcol, expr, re.I):
+            projections.append((kcol, out or kcol))
+        else:
+            md = _S_CDIST_OPT_RE.fullmatch(item)
+            if md and (md.group(1) or None) in {alias, table, None}:
+                projections.append((f"__cd_{md.group(2)}", md.group(3)))
+            else:
+                return None  # unsupported projection -> not this shape
+    return {
+        "table": table,
+        "tcol": tcol,
+        "window": wiv,
+        "key": kcol,
+        "distincts": [(c, out) for _, c, out in dists],
+        "projections": projections,
+    }
+
+
+def _build_windowed_distinct_agg(bound_df: DataFrame, m: dict) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    keys = [m["key"]] if m["key"] else []
+    agg = None
+    for col, _out in m["distincts"]:
+        d = bound_df.select(
+            F.window(F.col(m["tcol"]), m["window"]).alias("w"),
+            *keys,
+            F.col(col),
+        ).dropDuplicatesWithinWatermark(["w", *keys, col])
+        c = d.groupBy("w", *keys).agg(
+            F.count(F.col(col)).alias(f"__cd_{col}")
+        )
+        # every (window, key) group that exists in one leg exists in
+        # all legs (dedup keeps >= 1 row per group), so left join
+        # loses nothing; coalesce is belt-and-braces for the
+        # all-null-column case
+        agg = c if agg is None else agg.join(c, ["w", *keys], "left")
+    cols = []
+    for src, out in m["projections"]:
+        if src.startswith("__cd_"):
+            cols.append(F.coalesce(F.col(src), F.lit(0)).alias(out))
+        else:
+            cols.append(F.col(src).alias(out))
+    return agg.select(*cols)

@@ -366,3 +366,54 @@ def test_reference_jobs_verbatim_streaming(spark, tmp_path):
     assert (6, "DROP") in got
     assert (11, "SPIKE") in got
     assert (16, "DROP") in got
+
+
+def test_inline_script_streaming_equals_batch(spark, tmp_path):
+    """run_streaming's dedup-decomposition rewrite for single-source
+    windowed COUNT(DISTINCT): the inline dialect script streamed ==
+    run_batch of the same script."""
+    import pandas as pd
+
+    from flink_ad_analytics_spark.fixtures import generate
+    from flink_ad_analytics_spark.sql.flink_dialect import run_streaming
+    from tests.test_streaming import _sentinel_imp, _write_halves
+
+    fx = generate(duration_sec=900, seed=7)
+    imp_dir = str(tmp_path / "imp")
+    rest = _write_halves(fx.impressions, imp_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(imp_dir).schema
+    ).parquet(imp_dir)
+    out = run_streaming(spark, _INLINE, {"imps": stream})
+    assert set(out) == {"counts_sink"} and out["counts_sink"].isStreaming
+    q = (
+        out["counts_sink"]
+        .writeStream.format("memory").queryName("inline_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    rest.to_parquet(f"{imp_dir}/part-1.parquet", index=False)
+    q.processAllAvailable()
+    _sentinel_imp().to_parquet(f"{imp_dir}/part-2-s.parquet", index=False)
+    q.processAllAvailable()
+    q.stop()
+
+    batch = run_batch(
+        spark, _INLINE, {"imps": spark.createDataFrame(fx.impressions)}
+    )["counts_sink"]
+    s = (
+        spark.table("inline_counts")
+        .filter(F.col("campaign_id") != "camp-sentinel")
+        .toPandas()
+        .sort_values(["window_start", "campaign_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        batch.toPandas()
+        .sort_values(["window_start", "campaign_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(s, b, check_dtype=False)
+    assert len(s) > 0
