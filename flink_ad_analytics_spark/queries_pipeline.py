@@ -2919,6 +2919,92 @@ GROUP BY url_domain
 """
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dump-over-dump corpus diff: classify every document across two
+    corpus snapshots as added / removed / changed / unchanged by id +
+    content fingerprint -- the audit every periodically-refreshed
+    training corpus runs before reprocessing (only 'added'+'changed'
+    need the expensive downstream stages; incremental_dedup is the
+    dedup-side twin of this idea).
+
+    The second snapshot is a deterministic in-query mutation of the
+    fixture (drop id%11, revise text of id%7, add a copy at id+10^6
+    for id%13) so every change class is populated and the oracle is
+    SQL-reproducible. Plan: one md5 projection per side, ONE
+    full-outer shuffle join on the id, aggregate to class counts with
+    a membership-pinning id checksum. At 100 TB both sides scan once
+    and join on the id key (unskewed); snapshots stored id-bucketed
+    make it a zero-exchange SMJ (sources/bucketed.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select("doc_id", F.md5("text").alias("fp"))
+    new = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.md5(F.concat(F.col("text"), F.lit(" (rev2)"))),
+            ).otherwise(F.md5("text")).alias("fp"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.md5("text").alias("fp"),
+            )
+        )
+    )
+    o = old.select(F.col("doc_id"), F.col("fp").alias("fp_old"))
+    n = new.select(F.col("doc_id"), F.col("fp").alias("fp_new"))
+    j = o.join(n, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("fp_old").isNull(), "added")
+        .when(F.col("fp_new").isNull(), "removed")
+        .when(F.col("fp_old") != F.col("fp_new"), "changed")
+        .otherwise("unchanged")
+    )
+    h_int = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        j.select(F.col("doc_id"), change.alias("change_type"), h_int.alias("h"))
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("h").alias("id_checksum"),
+        )
+    )
+
+
+CORPUS_DIFF_SQL = """
+WITH old AS (SELECT doc_id, md5(text) AS fp_old FROM documents),
+new_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN md5(text || ' (rev2)')
+              ELSE md5(text) END AS fp_new
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp_new
+  FROM documents WHERE doc_id % 13 = 0),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, fp_old, fp_new
+  FROM old o FULL OUTER JOIN new_docs n ON o.doc_id = n.doc_id),
+c AS (
+  SELECT doc_id,
+         CASE WHEN fp_old IS NULL THEN 'added'
+              WHEN fp_new IS NULL THEN 'removed'
+              WHEN fp_old <> fp_new THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM j)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8))
+                AS BIGINT)) AS BIGINT) AS id_checksum
+FROM c
+GROUP BY change_type
+"""
+
+
 _BLOCKLIST = ("src3.example.com", "src7.example.com", "example.org")
 
 
@@ -3001,6 +3087,7 @@ GROUP BY url_domain, blocked
 PIPELINE_QUERIES: dict[str, tuple] = {
     "c4_quality": (q_c4_quality, _c4_quality_sql()),
     "url_dedup": (q_url_dedup, _url_dedup_sql()),
+    "corpus_diff": (q_corpus_diff, CORPUS_DIFF_SQL),
     "domain_blocklist": (q_domain_blocklist, _domain_blocklist_sql()),
     "url_canonicalize": (q_url_canonicalize, _url_canonicalize_sql()),
     "domain_caps": (q_domain_caps, _domain_caps_sql()),
