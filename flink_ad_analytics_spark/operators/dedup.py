@@ -1384,16 +1384,17 @@ def window_dedup(
             F.array_join(F.expr(f"slice(ws, s + 1, {W})"), " ")
         ).alias("fp"),
     )
-    wfp = Window.partitionBy("fp")
     worder = Window.partitionBy("fp").orderBy(F.col(id_col), F.col("s"))
+    # rn > 1 alone identifies non-first occurrences of a repeated
+    # fingerprint (a second row number existing implies >= 2
+    # occurrences), so no separate COUNT window function is needed
     dup = (
         occ.select(
             id_col,
             "s",
-            F.count(F.lit(1)).over(wfp).alias("cnt"),
             F.row_number().over(worder).alias("rn"),
         )
-        .filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
+        .filter(F.col("rn") > 1)
         .select(id_col, "s")
     )
     covered = dup.select(

@@ -130,7 +130,8 @@ def canonicalize_url(
     df: DataFrame, url_col: str = "raw_url"
 ) -> DataFrame:
     """Add ``canon_url``, ``url_host``, ``url_domain``, ``url_path``
-    derived from ``url_col``. One codegen projection, zero shuffle."""
+    (and ``scheme``) derived from ``url_col``. One codegen
+    projection, zero shuffle."""
     c = _canon_cols(url_col)
     staged = (
         df.withColumn("__rest", c["__rest"])

@@ -450,7 +450,7 @@ def _match_windowed_join_agg(select: str) -> dict | None:
 
 
 def _match_lag_alerts(
-    select: str, views: dict[str, str], ts: TranslatedScript
+    select: str, views: dict[str, str]
 ) -> dict | None:
     """Structural match for the anomaly statement: a view computing
     LAG(ctr) OVER (PARTITION BY key ORDER BY event-time) consumed by a
@@ -577,7 +577,7 @@ def run_streaming(
                 )
             results[name] = out.select(*sink_cols)
             continue
-        lag = _match_lag_alerts(select, views, ts)
+        lag = _match_lag_alerts(select, views)
         if lag is not None:
             src_def = ts.tables[lag["source"]]
             # the twin's contract: per-campaign LAG(ctr) ordered by the
