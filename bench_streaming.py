@@ -119,9 +119,15 @@ def main() -> None:
                 }
             )
             print(json.dumps({"repeat": rep, **runs[-1]}), file=sys.stderr)
-        rates = sorted(r["events_per_sec"] for r in runs)
-        median_rate = rates[len(rates) // 2]
-        elapsed = sorted(r["elapsed_sec"] for r in runs)[len(runs) // 2]
+        # the reported value and elapsed_sec come from ONE
+        # representative run (the lower-median by rate for even N) so
+        # value * elapsed == n_events always holds -- independently
+        # sorted medians would describe two different runs
+        ordered = sorted(runs, key=lambda r: r["events_per_sec"])
+        rep = ordered[(len(ordered) - 1) // 2]
+        rates = [r["events_per_sec"] for r in ordered]
+        median_rate = rep["events_per_sec"]
+        elapsed = rep["elapsed_sec"]
 
         # second stage: stateful as-of attribution over the same feed
         from flink_ad_analytics_spark.streaming.asof import (

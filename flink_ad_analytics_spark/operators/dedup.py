@@ -1040,11 +1040,14 @@ def containment_pairs(
     return directed.filter(F.col("containment") >= threshold)
 
 
-def _lsh_bands(sig: DataFrame, id_col: str) -> DataFrame:
-    """(id, band, band_key) from a minhash_signatures frame: one pass,
-    exploding an array of per-band structs (a union of per-band
-    selects would re-execute the signature pipeline once per band)."""
-    band_structs = F.array(
+def lsh_band_structs() -> F.Column:
+    """THE band-key definition, shared by the batch path (_lsh_bands)
+    and the streaming ingest gate (streaming/jobs.py::
+    streaming_ingest_neardup): an array of (band, band_key) structs
+    over mh_0..mh_{N-1} columns, 4 bands x concat_ws('|') of 4 rows.
+    One definition so the two modes cannot silently diverge -- their
+    keeper-equivalence test rests on identical bucketing."""
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -1055,8 +1058,14 @@ def _lsh_bands(sig: DataFrame, id_col: str) -> DataFrame:
             for b in range(LSH_BANDS)
         ]
     )
+
+
+def _lsh_bands(sig: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, band_key) from a minhash_signatures frame: one pass,
+    exploding an array of per-band structs (a union of per-band
+    selects would re-execute the signature pipeline once per band)."""
     return sig.select(
-        F.col(id_col), F.explode(band_structs).alias("bk")
+        F.col(id_col), F.explode(lsh_band_structs()).alias("bk")
     ).select(id_col, "bk.band", "bk.band_key")
 
 
@@ -1258,17 +1267,18 @@ def knn_graph(
         # the stratum contract, enforced (not just documented): the
         # arrow path collects the stratum to the driver to broadcast
         # its matrix, so a caller handing it a raw corpus must fail
-        # loudly BEFORE the driver OOMs. limit(cap+1).count() probes
-        # at most cap+1 rows -- no full count of an oversized input.
-        over = q.limit(max_stratum + 1).count()
-        if over > max_stratum:
+        # loudly BEFORE the driver OOMs. ONE bounded job: collect at
+        # most cap+1 rows and check the length -- a separate
+        # count-probe would both re-execute the projection and race a
+        # growing/non-deterministic input between probe and collect.
+        rows = q.limit(max_stratum + 1).collect()
+        if len(rows) > max_stratum:
             raise ValueError(
                 f"knn_graph(arrow=True) input exceeds max_stratum="
                 f"{max_stratum} rows: this exact all-pairs form is for "
                 "strata/samples; use the ANN family (IVF/LSH) for "
                 "corpus-scale candidate generation"
             )
-        rows = q.collect()
         if not rows:
             # empty stratum: same graceful empty edges the HOF twin
             # produces (np.stack on [] would raise)

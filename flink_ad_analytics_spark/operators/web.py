@@ -239,9 +239,7 @@ def domain_caps(
 def domain_reputation(
     docs: DataFrame,
     *,
-    id_col: str = "doc_id",
     chars_col: str = "n_chars",
-    text_col: str = "text",
     min_docs: int = 5,
     quality_chars: int = 250,
     min_quality_pct: int = 30,

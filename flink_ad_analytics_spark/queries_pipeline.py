@@ -1278,10 +1278,9 @@ occ AS MATERIALIZED (
        AS u(s)),
 r AS (
   SELECT doc_id, s,
-         COUNT(*) OVER (PARTITION BY fp) AS cnt,
          ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, s) AS rn
   FROM occ),
-dup AS (SELECT doc_id, s FROM r WHERE cnt >= 2 AND rn > 1),
+dup AS (SELECT doc_id, s FROM r WHERE rn > 1),
 cov AS (
   SELECT DISTINCT doc_id, pos
   FROM dup, UNNEST(range(s, s + {_WINDOW_TOKENS})) AS v(pos)),

@@ -427,6 +427,14 @@ def _match_windowed_join_agg(select: str) -> dict | None:
         raise ValueError(
             "window/group key must come from the left (probe) stream"
         )
+    if wc != lo1c:
+        # the streaming plan windows on the join band's lower-bound
+        # column; a GROUP BY window over a DIFFERENT time column would
+        # be silently misbound -- reject instead
+        raise ValueError(
+            f"GROUP BY window time column {wc!r} differs from the "
+            f"interval band's event-time column {lo1c!r}"
+        )
     dists = {a: (c, out) for a, c, out in _S_CDIST_RE.findall(select)}
     if set(dists) != {la, ra}:
         return None
@@ -579,6 +587,15 @@ def run_streaming(
             continue
         lag = _match_lag_alerts(select, views)
         if lag is not None:
+            if lag["source"] not in raw_bound:
+                # view-over-view or an undeclared FROM: out of the
+                # twin's shape -- fail with the dispatcher's
+                # documented error, not a bare KeyError
+                raise ValueError(
+                    f"unsupported LAG shape: view reads FROM "
+                    f"{lag['source']!r}, which is not a bound source "
+                    "table"
+                )
             src_def = ts.tables[lag["source"]]
             # the twin's contract: per-campaign LAG(ctr) ordered by the
             # window end (the view's event_time is computed AS
@@ -693,7 +710,10 @@ def _match_windowed_distinct_agg(select: str) -> dict | None:
         else:
             md = _S_CDIST_OPT_RE.fullmatch(item)
             if md and (md.group(1) or None) in {alias, table, None}:
-                projections.append((f"__cd_{md.group(2)}", md.group(3)))
+                # legs are keyed by the OUTPUT alias, not the source
+                # column: two COUNT(DISTINCT same_col) projections
+                # must build two distinctly-named legs
+                projections.append((f"__cd_{md.group(3)}", md.group(3)))
             else:
                 return None  # unsupported projection -> not this shape
     return {
@@ -711,14 +731,14 @@ def _build_windowed_distinct_agg(bound_df: DataFrame, m: dict) -> DataFrame:
 
     keys = [m["key"]] if m["key"] else []
     agg = None
-    for col, _out in m["distincts"]:
+    for col, out in m["distincts"]:
         d = bound_df.select(
             F.window(F.col(m["tcol"]), m["window"]).alias("w"),
             *keys,
             F.col(col),
         ).dropDuplicatesWithinWatermark(["w", *keys, col])
         c = d.groupBy("w", *keys).agg(
-            F.count(F.col(col)).alias(f"__cd_{col}")
+            F.count(F.col(col)).alias(f"__cd_{out}")
         )
         # every (window, key) group that exists in one leg exists in
         # all legs (dedup keeps >= 1 row per group), so left join

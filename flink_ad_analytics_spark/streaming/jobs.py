@@ -300,7 +300,14 @@ def streaming_ingest_neardup(
     Output (append, emitted when the watermark closes the doc's emit
     window): (id, n_bands, n_pioneer_bands, kept).
     """
-    from ..operators.dedup import _SHINGLES, _TOKENIZE, LSH_BANDS, LSH_ROWS
+    from ..functions.hashing import hex_minhash_term
+    from ..operators.dedup import (
+        _SHINGLES,
+        _TOKENIZE,
+        LSH_BANDS,
+        LSH_ROWS,
+        lsh_band_structs,
+    )
 
     wm = docs_stream.withWatermark(event_time_col, watermark)
     sh = wm.select(
@@ -312,33 +319,27 @@ def streaming_ingest_neardup(
         event_time_col,
         F.array_distinct(F.expr(_SHINGLES.format(ws="__ws"))).alias("__sh"),
     )
+    # per-row minhash through the SHARED hash-family definition
+    # (functions/hashing.py::hex_minhash_term) and the SHARED band-key
+    # builder (operators/dedup.py::lsh_band_structs) -- the batch
+    # equivalence this gate promises rests on identical definitions,
+    # so neither is re-spelled here.
+    # NOTE the closure factory: `lambda s, j=j: ...` would make
+    # F.transform see a TWO-parameter lambda and bind j to the array
+    # INDEX (pyspark passes (element, index) to binary lambdas) --
+    # silently hashing with a Column repr as the salt.
+    def _term(j: int):
+        return lambda s: hex_minhash_term(s, j)
+
     mh = [
-        F.expr(
-            "array_min(transform(__sh, "
-            f"s -> substring(md5(concat('{j}:', s)), 1, 16)))"
-        ).alias(f"mh_{j}")
+        F.array_min(F.transform(F.col("__sh"), _term(j))).alias(f"mh_{j}")
         for j in range(LSH_BANDS * LSH_ROWS)
     ]
     sig = sh.select(id_col, event_time_col, F.size("__sh").alias("__n"), *mh)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"mh_{b * LSH_ROWS + r}")
-                        for r in range(LSH_ROWS)
-                    ],
-                ).alias("band_key"),
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
     bands = (
         sig.filter(F.col("__n") > 0)
         .select(
-            id_col, event_time_col, F.explode(band_structs).alias("bk")
+            id_col, event_time_col, F.explode(lsh_band_structs()).alias("bk")
         )
         .select(id_col, event_time_col, "bk.band", "bk.band_key")
     )

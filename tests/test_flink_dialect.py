@@ -417,3 +417,77 @@ def test_inline_script_streaming_equals_batch(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(s, b, check_dtype=False)
     assert len(s) > 0
+
+
+def test_inline_multi_distinct_streaming_equals_batch(spark, tmp_path):
+    """Two COUNT(DISTINCT) columns in one statement exercise the
+    dedup-decomposition's leg JOIN (legs keyed by OUTPUT alias, so
+    same-column double-distincts cannot collide either)."""
+    import pandas as pd
+
+    from flink_ad_analytics_spark.fixtures import generate
+    from flink_ad_analytics_spark.sql.flink_dialect import run_streaming
+    from tests.test_streaming import _sentinel_imp, _write_halves
+
+    script = """
+    CREATE TABLE imps (
+        impression_id STRING,
+        campaign_id STRING,
+        event_timestamp BIGINT,
+        event_time AS TO_TIMESTAMP_LTZ(event_timestamp, 3),
+        WATERMARK FOR event_time AS event_time - INTERVAL '5' SECOND
+    ) WITH ('connector' = 'kafka', 'topic' = 't-in');
+    CREATE TABLE wide_sink (
+        window_start TIMESTAMP(3),
+        window_end TIMESTAMP(3),
+        n_imps BIGINT,
+        n_camps BIGINT
+    ) WITH ('connector' = 'kafka', 'topic' = 't-out');
+    INSERT INTO wide_sink
+    SELECT
+        TUMBLE_START(event_time, INTERVAL '1' MINUTE) as window_start,
+        TUMBLE_END(event_time, INTERVAL '1' MINUTE) as window_end,
+        COUNT(DISTINCT impression_id) as n_imps,
+        COUNT(DISTINCT campaign_id) as n_camps
+    FROM imps
+    GROUP BY TUMBLE(event_time, INTERVAL '1' MINUTE);
+    """
+    fx = generate(duration_sec=600, seed=11)
+    imp_dir = str(tmp_path / "imp")
+    rest = _write_halves(fx.impressions, imp_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(imp_dir).schema
+    ).parquet(imp_dir)
+    out = run_streaming(spark, script, {"imps": stream})
+    q = (
+        out["wide_sink"]
+        .writeStream.format("memory").queryName("wide_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    rest.to_parquet(f"{imp_dir}/part-1.parquet", index=False)
+    q.processAllAvailable()
+    _sentinel_imp().to_parquet(f"{imp_dir}/part-2-s.parquet", index=False)
+    q.processAllAvailable()
+    q.stop()
+
+    batch = run_batch(
+        spark, script, {"imps": spark.createDataFrame(fx.impressions)}
+    )["wide_sink"]
+    # drop the sentinel's far-future window on the streamed side
+    import datetime as dt
+
+    cutoff = dt.datetime(2024, 1, 1) + dt.timedelta(hours=2)
+    s = (
+        spark.table("wide_counts")
+        .filter(F.col("window_start") < F.lit(cutoff))
+        .toPandas().sort_values("window_start").reset_index(drop=True)
+    )
+    b = (
+        batch.filter(F.col("window_start") < F.lit(cutoff))
+        .toPandas().sort_values("window_start").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(s, b, check_dtype=False)
+    assert len(s) > 0 and (s.n_camps >= 1).all()
