@@ -175,3 +175,38 @@ def test_domain_blocklist_suffix_semantics(spark):
         for r in domain_blocklist_filter(docs, bl).collect()
     }
     assert got == {1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_canonicalize_is_idempotent_on_fixture_corpus(spark):
+    """Canonical URLs are FIXED POINTS of the canonicalizer: feeding
+    canon_url back in as raw_url must return it unchanged, over the
+    full messy fixture synthesis (both variants). A canonicalizer
+    without this property silently splits URL-dedup groups depending
+    on how many normalization passes a pipeline happened to run."""
+    from flink_ad_analytics_spark.operators.web import (
+        synth_url_colliding_expr,
+    )
+
+    for expr in (None, synth_url_colliding_expr()):
+        docs = spark.createDataFrame(
+            [(i, f"src{i % 7}") for i in range(200)],
+            "doc_id long, source string",
+        )
+        if expr is None:
+            first = canonicalize_url(with_synth_url(docs))
+        else:
+            first = canonicalize_url(
+                docs.withColumn("raw_url", F.expr(expr))
+            )
+        again = canonicalize_url(
+            first.select("doc_id", F.col("canon_url").alias("raw_url"))
+        )
+        diff = (
+            first.select("doc_id", "canon_url")
+            .join(
+                again.select("doc_id", F.col("canon_url").alias("c2")),
+                "doc_id",
+            )
+            .filter(F.col("canon_url") != F.col("c2"))
+        )
+        assert diff.count() == 0, diff.limit(3).collect()
