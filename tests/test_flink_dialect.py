@@ -491,3 +491,64 @@ def test_inline_multi_distinct_streaming_equals_batch(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(s, b, check_dtype=False)
     assert len(s) > 0 and (s.n_camps >= 1).all()
+
+
+def test_generic_stateless_streaming_fallback(spark, tmp_path):
+    """An INSERT that matches no twin shape (stateless projection +
+    filter) runs through run_streaming's generic streaming-SQL branch,
+    including a script view, and equals the batch run."""
+    import pandas as pd
+
+    from flink_ad_analytics_spark.fixtures import generate
+    from flink_ad_analytics_spark.sql.flink_dialect import run_streaming
+
+    script = """
+    CREATE TABLE imps (
+        impression_id STRING,
+        campaign_id STRING,
+        event_timestamp BIGINT,
+        cost DECIMAL(10, 2),
+        event_time AS TO_TIMESTAMP_LTZ(event_timestamp, 3),
+        WATERMARK FOR event_time AS event_time - INTERVAL '5' SECOND
+    ) WITH ('connector' = 'kafka', 'topic' = 't-in');
+    CREATE TABLE pricey_sink (
+        impression_id STRING,
+        campaign_id STRING,
+        cost_cents BIGINT
+    ) WITH ('connector' = 'kafka', 'topic' = 't-out');
+    CREATE VIEW pricey AS
+    SELECT impression_id, campaign_id,
+           CAST(cost * 100 AS BIGINT) AS cost_cents
+    FROM imps WHERE cost >= 0.05;
+    INSERT INTO pricey_sink SELECT impression_id, campaign_id, cost_cents
+    FROM pricey;
+    """
+    fx = generate(duration_sec=300, seed=3)
+    imp_dir = str(tmp_path / "imp")
+    import os
+
+    os.makedirs(imp_dir)
+    fx.impressions.to_parquet(f"{imp_dir}/part-0.parquet", index=False)
+    stream = spark.readStream.schema(
+        spark.read.parquet(imp_dir).schema
+    ).parquet(imp_dir)
+    out = run_streaming(spark, script, {"imps": stream})
+    q = (
+        out["pricey_sink"]
+        .writeStream.format("memory").queryName("pricey_rows")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    batch = run_batch(
+        spark, script, {"imps": spark.createDataFrame(fx.impressions)}
+    )["pricey_sink"]
+    s = (
+        spark.table("pricey_rows").toPandas()
+        .sort_values(["impression_id"]).reset_index(drop=True)
+    )
+    b = batch.toPandas().sort_values(["impression_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, b, check_dtype=False)
+    assert len(s) > 0
