@@ -157,6 +157,73 @@ def main() -> None:
         q2.stop()
         asof_rows = spark.table("bench_asof").count()
 
+        # third stage: the MinHash-band near-dup ingest gate
+        # (streaming/jobs.py::streaming_ingest_neardup) over a planted
+        # 5%-dup document corpus -- per-row 16-way salted shingle
+        # hashing + band dedup + verdict agg, the most compute-dense
+        # stateful gate in the curation family; docs/sec is its ops
+        # number (documents are ~40-120 tokens, i.e. hundreds of
+        # hashed shingles per doc)
+        import numpy as np
+        import pandas as pd
+
+        from bench_scale import make_corpus
+        from flink_ad_analytics_spark.streaming.jobs import (
+            streaming_ingest_neardup,
+        )
+
+        n_docs_nd = 25_000
+        corpus, _planted = make_corpus(n_docs_nd)
+        corpus = corpus.reset_index(drop=True)
+        base_ms = 1_704_067_200_000
+        corpus["event_time_ms"] = base_ms + np.arange(len(corpus)) * 40
+        nd_dir = f"{tmp}/nd"
+        os.makedirs(nd_dir)
+        files = 8
+        for i in range(files):
+            corpus.iloc[
+                i * len(corpus) // files : (i + 1) * len(corpus) // files
+            ].to_parquet(f"{nd_dir}/part-{i}.parquet", index=False)
+        from pyspark.sql import functions as F
+
+        # two micro-batch shapes, because the gate's cost is dominated
+        # by PER-TRIGGER stateful machinery (state-store commits +
+        # planning, ~10s/trigger here), not by the hashing (the whole
+        # corpus signs in ~3s batch-side): 1-file triggers measure the
+        # latency shape, all-files-at-once the throughput shape --
+        # Spark's standard micro-batch dial.
+        nd_stats = {}
+        for shape, max_files in (("8_triggers", "1"), ("1_trigger", None)):
+            reader = spark.readStream.schema(
+                spark.read.parquet(nd_dir).schema
+            )
+            if max_files:
+                reader = reader.option("maxFilesPerTrigger", max_files)
+            nd_stream = reader.parquet(nd_dir).withColumn(
+                "event_time", F.timestamp_millis(F.col("event_time_ms"))
+            )
+            verdicts = streaming_ingest_neardup(
+                nd_stream, watermark="10 seconds", shuffle_docs=cpus
+            )
+            t2 = time.perf_counter()
+            q3 = (
+                verdicts.writeStream.format("memory")
+                .queryName(f"bench_neardup_{shape}")
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt_nd_{shape}")
+                .start()
+            )
+            q3.processAllAvailable()
+            nd_el = time.perf_counter() - t2
+            q3.stop()
+            nd_stats[shape] = {
+                "docs_per_sec": round(len(corpus) / nd_el, 1),
+                "elapsed_sec": round(nd_el, 2),
+                "kept": spark.table(f"bench_neardup_{shape}")
+                .filter("kept")
+                .count(),
+            }
+
         # per-batch engine health from the listener -> committed
         # artifact (the ops story: rates, state size, watermark, late
         # drops for the exact run that produced the throughput number).
@@ -169,6 +236,7 @@ def main() -> None:
                 for i in range(repeats)
             },
             "bench_asof": n_events,
+            "bench_neardup_8_triggers": len(corpus),
         }
         deadline = time.monotonic() + 30
         while time.monotonic() < deadline:
@@ -216,6 +284,8 @@ def main() -> None:
                     "asof_throughput": round(n_events / asof_elapsed, 1),
                     "asof_elapsed_sec": round(asof_elapsed, 2),
                     "asof_rows": asof_rows,
+                    "neardup_docs": len(corpus),
+                    "neardup": nd_stats,
                     "health_artifact": "streaming_health.json",
                     "max_state_rows": max(
                         (h["max_state_rows"] for h in health.values()), default=0
