@@ -1453,3 +1453,50 @@ def window_dedup(
             kept_n.alias("clean_tokens"),
         )
     )
+
+
+def dedup_clusters_best(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+    threshold: float = 0.2,
+    algorithm: str = "min_label",
+) -> DataFrame:
+    """Quality-aware near-dup cluster keeper: like
+    :func:`dedup_clusters`, but the kept representative of each
+    cluster is the HIGHEST-QUALITY member (``quality_col`` DESC, id
+    ASC tie-break), not the minimum id -- what production dedup
+    actually ships (keep the longest / best-scored page of a
+    boilerplate cluster, drop its truncated mirrors).
+
+    Output per doc: (id, cluster_id, quality_rank, is_keeper).
+    quality_rank is the doc's rank within its cluster under the
+    quality ordering; is_keeper == (quality_rank == 1). Cost over
+    dedup_clusters: one window over the already-shuffled cluster
+    labels (partitioned by cluster_id -- bounded per-cluster state,
+    unskewed unless one cluster swallows the corpus, in which case
+    dedup has bigger problems).
+    """
+    labels = dedup_clusters(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        algorithm=algorithm,
+    ).select(id_col, "cluster_id")
+    q = docs.select(F.col(id_col), F.col(quality_col).alias("__q"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__q").desc(), F.col(id_col).asc()
+    )
+    return (
+        labels.join(q, id_col)
+        .withColumn("quality_rank", F.row_number().over(w).cast("long"))
+        .select(
+            id_col,
+            "cluster_id",
+            "quality_rank",
+            (F.col("quality_rank") == 1).alias("is_keeper"),
+        )
+    )

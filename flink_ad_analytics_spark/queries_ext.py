@@ -21,6 +21,7 @@ from .operators.dedup import (
     containment_pairs,
     cross_corpus_minhash_dups,
     dedup_clusters,
+    dedup_clusters_best,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -197,6 +198,43 @@ SELECT d.doc_id,
        LEAST(d.doc_id, COALESCE(l.min_reach, d.doc_id)) AS cluster_id,
        d.doc_id = LEAST(d.doc_id, COALESCE(l.min_reach, d.doc_id)) AS is_keeper
 FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+"""
+
+
+def q_dedup_clusters_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster keeper (operators/dedup.py::
+    dedup_clusters_best): per near-dup cluster, keep the
+    HIGHEST-QUALITY member (n_chars DESC, id tie-break) instead of the
+    min id -- the keep-best-of-cluster rule production dedup ships.
+    One extra window over the already-shuffled cluster labels."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters_best(docs, threshold=0.2)
+
+
+def _dedup_clusters_best_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs0 AS MATERIALIZED (
+  SELECT doc_id_1, doc_id_2 FROM ({DEDUP_NGRAM_JACCARD_SQL.strip()})),
+edges AS MATERIALIZED (
+  SELECT doc_id_1 AS u, doc_id_2 AS v FROM pairs0
+  UNION ALL
+  SELECT doc_id_2 AS u, doc_id_1 AS v FROM pairs0),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+lbl AS (SELECT u AS doc_id, MIN(v) AS min_reach FROM reach GROUP BY u),
+clustered AS (
+  SELECT d.doc_id, d.n_chars,
+         LEAST(d.doc_id, COALESCE(l.min_reach, d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+SELECT doc_id, cluster_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id) AS BIGINT)
+         AS quality_rank,
+       (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                           ORDER BY n_chars DESC, doc_id) = 1) AS is_keeper
+FROM clustered
 """
 
 
@@ -993,6 +1031,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_lsh_oracle()),
     "incremental_dedup": (q_incremental_dedup, _incremental_dedup_oracle()),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
+    "dedup_clusters_best": (q_dedup_clusters_best, _dedup_clusters_best_oracle()),
     "dedup_clusters_star": (q_dedup_clusters_star, _dedup_clusters_oracle()),
     "simhash_signatures": (q_simhash, SIMHASH_SQL),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _simhash_pairs_oracle()),

@@ -453,3 +453,34 @@ def test_cross_corpus_best_match_tie_rules(spark):
     assert len(got) == 1
     # corpus 0 and 1 both score 1.0: the tie goes to the smaller id
     assert got[0].dup_of == 0 and got[0].jaccard == 1.0
+
+
+def test_dedup_clusters_best_keeps_highest_quality(spark):
+    """Keeper = max n_chars (id tie-break), exactly one per cluster,
+    and clustering identical to dedup_clusters."""
+    from flink_ad_analytics_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_best,
+    )
+
+    a, b, c = "alpha beta gamma delta epsilon zeta", None, None
+    b = a + " eta theta"          # near-dup of a, LONGER -> keeper
+    c = "one two three four five six seven"  # unrelated singleton
+    docs = spark.createDataFrame(
+        [(1, a, len(a)), (2, b, len(b)), (3, c, len(c))],
+        "doc_id long, text string, n_chars long",
+    )
+    best = {r.doc_id: r for r in dedup_clusters_best(docs, threshold=0.2).collect()}
+    assert best[2].is_keeper and not best[1].is_keeper  # longer wins
+    assert best[1].cluster_id == best[2].cluster_id == 1
+    assert best[3].is_keeper and best[3].quality_rank == 1
+    # one keeper per cluster; same clustering as the min-id form
+    plain = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, threshold=0.2).collect()}
+    assert {d: r.cluster_id for d, r in best.items()} == plain
+    # tie on quality -> smaller id wins
+    t = spark.createDataFrame(
+        [(5, a, 100), (6, a + " x", 100)],
+        "doc_id long, text string, n_chars long",
+    )
+    tb = {r.doc_id: r for r in dedup_clusters_best(t, threshold=0.2).collect()}
+    assert tb[5].is_keeper and not tb[6].is_keeper
