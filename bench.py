@@ -116,6 +116,12 @@ def main() -> None:
         # than one run (incremental refresh), not one fresh session
         "n_queries": len(timings),
         "merged_from_subset": merged_from_subset,
+        # true whenever this write involved a subset run -- including a
+        # fresh subset-created artifact with no prior to merge into
+        # (which merged_from_subset alone would misreport as a clean
+        # full-surface run); a later full run rewrites every timing in
+        # one session and correctly resets it
+        "partial": bool(subset),
         "subset_last_run": sorted(names) if subset else None,
     }
 

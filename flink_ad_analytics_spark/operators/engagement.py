@@ -24,9 +24,40 @@ def engagement_windows(
     default: str = "Unknown",
     **kwargs,
 ) -> DataFrame:
-    """CTR-style windowed aggregation keyed by a null-defaulted segment."""
-    segmented = impressions.withColumn(
-        "segment", F.coalesce(F.col(segment_col), F.lit(default))
-    )
+    """CTR-style windowed aggregation keyed by a null-defaulted segment.
+
+    The reference groups on the RAW column and coalesces only in the
+    projection (flink_job.sql:106,118), so a window holding both a
+    NULL and a literal 'Unknown' emits TWO rows. Coalescing before the
+    groupBy -- this operator's shape before round 5 -- merged them.
+    But the raw column can't flow through ctr_windows directly either:
+    its final impression<->click counts join is an equi-join on the
+    group key, and SQL equi-joins drop NULL keys (the NULL segment's
+    clicks would silently vanish). So the segment is TAG-ENCODED to a
+    non-null key for the pipeline ('\\x00' for NULL, '\\x01'+value
+    otherwise -- injective, so no value can collide with the NULL tag)
+    and decoded to COALESCE semantics in the output projection.
+    """
+    segmented = impressions.withColumn("segment", _tag(segment_col))
     out = ctr_windows(segmented, clicks, group_key="segment", **kwargs)
-    return out.withColumnRenamed("segment", segment_col)
+    return out.withColumn("segment", _untag("segment", default)).withColumnRenamed(
+        "segment", segment_col
+    )
+
+
+_NULL_TAG = "\x00"
+
+
+def _tag(col: str) -> F.Column:
+    """Injective non-null encoding of a nullable string key."""
+    return F.when(F.col(col).isNull(), F.lit(_NULL_TAG)).otherwise(
+        F.concat(F.lit("\x01"), F.col(col))
+    )
+
+
+def _untag(col: str, default: str) -> F.Column:
+    """Decode ``_tag`` output, mapping the NULL tag to ``default``
+    (the COALESCE-in-projection of the reference SQL)."""
+    return F.when(F.col(col) == _NULL_TAG, F.lit(default)).otherwise(
+        F.expr(f"substring({col}, 2)")
+    )

@@ -442,6 +442,10 @@ def _match_windowed_join_agg(select: str) -> dict | None:
     coalesced = None
     if co and co.group(1) == la and co.group(2) == gc:
         coalesced = (co.group(3), co.group(4))
+    _verify_join_agg_projections(
+        select, la=la, ra=ra, gc=gc,
+        imp_id=dists[la][0], click_id=dists[ra][0],
+    )
     return {
         "imp_table": lt,
         "clk_table": rt,
@@ -455,6 +459,59 @@ def _match_windowed_join_agg(select: str) -> dict | None:
         "click_id": dists[ra][0],
         "coalesced": coalesced,
     }
+
+
+def _verify_join_agg_projections(
+    select: str, *, la: str, ra: str, gc: str, imp_id: str, click_id: str
+) -> None:
+    """Every SELECT item of a twin-bound statement must be one the twin
+    actually computes; anything else raises (fail-fast contract).
+
+    The structural matcher checks the FROM/JOIN/GROUP/COUNT(DISTINCT)
+    skeleton, but before round 5 it never looked at the remaining
+    projections -- a statement with the same skeleton and a DIFFERENT
+    derived metric (ctr as a percentage, an extra computed column)
+    would silently bind to streaming_ctr_windows' fixed ctr definition.
+    Recognized items: window bounds, the (optionally COALESCEd) group
+    column, the two COUNT(DISTINCT)s, and the ctr CASE with EXACTLY
+    the twin's semantics (clicks/impressions when impressions > 0,
+    else 0.0, aliased ctr).
+    """
+    m = re.search(r"SELECT\s+(.*?)\s+FROM\s", select, re.I | re.S)
+    if not m:
+        raise ValueError(f"unparseable SELECT list: {select[:120]!r}")
+    canonical_ctr = re.sub(r"\s+", " ", (
+        f"CASE WHEN COUNT(DISTINCT {la}.{imp_id}) > 0 "
+        f"THEN CAST(COUNT(DISTINCT {ra}.{click_id}) AS DOUBLE) "
+        f"/ COUNT(DISTINCT {la}.{imp_id}) ELSE 0.0 END as ctr"
+    )).lower()
+    allowed = [
+        re.compile(r"^window\.(start|end)\s+as\s+\w+$", re.I),
+        re.compile(rf"^{la}\.{gc}(\s+as\s+\w+)?$", re.I),
+        re.compile(
+            rf"^COALESCE\s*\(\s*{la}\.{gc}\s*,\s*'[^']*'\s*\)\s+as\s+\w+$",
+            re.I,
+        ),
+        re.compile(
+            rf"^COUNT\s*\(\s*DISTINCT\s+{la}\.{imp_id}\s*\)\s+as\s+\w+$", re.I
+        ),
+        re.compile(
+            rf"^COUNT\s*\(\s*DISTINCT\s+{ra}\.{click_id}\s*\)\s+as\s+\w+$",
+            re.I,
+        ),
+    ]
+    for item in _split_top_level_commas(m.group(1)):
+        flat = re.sub(r"\s+", " ", item.strip())
+        if not flat:
+            continue
+        if any(p.match(flat) for p in allowed):
+            continue
+        if flat.lower() == canonical_ctr:
+            continue
+        raise ValueError(
+            f"unsupported projection in windowed-join statement (the "
+            f"streaming twin computes a fixed metric set): {flat!r}"
+        )
 
 
 def _match_lag_alerts(
@@ -622,6 +679,16 @@ def run_streaming(
             continue
         wd = _match_windowed_distinct_agg(select)
         if wd is not None:
+            if wd["table"] not in bound:
+                # same guard as the LAG branch: a matching statement
+                # reading FROM a script view is out of this twin's
+                # shape -- fail with the dispatcher's documented error,
+                # not a bare KeyError
+                raise ValueError(
+                    f"unsupported windowed COUNT(DISTINCT) shape: reads "
+                    f"FROM {wd['table']!r}, which is not a bound source "
+                    "table"
+                )
             out = _build_windowed_distinct_agg(bound[wd["table"]], wd)
             missing_out = sorted(set(sink_cols) - set(out.columns))
             if missing_out:

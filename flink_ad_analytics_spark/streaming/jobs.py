@@ -122,13 +122,30 @@ def streaming_engagement_windows(
     default: str = "Unknown",
     **kwargs,
 ) -> DataFrame:
-    """Streaming engagement: COALESCE-defaulted segment key
-    (flink_job.sql:102-118)."""
-    segmented = impressions.withColumn(
-        "segment", F.coalesce(F.col(segment_col), F.lit(default))
-    )
+    """Streaming engagement: segment key grouped RAW, COALESCE applied
+    only in the output projection (flink_job.sql:102-118).
+
+    Order matters for a corner case: the reference groups by
+    ``i.device_type`` and coalesces in the SELECT list, so a window
+    holding both a NULL and a literal 'Unknown' emits TWO rows (both
+    displaying 'Unknown'). Coalescing before the groupBy -- the shape
+    this twin had before round 5 -- would merge them into one row,
+    silently diverging from batch/Flink whenever the source domain
+    contains the default literal. The raw nullable key can't be the
+    pipeline key either (the counts join drops NULL equi-keys), so the
+    segment is tag-encoded / decoded exactly like the batch operator
+    (operators/engagement.py:_tag) -- keeping the streaming twin
+    value-equal to batch in every case
+    (tests/test_streaming_recovery.py::
+    test_engagement_null_vs_literal_default).
+    """
+    from ..operators.engagement import _tag, _untag
+
+    segmented = impressions.withColumn("segment", _tag(segment_col))
     out = streaming_ctr_windows(segmented, clicks, group_key="segment", **kwargs)
-    return out.withColumnRenamed("segment", segment_col)
+    return out.withColumn("segment", _untag("segment", default)).withColumnRenamed(
+        "segment", segment_col
+    )
 
 
 def streaming_trending_topk(
@@ -295,11 +312,16 @@ def streaming_ingest_neardup(
     (< 3 tokens) bypass the gate as keepers, mirroring batch (they
     produce no signature, hence no candidate pairs).
 
-    State: one entry per occupied band bucket plus one open emit
-    window per doc, both expired by the watermark -- bounded by the
-    dedup horizon exactly like the exact-fingerprint gate above.
+    State: one entry per occupied band bucket (plus one phantom
+    bucket per doc -- see below) plus one open emit window per doc,
+    all expired by the watermark -- bounded by the dedup horizon
+    exactly like the exact-fingerprint gate above.
     Output (append, emitted when the watermark closes the doc's emit
-    window): (id, n_bands, n_pioneer_bands, kept).
+    window): (id, n_bands, n_pioneer_bands, kept) -- ONE ROW PER
+    SHINGLABLE DOC, including kept=false for fully-collided docs (a
+    per-doc phantom band row guarantees the aggregate sees every doc;
+    before round 5 those docs emitted nothing and drop-counting
+    consumers undercounted).
     """
     from ..functions.hashing import hex_minhash_term
     from ..operators.dedup import (
@@ -361,13 +383,30 @@ def streaming_ingest_neardup(
         )
         .select(id_col, event_time_col, "bk.band", "bk.band_key")
     )
-    pioneers = bands.dropDuplicatesWithinWatermark(["band", "band_key"])
+    # One PHANTOM row per doc (band -1, keyed by the doc id -- the real
+    # bands are 0..LSH_BANDS-1, so no collision) rides through the
+    # bucket dedup untouched: it guarantees every doc reaches the
+    # verdict aggregate even when ALL of its band rows collided.
+    # Without it, fully-collided docs emitted NO row at all (round-4
+    # shape), so a consumer joining verdicts back to the corpus or
+    # counting drops via kept=false silently undercounted (ADVICE r4).
+    # The phantom also absorbs at-least-once redelivery: a duplicate
+    # delivery's phantom dedups on the same (band=-1, doc_id) key.
+    phantom = sig.filter(F.col("__n") > 0).select(
+        id_col,
+        event_time_col,
+        F.lit(-1).alias("band"),
+        F.col(id_col).cast("string").alias("band_key"),
+    )
+    pioneers = bands.unionByName(phantom).dropDuplicatesWithinWatermark(
+        ["band", "band_key"]
+    )
     verdicts = (
         pioneers.groupBy(
             F.window(F.col(event_time_col), emit_window).alias("w"),
             F.col(id_col),
         )
-        .agg(F.count(F.lit(1)).alias("n_pioneer_bands"))
+        .agg((F.count(F.lit(1)) - F.lit(1)).alias("n_pioneer_bands"))
         .select(
             id_col,
             F.lit(LSH_BANDS).cast("long").alias("n_bands"),
@@ -376,14 +415,7 @@ def streaming_ingest_neardup(
         )
     )
     # short docs bypass: no signature -> no buckets -> keeper. Their
-    # rows are stateless (no agg), so they emit immediately. But a doc
-    # ALL of whose band rows collided never reaches the aggregate at
-    # all -- it must still get a verdict. It does: collided rows are
-    # removed by the dedup, and a doc with n_pioneer_bands = 0 has no
-    # aggregate row, so the gate's contract is "keepers and partial
-    # pioneers emit; fully-collided docs are silent drops" -- callers
-    # treat absence as dropped, the same convention as
-    # dropDuplicatesWithinWatermark itself (dropped rows just vanish).
+    # rows are stateless (no agg), so they emit immediately.
     bypass = sig.filter(F.col("__n") == 0).select(
         id_col,
         F.lit(0).cast("long").alias("n_bands"),

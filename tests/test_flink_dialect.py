@@ -116,6 +116,41 @@ def test_unsupported_statement_raises():
         translate_script("BEGIN STATEMENT SET; INSERT INTO s SELECT 1")
 
 
+def test_altered_ctr_formula_rejected_not_misbound():
+    """A statement with the CTR skeleton but a DIFFERENT derived metric
+    (here: ctr as a percentage) must raise, not silently bind to the
+    streaming twin's fixed clicks/impressions definition (ADVICE r4)."""
+    from flink_ad_analytics_spark.sql.flink_dialect import (
+        _match_windowed_join_agg,
+    )
+
+    good = """
+    SELECT window.start as window_start, window.end as window_end,
+           i.campaign_id,
+           COUNT(DISTINCT i.impression_id) as impression_count,
+           COUNT(DISTINCT c.click_id) as click_count,
+           CASE WHEN COUNT(DISTINCT i.impression_id) > 0
+                THEN CAST(COUNT(DISTINCT c.click_id) AS DOUBLE)
+                     / COUNT(DISTINCT i.impression_id)
+                ELSE 0.0 END as ctr
+    FROM impressions i LEFT JOIN clicks c
+      ON i.impression_id = c.impression_id
+      AND c.event_time BETWEEN i.event_time
+          AND i.event_time + INTERVAL '10' MINUTE
+    GROUP BY window(i.event_time, '1 minute'), i.campaign_id
+    """
+    assert _match_windowed_join_agg(good) is not None
+    pct = good.replace("AS DOUBLE)\n", "AS DOUBLE) * 100.0\n")
+    assert pct != good
+    with pytest.raises(ValueError, match="unsupported projection"):
+        _match_windowed_join_agg(pct)
+    extra = good.replace(
+        "i.campaign_id,", "i.campaign_id, i.ad_id as ad_id,", 1
+    )
+    with pytest.raises(ValueError, match="unsupported projection"):
+        _match_windowed_join_agg(extra)
+
+
 @pytest.mark.skipif(
     not os.path.exists(f"{_REF_DIR}/flink_job.sql"),
     reason="reference checkout not present",

@@ -218,3 +218,11 @@ def test_streaming_ingest_neardup_equals_batch_lsh(spark, tmp_path):
     assert kept_stream == kept_batch
     # the gate actually fired: every planted copy is gone
     assert all(100 + k not in kept_stream for k in range(5))
+    # one-row-per-doc contract (round 5): EVERY doc gets a verdict --
+    # fully-collided docs emit an explicit kept=false row instead of
+    # silently vanishing, so drop-counting consumers see them
+    verdict_ids = sorted(r.doc_id for r in out.collect())
+    assert verdict_ids == sorted(pdf.doc_id)
+    dropped_rows = out.filter(~F.col("kept")).collect()
+    assert {r.doc_id for r in dropped_rows} == {100 + k for k in range(5)}
+    assert all(r.n_pioneer_bands < r.n_bands for r in dropped_rows)

@@ -161,3 +161,77 @@ def test_streaming_engagement_equals_batch(spark, fx, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(streamed[batch.columns], batch, check_dtype=False)
+
+
+def test_engagement_null_vs_literal_default(spark, tmp_path):
+    """A window holding both a NULL device_type and a LITERAL 'Unknown'
+    device_type must emit TWO rows (both displaying 'Unknown'), exactly
+    like the reference SQL that groups on the raw column and coalesces
+    only in the projection (flink_job.sql:106,118). The pre-round-5
+    twin coalesced before grouping and silently merged them -- this is
+    the regression gate for that fix (ADVICE r4)."""
+    base_ms = 1704067200000
+    imp = pd.DataFrame(
+        [
+            {"impression_id": f"imp-{i}", "user_id": "u", "campaign_id": "c",
+             "ad_id": "a", "device_type": dt, "browser": "chrome",
+             "event_timestamp": base_ms + 1000 * i, "cost": 0.01}
+            for i, dt in enumerate([None, None, None, "Unknown", "Unknown"])
+        ]
+    )
+    clk = pd.DataFrame(
+        [
+            {"click_id": "clk-0", "impression_id": "imp-0", "user_id": "u",
+             "event_timestamp": base_ms + 1500},
+            {"click_id": "clk-3", "impression_id": "imp-3", "user_id": "u",
+             "event_timestamp": base_ms + 4500},
+        ]
+    )
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    os.makedirs(imp_dir)
+    os.makedirs(clk_dir)
+    imp.to_parquet(f"{imp_dir}/part-0.parquet", index=False)
+    clk.to_parquet(f"{clk_dir}/part-0.parquet", index=False)
+    _sentinel_imp().to_parquet(f"{imp_dir}/part-1.parquet", index=False)
+    _sentinel_clk().to_parquet(f"{clk_dir}/part-1.parquet", index=False)
+
+    i, c = _streams(spark, imp_dir, clk_dir)
+    result = streaming_engagement_windows(
+        i, c, window="1 minute", band="10 minutes"
+    )
+    q = (
+        result.writeStream.format("memory")
+        .queryName("eng_null_lit")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = (
+        spark.table("eng_null_lit")
+        .filter(F.col("window_start") < F.timestamp_millis(F.lit(SENTINEL_MS)))
+        .toPandas()
+        .sort_values(["impression_count"])
+        .reset_index(drop=True)
+    )
+    # two rows, both 'Unknown': (3 null imps, 1 click) + (2 literal, 1)
+    assert list(streamed["device_type"]) == ["Unknown", "Unknown"]
+    assert sorted(zip(streamed["impression_count"], streamed["click_count"])) \
+        == [(2, 1), (3, 1)]
+
+    imp_b = spark.createDataFrame(imp).withColumn(
+        "event_time", F.timestamp_millis(F.col("event_timestamp"))
+    )
+    clk_b = spark.createDataFrame(clk).withColumn(
+        "click_time", F.timestamp_millis(F.col("event_timestamp"))
+    ).drop("event_timestamp")
+    batch = (
+        engagement_windows(imp_b, clk_b, window="1 minute", band="10 minutes")
+        .toPandas()
+        .sort_values(["impression_count"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        streamed[batch.columns], batch, check_dtype=False
+    )

@@ -68,6 +68,14 @@ def main() -> None:
         ".benchmarks",
         f"query_floor_sf{sf}.json",
     )
+    # Subset runs merge into the existing artifact (same contract as
+    # bench.py): a re-measure of two queries must not clobber the
+    # committed full-surface floor file.
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f).get("queries", {})
+        prior.update(out)
+        out = prior
     payload = {
         "sf_dir": sf_dir,
         "note": (
