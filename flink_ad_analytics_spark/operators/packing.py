@@ -159,3 +159,116 @@ def pack_sequences_greedy(
         "n_tokens",
         "bin_id",
     )
+
+
+def token_budget_shards(
+    docs: DataFrame,
+    *,
+    seed: int = 41,
+    shard_token_budget: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Deterministic GLOBAL corpus shuffle + fixed-token-budget shard
+    assignment: the training-order materialization step between a
+    packed corpus and a data loader.
+
+    Every doc gets a pseudo-random total-order key -- the repo's
+    cross-engine decision variable ``md5('<seed>:' || id)`` (same
+    scheme as operators/sampling.py), so membership AND order are
+    exactly reconstructable from (seed, doc ids) alone and the DuckDB
+    oracle reproduces them bit-for-bit. Shards are cut by CUMULATIVE
+    token count in key order: ``shard_id = tokens_before DIV budget``,
+    so every shard except possibly the last spans at least the budget
+    and a doc is never split (the chunker upstream handles
+    over-budget docs).
+
+    Scale design -- the global cumulative sum is the classic
+    distributed prefix-sum, decomposed WITHOUT a single-partition
+    window and with ZERO driver involvement:
+
+    * the first ``bucket_chars`` hex chars of the key form an ORDERED
+      bucket (256 at 2 chars; dial up at 100 TB), so key order ==
+      (bucket, key) order;
+    * per-bucket local row_number + running token sum: one shuffle on
+      the bucket key, windows parallel across buckets (skew bounded by
+      md5 uniformity);
+    * bucket prefix offsets: an aggregate of #buckets rows, windowed
+      over that tiny relation and BROADCAST-joined back.
+
+    Output (one row per doc): id, shuffle_key, global_pos (1-based),
+    doc_tokens, tokens_before, shard_id.
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    base = docs.select(
+        F.col(id_col),
+        key.alias("shuffle_key"),
+        F.expr(f"size({TOKENS.format(col=text_col)})").cast("bigint").alias(
+            "doc_tokens"
+        ),
+    ).withColumn("__bucket", F.substring("shuffle_key", 1, bucket_chars))
+
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy("shuffle_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rn = Window.partitionBy("__bucket").orderBy("shuffle_key", id_col)
+    local = base.select(
+        id_col,
+        "shuffle_key",
+        "__bucket",
+        "doc_tokens",
+        F.row_number().over(w_rn).cast("bigint").alias("__local_pos"),
+        (F.sum("doc_tokens").over(w_in) - F.col("doc_tokens")).alias(
+            "__local_before"
+        ),
+    )
+    totals = base.groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("doc_tokens").alias("__t")
+    )
+    w_b = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__n").over(w_b), F.lit(0)).alias("__n_before"),
+        F.coalesce(F.sum("__t").over(w_b), F.lit(0)).alias("__t_before"),
+    )
+    tokens_before = F.col("__t_before") + F.col("__local_before")
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .select(
+            id_col,
+            "shuffle_key",
+            (F.col("__n_before") + F.col("__local_pos")).alias("global_pos"),
+            "doc_tokens",
+            tokens_before.alias("tokens_before"),
+            F.expr(
+                f"(__t_before + __local_before) div {shard_token_budget}"
+            ).alias("shard_id"),
+        )
+    )
+
+
+def write_token_budget_shards(
+    plan: DataFrame, path: str, *, id_col: str = "doc_id"
+) -> None:
+    """Materialize a ``token_budget_shards`` plan as one directory per
+    shard (``shard_id=K/``), rows stored in global training order.
+
+    ``repartition(shard_id)`` keeps each shard's rows in one task (one
+    file per shard, no tasks-x-shards small files) and
+    ``sortWithinPartitions`` fixes the in-file order, so a loader
+    streaming shard directories in id order replays EXACTLY the
+    (seed)-determined global order with no further sorting.
+    """
+    (
+        plan.repartition(F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "global_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

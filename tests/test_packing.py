@@ -76,3 +76,84 @@ def test_chunks_reconstruct_document(spark):
     assert all(c.n_chunk_tokens <= 10 for c in over)
     starts = sorted(c.chunk_start for c in over)
     assert starts == [0, 5, 10, 15, 20, 25, 30, 35]
+
+
+def test_token_budget_shards_bounds_and_determinism(spark):
+    from flink_ad_analytics_spark.operators.packing import (
+        token_budget_shards,
+    )
+
+    rows = [
+        (i, "s0", " ".join(["w"] * (5 + (i * 17) % 50))) for i in range(200)
+    ]
+    budget = 300
+    out = token_budget_shards(
+        _docs(spark, rows), seed=7, shard_token_budget=budget
+    ).collect()
+    assert len(out) == 200
+    by_pos = sorted(out, key=lambda r: r.global_pos)
+    # global_pos is a 1..N permutation and tokens_before is its exact
+    # running sum in key order
+    assert [r.global_pos for r in by_pos] == list(range(1, 201))
+    assert [r.shuffle_key for r in by_pos] == sorted(r.shuffle_key for r in out)
+    run = 0
+    for r in by_pos:
+        assert r.tokens_before == run
+        assert r.shard_id == run // budget
+        run += r.doc_tokens
+    # budget bounds: every shard's token span covers [k*budget, ...)
+    # and holds < budget + its last doc (docs are never split)
+    by_shard: dict[int, list] = {}
+    for r in by_pos:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    n_shards = max(by_shard) + 1
+    assert sorted(by_shard) == list(range(n_shards))
+    for k, members in by_shard.items():
+        tot = sum(m.doc_tokens for m in members)
+        if k < n_shards - 1:
+            assert tot >= budget - (members[0].tokens_before - k * budget)
+        assert members[0].tokens_before < (k + 1) * budget
+    # same seed -> bit-identical assignment; different seed -> a
+    # different permutation
+    again = token_budget_shards(
+        _docs(spark, rows), seed=7, shard_token_budget=budget
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    other = token_budget_shards(
+        _docs(spark, rows), seed=8, shard_token_budget=budget
+    ).collect()
+    assert [r.doc_id for r in sorted(other, key=lambda r: r.global_pos)] != [
+        r.doc_id for r in by_pos
+    ]
+
+
+def test_write_token_budget_shards_replays_global_order(spark, tmp_path):
+    from flink_ad_analytics_spark.operators.packing import (
+        token_budget_shards,
+        write_token_budget_shards,
+    )
+
+    rows = [
+        (i, "s0", " ".join(["w"] * (5 + (i * 31) % 40))) for i in range(150)
+    ]
+    plan = token_budget_shards(
+        _docs(spark, rows), seed=3, shard_token_budget=250
+    )
+    expected = [
+        (r.shard_id, r.global_pos, r.doc_id)
+        for r in sorted(plan.collect(), key=lambda r: r.global_pos)
+    ]
+    out = str(tmp_path / "shards")
+    write_token_budget_shards(plan, out)
+    # reading shard dirs in shard order, rows in file order, replays
+    # exactly the seed-determined global training order
+    import glob
+
+    replayed = []
+    for k in sorted(
+        int(p.rsplit("=", 1)[1]) for p in glob.glob(f"{out}/shard_id=*")
+    ):
+        pdf = spark.read.parquet(f"{out}/shard_id={k}").toPandas()
+        replayed += [(k, int(p), int(d))
+                     for p, d in zip(pdf.global_pos, pdf.doc_id)]
+    assert replayed == expected
