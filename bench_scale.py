@@ -301,7 +301,140 @@ def run_size(spark, n_docs: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def make_corpus_vectorized(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    """make_corpus at 0.5M-1M docs: the per-doc rng.choice loop is
+    Python-bound (~100us/doc); this draws every token index in one
+    numpy call and joins per doc. Same structure: 40-120-token docs
+    over the 2000-word vocab, ~5% planted near-dup copies with two
+    point edits, shuffled."""
+    rng = np.random.default_rng(seed)
+    sizes = rng.integers(40, 120, size=n_docs)
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    vocab_arr = np.array(VOCAB)
+    toks = vocab_arr[rng.integers(0, len(VOCAB), size=int(offs[-1]))]
+    texts = [
+        " ".join(toks[offs[i]:offs[i + 1]]) for i in range(n_docs)
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    n_pairs = n_docs // 20
+    for k in range(n_pairs):
+        src = rows[k]["text"].split()
+        for _ in range(2):
+            src[rng.integers(0, len(src))] = rng.choice(VOCAB)
+        rows.append({"doc_id": n_docs + k, "text": " ".join(src)})
+    df = pd.DataFrame(rows)
+    return df.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+
+
+def run_big(spark, n_docs: int) -> dict:
+    """Round-5 extension: minhash-LSH + window_dedup ONLY (the two ops
+    whose 100 TB claim rides on the candidate-growth curve) at corpus
+    sizes the full sweep doesn't reach (the other ops' curves are
+    already characterized to 105k; simhash at max_hamming=64 and the
+    O(n*k) exact semantic assignment would dominate the wall here
+    without adding curve information)."""
+    from pyspark.sql import functions as F
+
+    from flink_ad_analytics_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        window_dedup,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="fas_scale_big_")
+    try:
+        corpus = make_corpus_vectorized(n_docs)
+        files = 32
+        for i in range(files):
+            corpus.iloc[
+                i * len(corpus) // files : (i + 1) * len(corpus) // files
+            ].to_parquet(f"{tmp}/part-{i:02d}.parquet", index=False)
+        docs = spark.read.parquet(tmp)
+        timings: dict[str, float] = {}
+
+        def run(name, fn):
+            t0 = time.perf_counter()
+            r = fn()
+            timings[name] = round(time.perf_counter() - t0, 2)
+            return r
+
+        lsh_cands = run(
+            "lsh_candidates", lambda: minhash_lsh_candidates(docs).count()
+        )
+        wd = run(
+            "window_dedup",
+            lambda: window_dedup(docs)
+            .agg(
+                F.sum("n_windows").alias("w"),
+                F.sum("n_dup_occurrences").alias("d"),
+            )
+            .collect()[0],
+        )
+        n = len(corpus)
+        return {
+            "n_docs": n,
+            "planted_pairs": n_docs // 20,
+            "lsh_candidates": lsh_cands,
+            "window_occurrences": int(wd.w),
+            "window_dup_occurrences": int(wd.d),
+            "ops": timings,
+            "total_sec": round(sum(timings.values()), 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main_big(sizes: list[int]) -> None:
+    """--big mode: append big_points/big_growth to the existing
+    artifact (the full-sweep points stay untouched)."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(
+        app_name="fas-scale-big", cpus=cpus, shuffle_partitions=2 * cpus,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    points = []
+    for n in sizes:
+        pt = run_big(spark, n)
+        points.append(pt)
+        print(json.dumps(pt), file=sys.stderr)
+    growth = []
+    for a, b in zip(points, points[1:]):
+        growth.append(
+            {
+                "size_factor": round(b["n_docs"] / a["n_docs"], 2),
+                "lsh_candidate_factor": round(
+                    b["lsh_candidates"] / max(1, a["lsh_candidates"]), 2
+                ),
+                "window_occurrence_factor": round(
+                    b["window_occurrences"] / max(1, a["window_occurrences"]),
+                    2,
+                ),
+                "lsh_runtime_factor": round(
+                    b["ops"]["lsh_candidates"]
+                    / max(0.01, a["ops"]["lsh_candidates"]), 2
+                ),
+                "window_runtime_factor": round(
+                    b["ops"]["window_dedup"]
+                    / max(0.01, a["ops"]["window_dedup"]), 2
+                ),
+            }
+        )
+    with open(".benchmarks/scale_curve.json") as f:
+        payload = json.load(f)
+    payload["big_points"] = points
+    payload["big_growth"] = growth
+    with open(".benchmarks/scale_curve.json", "w") as f:
+        f.write(json.dumps(payload) + "\n")
+    print(json.dumps({"big_points": len(points), "big_growth": growth}))
+    spark.stop()
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--big"]:
+        main_big(
+            [int(a) for a in sys.argv[2:]] or [250_000, 500_000, 1_000_000]
+        )
+        return
     sizes = [int(a) for a in sys.argv[1:]] or [12_500, 25_000, 50_000, 100_000]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = build_session(

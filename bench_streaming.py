@@ -224,6 +224,54 @@ def main() -> None:
                 .count(),
             }
 
+        # r5: the FUSED single-stateful-op gate (foreachBatch verdict
+        # assembly -- streaming/jobs.py::streaming_ingest_neardup_fused)
+        # at the same small-trigger shape, on the RocksDB provider (the
+        # per-trigger instrumented decomposition showed the HDFS store's
+        # commit clock was ~22% of addBatch; RocksDB removes it).
+        from flink_ad_analytics_spark.streaming.jobs import (
+            streaming_ingest_neardup_fused,
+        )
+        from flink_ad_analytics_spark.streaming.state import (
+            use_default_store,
+            use_rocksdb,
+        )
+
+        use_rocksdb(spark)
+        try:
+            reader = (
+                spark.readStream.schema(spark.read.parquet(nd_dir).schema)
+                .option("maxFilesPerTrigger", "1")
+            )
+            nd_stream = reader.parquet(nd_dir).withColumn(
+                "event_time", F.timestamp_millis(F.col("event_time_ms"))
+            )
+            pioneers, verdicts_fn = streaming_ingest_neardup_fused(
+                nd_stream, watermark="10 seconds", shuffle_docs=cpus
+            )
+            fused_rows: list = []
+            t2 = time.perf_counter()
+            q4 = (
+                pioneers.writeStream.outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt_nd_fused")
+                .foreachBatch(
+                    lambda df, _b: fused_rows.extend(
+                        verdicts_fn(df).collect()
+                    )
+                )
+                .start()
+            )
+            q4.processAllAvailable()
+            nd_el = time.perf_counter() - t2
+            q4.stop()
+            nd_stats["8_triggers_fused_rocksdb"] = {
+                "docs_per_sec": round(len(corpus) / nd_el, 1),
+                "elapsed_sec": round(nd_el, 2),
+                "kept": sum(1 for r in fused_rows if r.kept),
+            }
+        finally:
+            use_default_store(spark)
+
         # per-batch engine health from the listener -> committed
         # artifact (the ops story: rates, state size, watermark, late
         # drops for the exact run that produced the throughput number).

@@ -778,3 +778,312 @@ def semantic_dedup(
         F.col("cluster_id"),
         F.col("__dup").isNull().alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point (integer-lattice) k-means: the REPRODUCIBILITY-FIRST
+# variant. Embeddings are floor-quantized to a shifted integer lattice
+# (q = floor(x * SCALE) + SHIFT, the operators/sampling.py kcenter
+# recipe), init is the same hash-pinned sample, every Lloyd update is
+# exact integer arithmetic with round-half-up centroid averaging via
+# (2*S + n) div (2*n) on NON-NEGATIVE ints (floor-div == truncating
+# div there, so Spark `div` and DuckDB `//` agree bit-for-bit), and
+# ties break to the lowest cluster id. The ENTIRE iterative fit --
+# centroids, assignments, inertia -- is therefore value-reproducible
+# on any engine, which is what makes the registered kmeans/IVF/PQ
+# queries full DuckDB-oracle rows instead of rows-only gates.
+#
+# Scale shape: the per-iteration corpus pass is a broadcast join
+# against k centroid rows + a (cluster, dim)-grain partial-sum shuffle
+# (k*d tiny rows after map-side combine); the k-row centroid state is
+# localCheckpointed per round (the repo's iterative-loop house style,
+# bounding plan growth). The interpreted HOF distance fold is the
+# honest cost of exactness here -- for throughput-first clustering use
+# kmeans_fit (float64 BLAS, deterministic but engine-specific).
+# ---------------------------------------------------------------------------
+
+FP_SCALE = 10_000
+FP_SHIFT = 1 << 20  # keeps quantized coords positive for |x| < 104
+
+
+def _fp_quantize(
+    emb: DataFrame, id_col: str, vec_col: str, extra: list[str] | None = None
+) -> DataFrame:
+    q = (
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {FP_SCALE}) "
+        f"AS BIGINT) + {FP_SHIFT})"
+    )
+    return emb.select(
+        F.col(id_col), *(extra or []), F.expr(q).alias("q")
+    )
+
+
+_FP_DIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+)
+
+
+def kmeans_fixedpoint(
+    emb: DataFrame,
+    *,
+    k: int = 10,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """Fixed ``iters`` Lloyd updates on the integer lattice; returns
+    the final centroids as (cid int, c array<bigint>). No early stop:
+    a data-dependent stopping rule would have to be replicated by the
+    oracle; a fixed iteration count is reproducible by construction."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    qv = _fp_quantize(emb, id_col, vec_col)
+    init = (
+        qv.withColumn("__h", h)
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w0 = Window.orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    cent = init.select(
+        (F.row_number().over(w0) - 1).cast("int").alias("cid"),
+        F.col("q").alias("c"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = _fp_assign(qv, cent, id_col)
+        upd = (
+            assigned.select("cid", F.posexplode("q").alias("d", "v"))
+            .groupBy("cid", "d")
+            .agg(F.sum("v").alias("S"), F.count(F.lit(1)).alias("n"))
+            .withColumn("nv", F.expr("(2 * S + n) div (2 * n)"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(d, nv))), "
+                    "s -> s.nv)"
+                ).alias("c_new")
+            )
+        )
+        cent = (
+            cent.join(upd, "cid", "left")
+            .select(
+                "cid",
+                # empty clusters keep their previous centroid
+                F.coalesce(F.col("c_new"), F.col("c")).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def _fp_assign(qv: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """argmin-distance assignment of quantized rows against the k-row
+    centroid relation (broadcast), ties to the lowest cid. Output
+    keeps the quantized vector for the update step."""
+    dist = F.expr(_FP_DIST.format(a="q", b="c"))
+    w = Window.partitionBy(id_col).orderBy("dist2", "cid")
+    return (
+        qv.join(F.broadcast(cent))
+        .withColumn("dist2", dist)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r", "c")
+    )
+
+
+def kmeans_fixedpoint_assign(
+    emb: DataFrame,
+    cent: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra: list[str] | None = None,
+) -> DataFrame:
+    """(id, extra..., cluster, dist2): exact integer assignment of the
+    full corpus against fixed-point centroids."""
+    qv = _fp_quantize(emb, id_col, vec_col, extra)
+    return _fp_assign(qv, cent, id_col).select(
+        id_col, *(extra or []), F.col("cid").alias("cluster"), "dist2"
+    )
+
+
+def ivf_fixedpoint_topk(
+    emb: DataFrame,
+    cent: DataFrame,
+    *,
+    query_filter,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over fixed-point k-means centroids, scored by EXACT
+    integer squared distance (so the whole search -- probe choice,
+    candidate set, ranking -- is engine-reproducible and full-oracle
+    gated, unlike the float-cosine ivf_kmeans_topk).
+
+    Inverted lists keyed by nearest centroid (the bucket shuffle key);
+    each query probes its ``nprobe`` nearest lists (ties to lowest
+    cid); top-k by (dist2, candidate id). Queries and the k-row
+    centroid table broadcast; per-list work is bounded by list size --
+    the standard serving shape.
+    """
+    qv = _fp_quantize(emb, id_col, vec_col)
+    assigned = _fp_assign(qv, cent, id_col).select(
+        F.col(id_col).alias("c_id"),
+        F.col("cid").alias("bucket"),
+        F.col("q").alias("c_q"),
+    )
+    queries = _fp_quantize(emb.filter(query_filter), id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col("q").alias("q_q")
+    )
+    wp = Window.partitionBy("q_id").orderBy("c_dist2", "cid")
+    probes = (
+        queries.join(F.broadcast(cent))
+        .withColumn("c_dist2", F.expr(_FP_DIST.format(a="q_q", b="c")))
+        .withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= nprobe)
+        .select("q_id", "q_q", F.col("cid").alias("bucket"))
+    )
+    wk = Window.partitionBy("q_id").orderBy("dist2", "c_id")
+    return (
+        assigned.join(F.broadcast(probes), "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("dist2", F.expr(_FP_DIST.format(a="q_q", b="c_q")))
+        .withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "dist2", "rank")
+    )
+
+
+def pq_fixedpoint(
+    emb: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    dims: int = 64,
+) -> DataFrame:
+    """Fixed-point product-quantization codebooks: slice the lattice-
+    quantized vector into ``m`` contiguous subspaces and run the
+    integer Lloyd loop in each (keys (sub, cid)); all subspaces share
+    the hash-pinned init sample, mirroring pq_fit. Returns
+    (sub int, cid int, c array<bigint>[dims/m]) -- fully reproducible,
+    hence DuckDB-oracle-able end to end (fit + encode + ADC search).
+    """
+    dsub = dims // m
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    qv = _fp_quantize(emb, id_col, vec_col)
+    slices = F.expr(
+        f"transform(sequence(0, {m - 1}), j -> slice(q, j * {dsub} + 1, {dsub}))"
+    )
+    sv = qv.select(
+        id_col, F.posexplode(slices).alias("sub", "qs")
+    )
+    init_ids = (
+        qv.withColumn("__h", h)
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w0 = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    init_ranked = init_ids.select(
+        (F.row_number().over(w0) - 1).cast("int").alias("cid"),
+        F.posexplode(slices).alias("sub", "c"),
+    )
+    cb = init_ranked.select("sub", "cid", "c").localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = _pq_fp_assign(sv, cb)
+        upd = (
+            assigned.select("sub", "cid", F.posexplode("qs").alias("d", "v"))
+            .groupBy("sub", "cid", "d")
+            .agg(F.sum("v").alias("S"), F.count(F.lit(1)).alias("n"))
+            .withColumn("nv", F.expr("(2 * S + n) div (2 * n)"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(d, nv))), "
+                    "s -> s.nv)"
+                ).alias("c_new")
+            )
+        )
+        cb = (
+            cb.join(upd, ["sub", "cid"], "left")
+            .select(
+                "sub",
+                "cid",
+                F.coalesce(F.col("c_new"), F.col("c")).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
+def _pq_fp_assign(sv: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-(vector, subspace) argmin code against the broadcast
+    codebook, ties to the lowest cid."""
+    dist = F.expr(_FP_DIST.format(a="qs", b="c"))
+    w = Window.partitionBy(sv.columns[0], "sub").orderBy("dist2", "cid")
+    return (
+        sv.join(F.broadcast(cb), "sub")
+        .withColumn("dist2", dist)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r", "c")
+    )
+
+
+def pq_fixedpoint_topk(
+    emb: DataFrame,
+    cb: DataFrame,
+    *,
+    query_filter,
+    k: int = 5,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """ADC top-k over fixed-point PQ codes: candidates are stored as m
+    small integer codes; a query scans them with a per-(query, sub,
+    code) integer distance table (the classic asymmetric-distance
+    shape: |q| x m x k_codes table rows, candidate scan is a sum of m
+    lookups). Exact integer arithmetic end to end -> full oracle.
+    """
+    dsub = dims // m
+    qv = _fp_quantize(emb, id_col, vec_col)
+    slices = F.expr(
+        f"transform(sequence(0, {m - 1}), j -> slice(q, j * {dsub} + 1, {dsub}))"
+    )
+    sv = qv.select(id_col, F.posexplode(slices).alias("sub", "qs"))
+    codes = _pq_fp_assign(sv, cb).select(
+        F.col(id_col).alias("c_id"), "sub", F.col("cid").alias("code")
+    )
+    queries = _fp_quantize(emb.filter(query_filter), id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.posexplode(slices).alias("sub", "qs")
+    )
+    qtab = (
+        queries.join(F.broadcast(cb), "sub")
+        .select(
+            "q_id",
+            "sub",
+            F.col("cid").alias("code"),
+            F.expr(_FP_DIST.format(a="qs", b="c")).alias("d"),
+        )
+    )
+    wk = Window.partitionBy("q_id").orderBy("adc_dist2", "c_id")
+    return (
+        codes.join(F.broadcast(qtab), ["sub", "code"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("d").alias("adc_dist2"))
+        .withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "adc_dist2", "rank")
+    )

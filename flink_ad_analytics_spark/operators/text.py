@@ -620,8 +620,14 @@ def bpe_pair_counts(symbolized: DataFrame) -> DataFrame:
 
     Zero extra corpus work: pairs explode from the vocabulary
     histogram; the aggregation key space is the pair vocabulary.
+
+    Words fully merged down to ONE symbol contribute no pairs -- they
+    must be filtered BEFORE the sequence() explode: Spark's
+    sequence(1, 0) generates a DESCENDING [1, 0] rather than an empty
+    array, which made symbols[i] throw on any fully-merged word
+    (latent until round 5's oracle stress corpus hit it).
     """
-    pairs = symbolized.select(
+    pairs = symbolized.filter(F.size("symbols") >= 2).select(
         "n",
         F.explode(
             F.expr(

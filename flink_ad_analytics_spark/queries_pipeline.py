@@ -14,8 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .operators.clustering import (
+    ivf_fixedpoint_topk,
     ivf_kmeans_topk,
     kmeans_fit,
+    kmeans_fixedpoint_assign,
     kmeans_predict,
     kmeans_step_stats,
     kmeans_update_stats,
@@ -98,6 +100,62 @@ def _pq_fit_cached(emb, sf_dir: str, m: int, k: int, max_iter: int, seed: int):
     if key not in _FIT_MEMO:
         _FIT_MEMO[key] = pq_fit(emb, m=m, k=k, max_iter=max_iter, seed=seed)
     return _FIT_MEMO[key]
+
+
+def _kmeans_fp_cached(emb, sf_dir: str, k: int, iters: int, seed: int):
+    from .operators.clustering import kmeans_fixedpoint
+
+    key = ("kmfp", sf_dir, _dir_stamp(sf_dir), k, iters, seed)
+    if key not in _FIT_MEMO:
+        _FIT_MEMO[key] = kmeans_fixedpoint(emb, k=k, iters=iters, seed=seed)
+    return _FIT_MEMO[key]
+
+
+def _kmeans_fp_cte(k: int, iters: int, seed: int, dims: int = 64) -> str:
+    """DuckDB twin of operators/clustering.py::kmeans_fixedpoint: a
+    recursive CTE carrying the k centroid rows through ``iters`` exact
+    integer Lloyd updates (same floor-quantization, same hash-pinned
+    init, same (2S+n)//(2n) round-half-up averaging, same lowest-cid
+    tie-breaks, same empty-cluster carry). Yields CTEs ``qv`` (the
+    quantized corpus) and ``cent`` (it, cid, c); consumers filter
+    cent to it = {iters}."""
+    from .operators.clustering import FP_SCALE, FP_SHIFT
+
+    return f"""
+WITH RECURSIVE qv AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {FP_SCALE}) AS BIGINT)
+                  + {FP_SHIFT}) AS q,
+         md5('{seed}:' || CAST(vec_id AS VARCHAR)) AS h
+  FROM embeddings),
+init AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid,
+         q AS c
+  FROM (SELECT * FROM qv ORDER BY h, vec_id LIMIT {k})),
+cent AS (
+  SELECT 0 AS it, cid, c FROM init
+  UNION ALL
+  SELECT it, cid, c FROM (
+    WITH cur AS (SELECT * FROM cent WHERE it < {iters}),
+    best AS (
+      SELECT v.vec_id, v.q, c.it, c.cid,
+             list_sum(list_transform(generate_series(1, {dims}),
+                 i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS dist2
+      FROM qv v, cur c
+      QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY v.vec_id ORDER BY dist2, c.cid) = 1),
+    upd AS (
+      SELECT cid,
+             list((2 * S + n) // (2 * n) ORDER BY i) AS c_new
+      FROM (
+        SELECT b.cid, t.i,
+               SUM(b.q[t.i]) AS S, COUNT(*) AS n
+        FROM best b, UNNEST(generate_series(1, {dims})) AS t(i)
+        GROUP BY b.cid, t.i)
+      GROUP BY cid)
+    SELECT o.it + 1 AS it, o.cid, COALESCE(u.c_new, o.c) AS c
+    FROM cur o LEFT JOIN upd u ON u.cid = o.cid))"""
 
 
 # -- dataset splits -------------------------------------------------------
@@ -701,21 +759,27 @@ GROUP BY 1, 2
 """
 
 
-def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full iterative k-means fit + assignment audit.
+_KM_FP_ITERS = 4
 
-    Genuinely non-SQL-expressible (iterative algorithm) -- no oracle
-    entry by design; correctness is carried by the oracle-exact
-    q_kmeans_step (the per-iteration math) plus test_clustering.py
-    (monotone inertia, determinism, planted-label purity).
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative k-means fit + assignment audit -- on the
+    FIXED-POINT integer lattice (operators/clustering.py::
+    kmeans_fixedpoint), which makes the whole 4-iteration Lloyd fit
+    value-reproducible and upgrades this entry from the r2-r4
+    rows-only gate to a full DuckDB oracle (the oracle replays the
+    recursion; r4 verdict item #5). The float64-BLAS kmeans_fit stays
+    as the throughput path, value-gated per-iteration by
+    q_kmeans_step/q_kmeans_update.
+
+    Output per cluster: size, majority planted label, purity, and the
+    EXACT integer inertia (sum of lattice squared distances).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, _hist = _kmeans_fit_cached(emb, sf_dir, _KM_K, 6, _KM_SEED)
-    assigned = kmeans_predict(emb, cents)
-    per = (
-        emb.join(assigned, "vec_id")
-        .groupBy("cluster", "label")
-        .agg(F.count(F.lit(1)).alias("n"))
+    cent = _kmeans_fp_cached(emb, sf_dir, _KM_K, _KM_FP_ITERS, _KM_SEED)
+    assigned = kmeans_fixedpoint_assign(emb, cent, extra=["label"])
+    per = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dist2").alias("i2")
     )
     w = Window.partitionBy("cluster").orderBy(
         F.col("n").desc(), F.col("label").asc()
@@ -729,6 +793,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "majority_label"
             ),
             F.max(F.when(F.col("__r") == 1, F.col("n"))).alias("n_majority"),
+            F.sum("i2").alias("inertia2"),
         )
         .select(
             F.col("cluster").cast("long").alias("cluster"),
@@ -738,21 +803,79 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_majority").cast("double")
                 / F.col("n_vecs").cast("double")
             ).alias("purity"),
+            "inertia2",
         )
     )
 
 
-def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN over the learned IVF index (fit at query time).
+KMEANS_CLUSTERS_SQL = f"""{{cte}},
+assigned AS (
+  SELECT v.vec_id, v.label,
+         c.cid,
+         list_sum(list_transform(generate_series(1, 64),
+             i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS dist2
+  FROM qv v, (SELECT * FROM cent WHERE it = {{iters}}) c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY dist2, c.cid) = 1),
+per AS (
+  SELECT cid, label, COUNT(*) AS n, SUM(dist2) AS i2
+  FROM assigned GROUP BY 1, 2),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cid ORDER BY n DESC, label ASC) AS r
+  FROM per)
+SELECT CAST(cid AS BIGINT) AS cluster,
+       CAST(SUM(n) AS BIGINT) AS n_vecs,
+       CAST(MAX(CASE WHEN r = 1 THEN label END) AS BIGINT)
+         AS majority_label,
+       CAST(MAX(CASE WHEN r = 1 THEN n END) AS DOUBLE)
+         / CAST(SUM(n) AS DOUBLE) AS purity,
+       CAST(SUM(i2) AS BIGINT) AS inertia2
+FROM ranked GROUP BY cid
+"""
 
-    Rows-only gate (the index depends on the iterative fit); recall
-    vs the exact brute-force path is asserted in test_clustering.py.
-    """
+
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the learned IVF index (fit at query time) -- centroids
+    from the fixed-point fit, candidates scored by EXACT integer
+    squared distance, so probe choice, candidate membership and
+    ranking are all engine-reproducible: a full DuckDB oracle replays
+    fit + probe + scan (upgraded from the r2-r4 rows-only gate; the
+    float-cosine ivf_kmeans_topk operator remains the throughput
+    serving path, recall-gated in test_clustering.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, _ = _kmeans_fit_cached(emb, sf_dir, _KM_K, 6, _KM_SEED)
-    return ivf_kmeans_topk(
-        emb, cents, query_filter=F.col("vec_id") < 20, k=5, nprobe=2
+    cent = _kmeans_fp_cached(emb, sf_dir, _KM_K, _KM_FP_ITERS, _KM_SEED)
+    return ivf_fixedpoint_topk(
+        emb, cent, query_filter=F.col("vec_id") < 20, k=5, nprobe=2
     )
+
+
+ANN_IVF_KMEANS_SQL = """{cte},
+fcent AS (SELECT * FROM cent WHERE it = {iters}),
+assigned AS (
+  SELECT v.vec_id AS c_id, v.q AS c_q, c.cid AS bucket,
+         list_sum(list_transform(generate_series(1, 64),
+             i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS dist2
+  FROM qv v, fcent c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY dist2, c.cid) = 1),
+probes AS (
+  SELECT v.vec_id AS q_id, v.q AS q_q, c.cid AS bucket
+  FROM qv v, fcent c
+  WHERE v.vec_id < 20
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+      list_sum(list_transform(generate_series(1, 64),
+          i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))), c.cid) <= {nprobe})
+SELECT q_id, c_id,
+       CAST(list_sum(list_transform(generate_series(1, 64),
+           i -> (p.q_q[i] - a.c_q[i]) * (p.q_q[i] - a.c_q[i])))
+         AS BIGINT) AS dist2,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+           list_sum(list_transform(generate_series(1, 64),
+               i -> (p.q_q[i] - a.c_q[i]) * (p.q_q[i] - a.c_q[i]))),
+           c_id) AS BIGINT) AS rank
+FROM assigned a JOIN probes p USING (bucket)
+WHERE p.q_id != a.c_id
+QUALIFY rank <= {k}
+"""
 
 
 # -- context-window ops: chunking + packing ------------------------------
@@ -1521,18 +1644,110 @@ FROM best WHERE rr = 1
 """
 
 
-def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADC top-k over PQ codes (operators/clustering.py::pq_topk).
+_PQ_M, _PQ_CODES, _PQ_ITERS = 8, 16, 3
 
-    Rows-only gate (codebooks come from the iterative k-means fit);
-    recall vs the exact inner-product ranking and code determinism are
-    asserted in test_clustering.py.
-    """
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes -- codebooks from the FIXED-POINT
+    per-subspace Lloyd fit (operators/clustering.py::pq_fixedpoint),
+    so fit, encoding, the asymmetric distance table and the final
+    ranking are all exact integer arithmetic and the entire search is
+    replayed by a DuckDB recursive oracle (upgraded from the r2-r4
+    rows-only gate; the float pq_fit/pq_topk operators remain the
+    throughput path, recall-gated in test_clustering.py)."""
+    from .operators.clustering import pq_fixedpoint, pq_fixedpoint_topk
+
     emb = load_table(spark, sf_dir, "embeddings")
-    books = _pq_fit_cached(emb, sf_dir, 8, 16, 4, _KM_SEED)
-    return pq_topk(
-        emb, books, query_filter=F.col("vec_id") < 20, k=5
+    key = ("pqfp", sf_dir, _dir_stamp(sf_dir), _PQ_M, _PQ_CODES, _PQ_ITERS)
+    if key not in _FIT_MEMO:
+        _FIT_MEMO[key] = pq_fixedpoint(
+            emb, m=_PQ_M, k=_PQ_CODES, iters=_PQ_ITERS, seed=_KM_SEED
+        )
+    return pq_fixedpoint_topk(
+        emb, _FIT_MEMO[key], query_filter=F.col("vec_id") < 20, k=5, m=_PQ_M
     )
+
+
+def _pq_fp_cte(
+    m: int, k: int, iters: int, seed: int, dims: int = 64
+) -> str:
+    """DuckDB twin of pq_fixedpoint: recursive codebook CTE keyed
+    (sub, cid); yields ``sv`` (per-(vector, subspace) quantized
+    slices) and ``cb`` (it, sub, cid, c)."""
+    from .operators.clustering import FP_SCALE, FP_SHIFT
+
+    dsub = dims // m
+    return f"""
+WITH RECURSIVE qv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {FP_SCALE}) AS BIGINT)
+                  + {FP_SHIFT}) AS q,
+         md5('{seed}:' || CAST(vec_id AS VARCHAR)) AS h
+  FROM embeddings),
+sv AS MATERIALIZED (
+  SELECT vec_id, h, t.j AS sub,
+         list_slice(q, t.j * {dsub} + 1, t.j * {dsub} + {dsub}) AS qs
+  FROM qv, UNNEST(generate_series(0, {m - 1})) AS t(j)),
+init AS MATERIALIZED (
+  SELECT sub,
+         CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY h, vec_id) - 1
+              AS INT) AS cid,
+         qs AS c
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY h, vec_id) AS r
+    FROM sv) WHERE r <= {k}),
+cb AS (
+  SELECT 0 AS it, sub, cid, c FROM init
+  UNION ALL
+  SELECT it, sub, cid, c FROM (
+    WITH cur AS (SELECT * FROM cb WHERE it < {iters}),
+    best AS (
+      SELECT v.vec_id, v.sub, v.qs, c.it, c.cid,
+             list_sum(list_transform(generate_series(1, {dsub}),
+                 i -> (v.qs[i] - c.c[i]) * (v.qs[i] - c.c[i]))) AS dist2
+      FROM sv v JOIN cur c ON c.sub = v.sub
+      QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY v.vec_id, v.sub ORDER BY dist2, c.cid) = 1),
+    upd AS (
+      SELECT sub, cid,
+             list((2 * S + n) // (2 * n) ORDER BY i) AS c_new
+      FROM (
+        SELECT b.sub, b.cid, t.i,
+               SUM(b.qs[t.i]) AS S, COUNT(*) AS n
+        FROM best b, UNNEST(generate_series(1, {dsub})) AS t(i)
+        GROUP BY b.sub, b.cid, t.i)
+      GROUP BY sub, cid)
+    SELECT o.it + 1 AS it, o.sub, o.cid, COALESCE(u.c_new, o.c) AS c
+    FROM cur o LEFT JOIN upd u ON u.sub = o.sub AND u.cid = o.cid))"""
+
+
+ANN_PQ_TOPK_SQL = """{cte},
+fcb AS (SELECT * FROM cb WHERE it = {iters}),
+codes AS (
+  SELECT v.vec_id AS c_id, v.sub, c.cid AS code,
+         list_sum(list_transform(generate_series(1, {dsub}),
+             i -> (v.qs[i] - c.c[i]) * (v.qs[i] - c.c[i]))) AS dist2
+  FROM sv v JOIN fcb c ON c.sub = v.sub
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY v.vec_id, v.sub ORDER BY dist2, c.cid) = 1),
+qtab AS (
+  SELECT v.vec_id AS q_id, v.sub, c.cid AS code,
+         list_sum(list_transform(generate_series(1, {dsub}),
+             i -> (v.qs[i] - c.c[i]) * (v.qs[i] - c.c[i]))) AS d
+  FROM sv v JOIN fcb c ON c.sub = v.sub
+  WHERE v.vec_id < 20),
+adc AS (
+  SELECT t.q_id, s.c_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist2
+  FROM codes s JOIN qtab t ON t.sub = s.sub AND t.code = s.code
+  WHERE t.q_id != s.c_id
+  GROUP BY 1, 2)
+SELECT q_id, c_id, adc_dist2,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY q_id ORDER BY adc_dist2, c_id) AS BIGINT) AS rank
+FROM adc
+QUALIFY rank <= {topk}
+"""
 
 
 # -- end-to-end curation composition --------------------------------------
@@ -1673,9 +1888,19 @@ LIMIT 20
 
 
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative BPE fit audit (rows-only: the merge loop is the
-    non-SQL part; its per-step math is value-gated by bpe_top_pairs):
-    learned merge list with rank.
+    """Iterative BPE fit audit: learned merge list with rank.
+
+    Upgraded r4->r5 from rows-only to a FULL value-exact oracle (r4
+    verdict item #5): the fit is deterministic (argmax with (count
+    DESC, left, right) tie-break, left-to-right non-overlapping
+    fold-apply, stop at count < 2), so a DuckDB recursive CTE replays
+    the whole merge loop. The oracle reproduces the greedy apply with
+    a wrapped-symbol string encoding -- each symbol stored as
+    chr(30)+s+chr(30) so SQL replace()'s left-to-right non-overlap
+    scan is EXACTLY the Spark fold's greedy order, including the
+    "aaa" self-overlap case (first pair merges, third 'a' survives).
+    chr(30) never occurs in the corpus (asserted in
+    tests/test_pipeline_ops.py).
 
     Bench note (r4->r5): the 1.17->1.54s sf0.1 movement was re-measured
     isolated (fresh session, 1 warm + 5 reps: steady 2.0-2.3s with the
@@ -1691,6 +1916,56 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
         "merge_rank long, pair_left string, pair_right string, new_symbol string",
     )
+
+
+# The recursion carries the distinct-word histogram (word, n, symbols)
+# through 8 merge steps plus one NULL-word MARKER row per step holding
+# the chosen pair (n = merge rank); markers are excluded from the next
+# step's pair counting and collected at the end -- the same shape as
+# bpe_fit's driver-side merge list, entirely in SQL.
+BPE_VOCAB_SQL = """
+WITH RECURSIVE hist AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+         list_append(string_split(word, ''), '</w>') AS symbols
+  FROM (
+    SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+    FROM documents)
+  WHERE word != ''
+  GROUP BY word),
+st AS (
+  SELECT 0 AS it, word, n, symbols FROM hist
+  UNION ALL
+  SELECT it, word, n, symbols FROM (
+    WITH cur AS (
+      SELECT * FROM st WHERE it < 8 AND word IS NOT NULL),
+    pc AS (
+      SELECT symbols[i] AS l, symbols[i + 1] AS r, SUM(n) AS cnt
+      FROM cur, UNNEST(generate_series(1, len(symbols) - 1)) AS t(i)
+      GROUP BY 1, 2),
+    top AS (
+      SELECT l, r FROM pc WHERE cnt >= 2
+      ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
+    SELECT c.it + 1 AS it, c.word, c.n,
+           list_transform(
+             string_split(
+               trim(replace(
+                 array_to_string(list_transform(c.symbols,
+                     s -> chr(30) || s || chr(30)), ''),
+                 chr(30) || t.l || chr(30) || chr(30) || t.r || chr(30),
+                 chr(30) || t.l || t.r || chr(30)), chr(30)),
+               chr(30) || chr(30)) ,
+             s -> s) AS symbols
+    FROM cur c, top t
+    UNION ALL
+    SELECT u.it + 1, CAST(NULL AS VARCHAR), CAST(u.it AS BIGINT), [t.l, t.r]
+    FROM (SELECT DISTINCT it FROM cur) u, top t))
+SELECT CAST(n AS BIGINT) AS merge_rank,
+       symbols[1] AS pair_left,
+       symbols[2] AS pair_right,
+       symbols[1] || symbols[2] AS new_symbol
+FROM st WHERE word IS NULL
+ORDER BY merge_rank
+"""
 
 
 _NEG_SEED, _NEG_K = 17, 4
@@ -3178,13 +3453,19 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     ),
     "negative_samples": (q_negative_samples, NEGATIVE_SAMPLES_SQL),
     "bpe_top_pairs": (q_bpe_top_pairs, BPE_TOP_PAIRS_SQL),
-    "bpe_vocab": (q_bpe_vocab, None),
+    "bpe_vocab": (q_bpe_vocab, BPE_VOCAB_SQL),
     "curated_corpus": (q_curated_corpus, CURATED_CORPUS_SQL),
     "span_dedup": (q_span_dedup, SPAN_DEDUP_SQL),
     "window_dedup": (q_window_dedup, WINDOW_DEDUP_SQL),
     "rebalanced_mix": (q_rebalanced_mix, REBALANCED_MIX_SQL),
     "temperature_mix": (q_temperature_mix, _temperature_mix_oracle()),
-    "ann_pq_topk": (q_ann_pq_topk, None),
+    "ann_pq_topk": (
+        q_ann_pq_topk,
+        ANN_PQ_TOPK_SQL.format(
+            cte=_pq_fp_cte(_PQ_M, _PQ_CODES, _PQ_ITERS, _KM_SEED),
+            iters=_PQ_ITERS, dsub=64 // _PQ_M, topk=5,
+        ),
+    ),
     "pq_codes": (q_pq_codes, PQ_CODES_SQL),
     "dataset_splits": (q_dataset_splits, DATASET_SPLITS_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
@@ -3199,8 +3480,20 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "ann_quantized_topk": (q_ann_quantized_topk, ANN_QUANTIZED_TOPK_SQL),
     "kmeans_step": (q_kmeans_step, KMEANS_STEP_SQL),
     "kmeans_update": (q_kmeans_update, KMEANS_UPDATE_SQL),
-    "kmeans_clusters": (q_kmeans_clusters, None),
-    "ann_ivf_kmeans": (q_ann_ivf_kmeans, None),
+    "kmeans_clusters": (
+        q_kmeans_clusters,
+        KMEANS_CLUSTERS_SQL.format(
+            cte=_kmeans_fp_cte(_KM_K, _KM_FP_ITERS, _KM_SEED),
+            iters=_KM_FP_ITERS,
+        ),
+    ),
+    "ann_ivf_kmeans": (
+        q_ann_ivf_kmeans,
+        ANN_IVF_KMEANS_SQL.format(
+            cte=_kmeans_fp_cte(_KM_K, _KM_FP_ITERS, _KM_SEED),
+            iters=_KM_FP_ITERS, nprobe=2, k=5,
+        ),
+    ),
     "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
     "sequence_packing": (q_sequence_packing, SEQUENCE_PACKING_SQL),
     "packing_offset": (q_packing_offset, PACKING_OFFSET_SQL),

@@ -282,6 +282,66 @@ def streaming_hourly_reach(
     )
 
 
+def _neardup_band_inputs(
+    docs_stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    event_time_col: str,
+    watermark: str,
+    shuffle_docs: int | None,
+):
+    """Shared front half of both near-dup gates: watermark, stateless
+    per-row minhash signature (see streaming_ingest_neardup's NOTE on
+    the closure factory), exploded band rows, and the per-doc phantom
+    row (band -1, uniquely keyed so it always survives the bucket
+    dedup and absorbs at-least-once redelivery)."""
+    from ..functions.hashing import hex_minhash_term
+    from ..operators.dedup import (
+        _SHINGLES,
+        _TOKENIZE,
+        LSH_BANDS,
+        LSH_ROWS,
+        lsh_band_structs,
+    )
+
+    wm = docs_stream.withWatermark(event_time_col, watermark)
+    if shuffle_docs:
+        wm = wm.repartition(shuffle_docs, F.col(id_col))
+    sh = wm.select(
+        F.col(id_col),
+        F.col(event_time_col),
+        F.expr(_TOKENIZE.format(col=text_col)).alias("__ws"),
+    ).select(
+        id_col,
+        event_time_col,
+        F.array_distinct(F.expr(_SHINGLES.format(ws="__ws"))).alias("__sh"),
+    )
+
+    def _term(j: int):
+        return lambda s: hex_minhash_term(s, j)
+
+    mh = [
+        F.array_min(F.transform(F.col("__sh"), _term(j))).alias(f"mh_{j}")
+        for j in range(LSH_BANDS * LSH_ROWS)
+    ]
+    sig = sh.select(id_col, event_time_col, F.size("__sh").alias("__n"), *mh)
+    bands = (
+        sig.filter(F.col("__n") > 0)
+        .select(
+            id_col, event_time_col, F.explode(lsh_band_structs()).alias("bk")
+        )
+        .select(id_col, event_time_col, "bk.band", "bk.band_key")
+    )
+    phantom = sig.filter(F.col("__n") > 0).select(
+        id_col,
+        event_time_col,
+        F.lit(-1).alias("band"),
+        F.col(id_col).cast("string").alias("band_key"),
+    )
+    return sig, bands, phantom
+
+
+
 def streaming_ingest_neardup(
     docs_stream: DataFrame,
     *,
@@ -423,3 +483,83 @@ def streaming_ingest_neardup(
         F.lit(True).alias("kept"),
     )
     return verdicts.unionByName(bypass)
+
+
+def streaming_ingest_neardup_fused(
+    docs_stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time_col: str = "event_time",
+    watermark: str = "10 seconds",
+    shuffle_docs: int | None = None,
+):
+    """The near-dup gate with ONE stateful operator instead of two
+    (r4 verdict item #4): returns (pioneer_rows_stream,
+    verdicts_batch_fn) -- start the stream with
+    ``foreachBatch(lambda df, _: sink(verdicts_batch_fn(df)))``.
+
+    Why the fusion is SAFE: every band row of a doc (including its
+    phantom and the short-doc bypass marker) is derived from the SAME
+    input row, so they always land in the SAME micro-batch -- the
+    per-doc verdict assembly never crosses batches and needs no
+    streaming state at all. The round-4 shape paid a second stateful
+    operator (windowed count + its per-trigger state-store commit and
+    watermark-delayed emission) purely to group rows that were already
+    co-batch; here that grouping is a plain batch aggregation inside
+    foreachBatch, which also emits verdicts in the ARRIVAL batch
+    instead of one watermark later.
+
+    Value-equal to streaming_ingest_neardup by construction (same
+    signature definitions, same bucket state, same phantom/redelivery
+    semantics) -- asserted in tests/test_streaming_ingest_dedup.py;
+    measured throughput in .benchmarks/streaming_health.json.
+    """
+    from ..operators.dedup import LSH_BANDS
+
+    sig, bands, phantom = _neardup_band_inputs(
+        docs_stream, id_col, text_col, event_time_col, watermark,
+        shuffle_docs,
+    )
+    # band -2: short-doc bypass marker, uniquely keyed like the
+    # phantom so it survives the dedup.
+    bypass = sig.filter(F.col("__n") == 0).select(
+        id_col,
+        event_time_col,
+        F.lit(-2).alias("band"),
+        F.col(id_col).cast("string").alias("band_key"),
+    )
+    pioneers = (
+        bands.unionByName(phantom)
+        .unionByName(bypass)
+        .dropDuplicatesWithinWatermark(["band", "band_key"])
+    )
+
+    n_bands = LSH_BANDS
+
+    def verdicts_batch_fn(batch_df: DataFrame) -> DataFrame:
+        """Per-doc verdict assembly over ONE micro-batch of surviving
+        band rows (plain batch agg -- no streaming state)."""
+        return (
+            batch_df.groupBy(id_col)
+            .agg(
+                F.sum((F.col("band") >= 0).cast("long")).alias(
+                    "n_pioneer_bands"
+                ),
+                F.max((F.col("band") == -2).cast("int")).alias("__bypass"),
+            )
+            .select(
+                id_col,
+                F.when(F.col("__bypass") == 1, F.lit(0))
+                .otherwise(F.lit(n_bands))
+                .cast("long")
+                .alias("n_bands"),
+                "n_pioneer_bands",
+                (
+                    (F.col("__bypass") == 1)
+                    | (F.col("n_pioneer_bands") == n_bands)
+                ).alias("kept"),
+            )
+        )
+
+    return pioneers, verdicts_batch_fn

@@ -203,6 +203,46 @@ def test_bpe_merge_fold_handles_overlaps(spark):
     assert list(out[0].symbols) == ["aa", "aa", "</w>"]
 
 
+def test_bpe_oracle_replays_fit_on_overlap_corpus(spark):
+    """The DuckDB recursive oracle's wrapped-symbol replace() must
+    replay bpe_fit exactly on a corpus ENGINEERED to stress the greedy
+    apply: odd self-overlap runs ('aaa', 'aaaaa'), a merge whose
+    output immediately re-pairs, and ties broken lexicographically."""
+    import duckdb
+    import pandas as pd
+
+    from flink_ad_analytics_spark.operators.text import bpe_fit
+    from flink_ad_analytics_spark.queries_pipeline import BPE_VOCAB_SQL
+
+    rows = [
+        (1, "aaa aaa aaaaa bcbc bcbc"),
+        (2, "aaa bc bc xy xy xy"),
+        (3, "aaaaa xy aaa bcbc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_fit(docs, n_merges=8)
+    got = [(i, l, r, l + r) for i, (l, r) in enumerate(merges)]
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    exp = [tuple(r) for r in con.execute(BPE_VOCAB_SQL).fetchall()]
+    assert got == exp and len(got) >= 4
+
+
+def test_corpus_has_no_bpe_oracle_separator():
+    """chr(30) is the oracle's symbol-wrapping separator; it must not
+    occur in the documents corpus at any test SF (the Spark side works
+    on arrays and is immune -- only the oracle encodes)."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        n = duckdb.connect().execute(
+            f"SELECT count(*) FROM '/root/testdata/sf{sf}/documents.parquet' "
+            "WHERE contains(text, chr(30))"
+        ).fetchone()[0]
+        assert n == 0, f"sf{sf}: {n} docs contain chr(30)"
+
+
 def test_bm25_rare_term_outranks_common(spark):
     """IDF dominance: a doc matching a corpus-rare query term must
     outrank a doc matching (equally often) a term every doc contains;

@@ -226,3 +226,89 @@ def test_streaming_ingest_neardup_equals_batch_lsh(spark, tmp_path):
     dropped_rows = out.filter(~F.col("kept")).collect()
     assert {r.doc_id for r in dropped_rows} == {100 + k for k in range(5)}
     assert all(r.n_pioneer_bands < r.n_bands for r in dropped_rows)
+
+
+def test_fused_neardup_gate_equals_two_op_gate(spark, tmp_path):
+    """The single-stateful-op foreachBatch gate (r5) must produce
+    EXACTLY the two-op gate's verdicts -- same keepers, same
+    kept=false rows, same bypass -- on the planted corpus with dups
+    arriving after originals."""
+    import numpy as np
+
+    from flink_ad_analytics_spark.streaming.jobs import (
+        streaming_ingest_neardup,
+        streaming_ingest_neardup_fused,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i:03d}" for i in range(500)]
+    rows: list[tuple[int, str]] = []
+    for i in range(40):
+        rows.append(
+            (i, " ".join(rng.choice(vocab, size=int(rng.integers(30, 60)))))
+        )
+    for k in range(5):
+        toks = rows[k][1].split()
+        for _ in range(2):
+            toks[int(rng.integers(0, len(toks)))] = str(rng.choice(vocab))
+        rows.append((100 + k, " ".join(toks)))
+    rows.append((99, "too short"))
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    base_ms = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    pdf["event_time_ms"] = [base_ms + 1000 * i for i in range(len(pdf))]
+    src = tmp_path / "ndf_in"
+    src.mkdir()
+    pdf.iloc[:41].to_parquet(src / "part-0.parquet", index=False)
+    pdf.iloc[41:].to_parquet(src / "part-1.parquet", index=False)
+
+    def stream():
+        return (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+            .withColumn(
+                "event_time", F.timestamp_millis(F.col("event_time_ms"))
+            )
+        )
+
+    pioneers, verdicts_fn = streaming_ingest_neardup_fused(
+        stream(), watermark="10 seconds"
+    )
+    collected: list = []
+    qf = (
+        pioneers.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_f"))
+        .foreachBatch(
+            lambda df, _bid: collected.extend(verdicts_fn(df).collect())
+        )
+        .start()
+    )
+    qf.processAllAvailable()
+    qf.stop()
+    fused = {r.doc_id: (r.n_bands, r.n_pioneer_bands, r.kept)
+             for r in collected}
+
+    # reference: the two-op gate (needs a sentinel to close windows)
+    sentinel = pd.DataFrame(
+        [(9999, "sentinel " + " ".join(vocab[:40]), base_ms + 3_600_000)],
+        columns=["doc_id", "text", "event_time_ms"],
+    )
+    sentinel.to_parquet(src / "part-2-s.parquet", index=False)
+    v2 = streaming_ingest_neardup(stream(), watermark="10 seconds")
+    q2 = (
+        v2.writeStream.format("memory")
+        .queryName("ndf_two_op")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_2"))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    two_op = {
+        r.doc_id: (r.n_bands, r.n_pioneer_bands, r.kept)
+        for r in spark.table("ndf_two_op").collect()
+        if r.doc_id != 9999
+    }
+    assert fused == two_op
+    assert len(fused) == len(pdf)
