@@ -1896,7 +1896,10 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import bpe_fit
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe_fit(docs, n_merges=8)
+    key = ("bpe", sf_dir, _dir_stamp(sf_dir), 8)
+    if key not in _FIT_MEMO:
+        _FIT_MEMO[key] = bpe_fit(docs, n_merges=8)
+    merges = _FIT_MEMO[key]
     return spark.createDataFrame(
         [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
         "merge_rank long, pair_left string, pair_right string, new_symbol string",
@@ -1907,8 +1910,9 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # through 8 merge steps plus one NULL-word MARKER row per step holding
 # the chosen pair (n = merge rank); markers are excluded from the next
 # step's pair counting and collected at the end -- the same shape as
-# bpe_fit's driver-side merge list, entirely in SQL.
-BPE_VOCAB_SQL = """
+# bpe_fit's driver-side merge list, entirely in SQL. Shared by the
+# bpe_vocab (merge list) and bpe_segment (apply/compression) oracles.
+_BPE_ST_CTE = """
 WITH RECURSIVE hist AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
          list_append(string_split(word, ''), '</w>') AS symbols
@@ -1943,13 +1947,57 @@ st AS (
     FROM cur c, top t
     UNION ALL
     SELECT u.it + 1, CAST(NULL AS VARCHAR), CAST(u.it AS BIGINT), [t.l, t.r]
-    FROM (SELECT DISTINCT it FROM cur) u, top t))
+    FROM (SELECT DISTINCT it FROM cur) u, top t))"""
+
+BPE_VOCAB_SQL = _BPE_ST_CTE + """
 SELECT CAST(n AS BIGINT) AS merge_rank,
        symbols[1] AS pair_left,
        symbols[2] AS pair_right,
        symbols[1] || symbols[2] AS new_symbol
 FROM st WHERE word IS NULL
 ORDER BY merge_rank
+"""
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY: segment every document with the 8 learned merges --
+    the compression audit per doc (n_words, n_symbols; symbols/word
+    falls as merges learn). Completes the oracle-gated BPE family:
+    bpe_top_pairs (one step's math) -> bpe_vocab (the full fit) ->
+    bpe_segment (the fit applied corpus-wide).
+
+    The oracle reuses the SAME recursive merge-loop CTE and reads its
+    FINAL state: the per-word symbol lists after the last learned
+    merge ARE the segmentation of every occurrence of that word, so
+    the per-doc audit is a word-histogram join -- no re-application
+    needed. Spark side: the learned merge list applied as 8 sequential
+    fold projections over exploded tokens (operators/text.py::
+    bpe_segment), scan-shaped, one groupBy(doc) shuffle.
+    """
+    from .operators.text import bpe_fit, bpe_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = ("bpe", sf_dir, _dir_stamp(sf_dir), 8)
+    if key not in _FIT_MEMO:
+        _FIT_MEMO[key] = bpe_fit(docs, n_merges=8)
+    return bpe_segment(docs, _FIT_MEMO[key]).orderBy("doc_id")
+
+
+BPE_SEGMENT_SQL = _BPE_ST_CTE + """,
+final AS (
+  SELECT word, symbols FROM st
+  WHERE word IS NOT NULL
+    AND it = (SELECT MAX(it) FROM st WHERE word IS NOT NULL)),
+docw AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(f.symbols)) AS BIGINT) AS n_symbols
+FROM docw d JOIN final f USING (word)
+WHERE d.word != ''
+GROUP BY 1
+ORDER BY 1
 """
 
 
@@ -3439,6 +3487,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "negative_samples": (q_negative_samples, NEGATIVE_SAMPLES_SQL),
     "bpe_top_pairs": (q_bpe_top_pairs, BPE_TOP_PAIRS_SQL),
     "bpe_vocab": (q_bpe_vocab, BPE_VOCAB_SQL),
+    "bpe_segment": (q_bpe_segment, BPE_SEGMENT_SQL),
     "curated_corpus": (q_curated_corpus, CURATED_CORPUS_SQL),
     "span_dedup": (q_span_dedup, SPAN_DEDUP_SQL),
     "window_dedup": (q_window_dedup, WINDOW_DEDUP_SQL),

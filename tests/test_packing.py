@@ -157,3 +157,61 @@ def test_write_token_budget_shards_replays_global_order(spark, tmp_path):
         replayed += [(k, int(p), int(d))
                      for p, d in zip(pdf.global_pos, pdf.doc_id)]
     assert replayed == expected
+
+
+def test_token_budget_shards_matches_pandas_oracle_property(spark):
+    """Property test: on random corpora (random sizes, ids with gaps,
+    budgets), the distributed prefix-sum output equals a trivial
+    single-threaded pandas replay of the same definition."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flink_ad_analytics_spark.operators.packing import (
+        token_budget_shards,
+    )
+
+    corpus_st = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # doc_id (gappy)
+            st.integers(min_value=1, max_value=60),      # n tokens
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(corpus=corpus_st, seed=st.integers(0, 50),
+           budget=st.integers(50, 500))
+    def check(corpus, seed, budget):
+        rows = [(i, "s", " ".join(["w"] * n)) for i, n in corpus]
+        got = sorted(
+            (
+                (r.doc_id, r.shuffle_key, r.global_pos, r.doc_tokens,
+                 r.tokens_before, r.shard_id)
+                for r in token_budget_shards(
+                    _docs(spark, rows), seed=seed, shard_token_budget=budget
+                ).collect()
+            ),
+            key=lambda t: t[2],
+        )
+        # single-threaded replay of the definition
+        ref = sorted(
+            (hashlib.md5(f"{seed}:{i}".encode()).hexdigest(), i, n)
+            for i, n in corpus
+        )
+        run, exp = 0, []
+        for pos, (key, i, n) in enumerate(ref, start=1):
+            exp.append((i, key, pos, n, run, run // budget))
+            run += n
+        assert got == exp
+
+    check()

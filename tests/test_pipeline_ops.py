@@ -228,6 +228,18 @@ def test_bpe_oracle_replays_fit_on_overlap_corpus(spark):
     exp = [tuple(r) for r in con.execute(BPE_VOCAB_SQL).fetchall()]
     assert got == exp and len(got) >= 4
 
+    # the APPLY oracle (final recursion state as the segmentation) must
+    # also replay bpe_segment on the same stress corpus
+    from flink_ad_analytics_spark.operators.text import bpe_segment
+    from flink_ad_analytics_spark.queries_pipeline import BPE_SEGMENT_SQL
+
+    seg = {
+        (r.doc_id, r.n_words, r.n_symbols)
+        for r in bpe_segment(docs, merges).collect()
+    }
+    seg_exp = {tuple(r) for r in con.execute(BPE_SEGMENT_SQL).fetchall()}
+    assert seg == seg_exp
+
 
 def test_corpus_has_no_bpe_oracle_separator():
     """chr(30) is the oracle's symbol-wrapping separator; it must not
