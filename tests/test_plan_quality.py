@@ -488,3 +488,34 @@ def test_dominant_suppliers_window_replaces_self_join(spark):
     assert "Window" in plan
     # lineitem scanned exactly once
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_coloc_entries_fact_never_exchanged(spark):
+    """The bucketed co-entries' core promise: the lineitem FACT flows
+    into the orderkey join straight from its bucketed scan -- the only
+    exchanges left are the small order->nation map and the tiny
+    post-agg stages. Gated on the EXECUTED plan: the bucketed scan is
+    present and the total exchange count is bounded by the non-fact
+    stages (a fact re-shuffle would add wide hash exchanges and blow
+    the bound)."""
+    from flink_ad_analytics_spark.queries import (
+        q_market_share_coloc,
+        q_volume_shipping_coloc,
+    )
+
+    for fn, max_exchanges in (
+        (q_market_share_coloc, 5),
+        (q_volume_shipping_coloc, 4),
+    ):
+        df = fn(spark, SF_CORRECT)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AQE's toString echoes the pre-adaptive plan below the final
+        # one; count only the plan that actually ran
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in plan, plan[:2000]
+        # orders/customer co-bucketed: no exchange under their join either
+        n_ex = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        ) + plan.count("Exchange SinglePartition")
+        assert n_ex <= max_exchanges, f"{fn.__name__}: {n_ex} exchanges\n{plan[:3000]}"
