@@ -990,12 +990,18 @@ def pq_fixedpoint(
         .orderBy(F.col("__h").asc(), F.col(id_col).asc())
         .limit(k)
     )
-    w0 = Window.partitionBy(F.lit(1)).orderBy(
-        F.col("__h").asc(), F.col(id_col).asc()
+    w0 = Window.orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    # rank each sampled VECTOR first, then explode its subspaces: a
+    # single select mixing row_number() with posexplode would number
+    # the post-explode rows (cids 0..k*m-1 interleaved across
+    # subspaces) instead of giving every subspace the same 0..k-1
+    # labels the oracle assigns -- with tie distances, the
+    # "lowest cid wins" rule would then diverge between engines
+    ranked = init_ids.select(
+        (F.row_number().over(w0) - 1).cast("int").alias("cid"), "q"
     )
-    init_ranked = init_ids.select(
-        (F.row_number().over(w0) - 1).cast("int").alias("cid"),
-        F.posexplode(slices).alias("sub", "c"),
+    init_ranked = ranked.select(
+        "cid", F.posexplode(slices).alias("sub", "c")
     )
     cb = init_ranked.select("sub", "cid", "c").localCheckpoint(eager=True)
     for _ in range(iters):

@@ -30,13 +30,17 @@ def engagement_windows(
     projection (flink_job.sql:106,118), so a window holding both a
     NULL and a literal 'Unknown' emits TWO rows. Coalescing before the
     groupBy -- this operator's shape before round 5 -- merged them.
-    But the raw column can't flow through ctr_windows directly either:
-    its final impression<->click counts join is an equi-join on the
-    group key, and SQL equi-joins drop NULL keys (the NULL segment's
-    clicks would silently vanish). So the segment is TAG-ENCODED to a
-    non-null key for the pipeline ('\\x00' for NULL, '\\x01'+value
-    otherwise -- injective, so no value can collide with the NULL tag)
-    and decoded to COALESCE semantics in the output projection.
+
+    The segment is TAG-ENCODED to a non-null key for the pipeline
+    ('\\x00' for NULL, '\\x01'+value otherwise -- injective, so no
+    value can collide with the NULL tag) and decoded to COALESCE
+    semantics in the output projection. For THIS batch path the raw
+    nullable column would actually survive intact (ctr_windows is one
+    LEFT join + one groupBy/countDistinct -- no counts equi-join), but
+    the STREAMING twin's dedup-decomposed plan joins its two count
+    relations ON the group key, where SQL equi-joins drop NULL keys;
+    batch and streaming share this one segment-key definition so the
+    duality tests compare identical pipelines end to end.
     """
     segmented = impressions.withColumn("segment", _tag(segment_col))
     out = ctr_windows(segmented, clicks, group_key="segment", **kwargs)

@@ -3173,14 +3173,30 @@ def _coloc_table(
 
     from .sources.bucketed import read_bucketed, write_bucketed
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # The tag carries a CONTENT stamp of the source parquet (mtime +
+    # size), not just the path: a regenerated sf_dir must mint a new
+    # table, or a session would silently re-register the previous
+    # corpus's layout while the flat twin and the oracle read the
+    # fresh files (same invalidation rule as queries_pipeline's
+    # _dir_stamp fit memo).
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "nostat"
+    tag = hashlib.md5(f"{sf_dir}|{stamp}".encode()).hexdigest()[:10]
     table = f"coloc_{name}_{tag}"
     if not spark.catalog.tableExists(table):
         loc = os.path.join(
             spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
             table,
         )
-        if os.path.isdir(loc):
+        # only re-register a COMPLETE previous write (_SUCCESS marker);
+        # a killed mid-write directory is rebuilt, not trusted
+        if os.path.isdir(loc) and os.path.exists(
+            os.path.join(loc, "_SUCCESS")
+        ):
             # The in-memory catalog forgets tables between sessions but
             # the warehouse files persist (a Hive metastore would keep
             # both): re-register the existing bucketed files as an
@@ -3196,6 +3212,12 @@ def _coloc_table(
                 f"INTO 32 BUCKETS LOCATION '{loc}'"
             )
         else:
+            if os.path.isdir(loc):
+                # incomplete leftover (no _SUCCESS): clear it, or
+                # saveAsTable refuses with LOCATION_ALREADY_EXISTS
+                import shutil
+
+                shutil.rmtree(loc, ignore_errors=True)
             write_bucketed(
                 load_table(spark, sf_dir, name),
                 table,

@@ -1643,7 +1643,10 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import pq_fixedpoint, pq_fixedpoint_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    key = ("pqfp", sf_dir, _dir_stamp(sf_dir), _PQ_M, _PQ_CODES, _PQ_ITERS)
+    key = (
+        "pqfp", sf_dir, _dir_stamp(sf_dir),
+        _PQ_M, _PQ_CODES, _PQ_ITERS, _KM_SEED,
+    )
     if key not in _FIT_MEMO:
         _FIT_MEMO[key] = pq_fixedpoint(
             emb, m=_PQ_M, k=_PQ_CODES, iters=_PQ_ITERS, seed=_KM_SEED

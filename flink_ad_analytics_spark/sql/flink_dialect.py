@@ -480,11 +480,21 @@ def _verify_join_agg_projections(
     m = re.search(r"SELECT\s+(.*?)\s+FROM\s", select, re.I | re.S)
     if not m:
         raise ValueError(f"unparseable SELECT list: {select[:120]!r}")
-    canonical_ctr = re.sub(r"\s+", " ", (
-        f"CASE WHEN COUNT(DISTINCT {la}.{imp_id}) > 0 "
-        f"THEN CAST(COUNT(DISTINCT {ra}.{click_id}) AS DOUBLE) "
-        f"/ COUNT(DISTINCT {la}.{imp_id}) ELSE 0.0 END as ctr"
-    )).lower()
+    # two accepted spellings of the SAME metric: the reference's form
+    # (double numerator, implicit-promotion denominator) and the
+    # denominator-cast form (what e.g. this repo's own batch oracle
+    # SQL writes) -- value-identical; anything else raises
+    canonical_ctrs = {
+        re.sub(r"\s+", " ", (
+            f"CASE WHEN COUNT(DISTINCT {la}.{imp_id}) > 0 "
+            f"THEN CAST(COUNT(DISTINCT {ra}.{click_id}) AS DOUBLE) "
+            f"/ {den} ELSE 0.0 END as ctr"
+        )).lower()
+        for den in (
+            f"COUNT(DISTINCT {la}.{imp_id})",
+            f"CAST(COUNT(DISTINCT {la}.{imp_id}) AS DOUBLE)",
+        )
+    }
     allowed = [
         re.compile(r"^window\.(start|end)\s+as\s+\w+$", re.I),
         re.compile(rf"^{la}\.{gc}(\s+as\s+\w+)?$", re.I),
@@ -506,7 +516,7 @@ def _verify_join_agg_projections(
             continue
         if any(p.match(flat) for p in allowed):
             continue
-        if flat.lower() == canonical_ctr:
+        if flat.lower() in canonical_ctrs:
             continue
         raise ValueError(
             f"unsupported projection in windowed-join statement (the "

@@ -383,80 +383,27 @@ def streaming_ingest_neardup(
     before round 5 those docs emitted nothing and drop-counting
     consumers undercounted).
     """
-    from ..functions.hashing import hex_minhash_term
-    from ..operators.dedup import (
-        _SHINGLES,
-        _TOKENIZE,
-        LSH_BANDS,
-        LSH_ROWS,
-        lsh_band_structs,
-    )
+    from ..operators.dedup import LSH_BANDS
 
-    # The 16-way salted shingle hashing runs UPSTREAM of the band-dedup
-    # shuffle, so its parallelism follows the SOURCE partitioning; a
-    # well-partitioned source (Kafka with many partitions -- the
-    # production shape) needs nothing here, and ``shuffle_docs`` opts
-    # into a pre-hash repartition on the doc id for single-file
-    # micro-batch sources. Opt-in deliberately: the shuffle moves full
-    # document text, and it makes WITHIN-batch keep-first ties between
-    # colliding docs partition-order-dependent (cross-batch semantics
-    # are unaffected -- bucket state decides). Measured cost shape
-    # (bench_streaming.py): the hashing itself is cheap (a 26k-doc
-    # corpus signs in ~3s batch-side); the gate's per-TRIGGER cost is
-    # dominated by the two stateful operators' state-store commit +
-    # planning machinery (~10s/trigger on local tmp checkpoints), so
-    # throughput scales with micro-batch size -- the standard Spark
-    # micro-batch latency/throughput dial, not a hashing limit.
-    wm = docs_stream.withWatermark(event_time_col, watermark)
-    if shuffle_docs:
-        wm = wm.repartition(shuffle_docs, F.col(id_col))
-    sh = wm.select(
-        F.col(id_col),
-        F.col(event_time_col),
-        F.expr(_TOKENIZE.format(col=text_col)).alias("__ws"),
-    ).select(
-        id_col,
-        event_time_col,
-        F.array_distinct(F.expr(_SHINGLES.format(ws="__ws"))).alias("__sh"),
-    )
-    # per-row minhash through the SHARED hash-family definition
-    # (functions/hashing.py::hex_minhash_term) and the SHARED band-key
-    # builder (operators/dedup.py::lsh_band_structs) -- the batch
-    # equivalence this gate promises rests on identical definitions,
-    # so neither is re-spelled here.
-    # NOTE the closure factory: `lambda s, j=j: ...` would make
-    # F.transform see a TWO-parameter lambda and bind j to the array
-    # INDEX (pyspark passes (element, index) to binary lambdas) --
-    # silently hashing with a Column repr as the salt.
-    def _term(j: int):
-        return lambda s: hex_minhash_term(s, j)
-
-    mh = [
-        F.array_min(F.transform(F.col("__sh"), _term(j))).alias(f"mh_{j}")
-        for j in range(LSH_BANDS * LSH_ROWS)
-    ]
-    sig = sh.select(id_col, event_time_col, F.size("__sh").alias("__n"), *mh)
-    bands = (
-        sig.filter(F.col("__n") > 0)
-        .select(
-            id_col, event_time_col, F.explode(lsh_band_structs()).alias("bk")
-        )
-        .select(id_col, event_time_col, "bk.band", "bk.band_key")
-    )
-    # One PHANTOM row per doc (band -1, keyed by the doc id -- the real
-    # bands are 0..LSH_BANDS-1, so no collision) rides through the
-    # bucket dedup untouched: it guarantees every doc reaches the
-    # verdict aggregate even when ALL of its band rows collided.
-    # Without it, fully-collided docs emitted NO row at all (round-4
-    # shape), so a consumer joining verdicts back to the corpus or
-    # counting drops via kept=false silently undercounted (ADVICE r4).
-    # The phantom also absorbs at-least-once redelivery: a duplicate
-    # delivery's phantom dedups on the same (band=-1, doc_id) key.
-    phantom = sig.filter(F.col("__n") > 0).select(
-        id_col,
-        event_time_col,
-        F.lit(-1).alias("band"),
-        F.col(id_col).cast("string").alias("band_key"),
+    # Band construction is SHARED with the fused gate
+    # (_neardup_band_inputs) -- the fused==two-op value-equality rests
+    # on bit-identical signatures/phantoms, so there is exactly one
+    # spelling. The phantom row (band -1 per doc) guarantees every doc
+    # reaches the verdict aggregate even when ALL its band rows
+    # collided -- without it, fully-collided docs emitted NO row
+    # (round-4 shape) and drop-counting consumers undercounted
+    # (ADVICE r4); it also absorbs at-least-once redelivery.
+    # ``shuffle_docs`` stays opt-in: the pre-hash repartition moves
+    # full document text and makes WITHIN-batch keep-first ties
+    # partition-order-dependent (cross-batch semantics unaffected --
+    # bucket state decides). Cost shape (bench_streaming.py /
+    # .benchmarks/neardup_gate_r5.json): hashing is cheap (26k docs
+    # sign in ~3s batch-side); per-trigger cost is the micro-batch
+    # incremental-execution floor, so throughput scales with batch
+    # size -- the standard latency/throughput dial.
+    sig, bands, phantom = _neardup_band_inputs(
+        docs_stream, id_col, text_col, event_time_col, watermark,
+        shuffle_docs,
     )
     pioneers = bands.unionByName(phantom).dropDuplicatesWithinWatermark(
         ["band", "band_key"]
@@ -514,7 +461,12 @@ def streaming_ingest_neardup_fused(
     signature definitions, same bucket state, same phantom/redelivery
     semantics) -- asserted in tests/test_streaming_ingest_dedup.py and
     verified on a 26k-doc corpus under a no-eviction watermark (0
-    differing verdicts). One DELIBERATE divergence class: with a short
+    differing verdicts). Two DELIBERATE divergence classes. First,
+    short-doc bypass REDELIVERY: this gate's bypass marker (band -2)
+    rides through the bucket dedup, so a short doc redelivered within
+    the horizon emits ONE verdict; the two-op gate's bypass path is
+    stateless and re-emits per delivery -- the fused behavior is the
+    stronger exactly-once shape. Second, with a short
     watermark, the two-op pipeline's downstream aggregate holds the
     global watermark back, so its bucket dedup evicts LATER and can
     catch extra dups right at the horizon boundary; both gates satisfy

@@ -90,18 +90,29 @@ def main() -> None:
         stage_ids = sorted({s for j in jobs for s in j.get("stageIds", [])})
         stages = []
         for sid in stage_ids:
-            try:
-                infos = _get(f"{base}/stages/{sid}")
-            except Exception:
+            # poll briefly past the flat 0.5s sleep: a slow listener
+            # bus would otherwise silently DROP a still-ACTIVE stage
+            # from the totals
+            infos = []
+            for _ in range(20):
+                try:
+                    infos = _get(f"{base}/stages/{sid}")
+                except Exception:
+                    break
+                if all(i.get("status") != "ACTIVE" for i in infos):
+                    break
+                time.sleep(0.25)
+            done = [i for i in infos if i.get("status") == "COMPLETE"]
+            if not done:
                 continue
-            for info in infos:
-                if info.get("status") != "COMPLETE":
-                    continue
-                row = {k: info.get(k) for k in STAGE_FIELDS}
-                # ns -> ms for cpu & shuffle-write clocks
-                row["executorCpuTime"] = round(row["executorCpuTime"] / 1e6, 1)
-                row["shuffleWriteTime"] = round(row["shuffleWriteTime"] / 1e6, 1)
-                stages.append(row)
+            # a retried stage reports one row per ATTEMPT; summing all
+            # of them double-counts -- keep only the last attempt
+            info = max(done, key=lambda i: i.get("attemptId", 0))
+            row = {k: info.get(k) for k in STAGE_FIELDS}
+            # ns -> ms for cpu & shuffle-write clocks
+            row["executorCpuTime"] = round(row["executorCpuTime"] / 1e6, 1)
+            row["shuffleWriteTime"] = round(row["shuffleWriteTime"] / 1e6, 1)
+            stages.append(row)
         totals = {
             "wall_sec": round(wall, 2),
             "executor_run_ms": sum(s["executorRunTime"] for s in stages),
