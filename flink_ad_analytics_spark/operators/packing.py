@@ -272,3 +272,101 @@ def write_token_budget_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    *,
+    seed: int = 23,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Token-budgeted MIXTURE selection: for each group (language /
+    source), keep a deterministic pseudo-random prefix of its docs
+    whose cumulative token count fits the group's budget -- the
+    materialization step of a training-mix spec ("60B tokens of en,
+    25B of de, ..."), which is written in TOKENS, not doc counts.
+
+    Selection rule: within each group, docs ordered by the seeded md5
+    key; a doc is kept iff the tokens BEFORE it (in that order) are
+    still under the group's budget -- greedy prefix, the last kept doc
+    may straddle the boundary, groups missing from ``budgets`` are
+    dropped entirely. Deterministic from (seed, budgets) alone, so
+    membership AND order replay exactly on any engine.
+
+    Scale design: same two-level prefix-sum as token_budget_shards,
+    with the ordered md5-hex bucket UNDER the group key -- per-
+    (group, bucket) windows stay parallel even when one group holds
+    90% of the corpus (partitioning by the group alone would put an
+    entire language on one task: the classic mixture-skew hazard);
+    the offset relation is #groups x #buckets rows, broadcast back.
+
+    Output (one row per KEPT doc): id, group, mix_key, group_pos
+    (1-based within group), doc_tokens, tokens_before.
+    """
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    base = (
+        docs.select(
+            F.col(id_col),
+            F.col(group_col).alias("__grp"),
+            key.alias("mix_key"),
+            F.expr(f"size({TOKENS.format(col=text_col)})")
+            .cast("bigint")
+            .alias("doc_tokens"),
+        )
+        .filter(F.col("__grp").isin(*budgets.keys()))
+        .withColumn("__bucket", F.substring("mix_key", 1, bucket_chars))
+    )
+    w_in = (
+        Window.partitionBy("__grp", "__bucket")
+        .orderBy("mix_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rn = Window.partitionBy("__grp", "__bucket").orderBy("mix_key", id_col)
+    local = base.select(
+        id_col,
+        "__grp",
+        "__bucket",
+        "mix_key",
+        "doc_tokens",
+        F.row_number().over(w_rn).cast("bigint").alias("__local_pos"),
+        (F.sum("doc_tokens").over(w_in) - F.col("doc_tokens")).alias(
+            "__local_before"
+        ),
+    )
+    totals = base.groupBy("__grp", "__bucket").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("doc_tokens").alias("__t")
+    )
+    w_b = (
+        Window.partitionBy("__grp")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__grp",
+        "__bucket",
+        F.coalesce(F.sum("__n").over(w_b), F.lit(0)).alias("__n_before"),
+        F.coalesce(F.sum("__t").over(w_b), F.lit(0)).alias("__t_before"),
+    )
+    budget = F.create_map(
+        *[x for g, b in sorted(budgets.items()) for x in (F.lit(g), F.lit(b))]
+    )
+    tokens_before = F.col("__t_before") + F.col("__local_before")
+    return (
+        local.join(F.broadcast(offsets), ["__grp", "__bucket"])
+        .withColumn("__before", tokens_before)
+        .filter(F.col("__before") < budget[F.col("__grp")])
+        .select(
+            id_col,
+            F.col("__grp").alias(group_col),
+            "mix_key",
+            (F.col("__n_before") + F.col("__local_pos")).alias("group_pos"),
+            "doc_tokens",
+            F.col("__before").alias("tokens_before"),
+        )
+    )

@@ -1006,6 +1006,63 @@ ORDER BY global_pos
 """
 
 
+_TBMIX_SEED = 23
+# mixed outcomes by design at every test SF: en/de partially selected,
+# fr fully kept (budget above its corpus total), es boundary-straddle
+# (one doc), zh absent -> dropped entirely
+_TBMIX_BUDGETS = {"en": 5000, "de": 2000, "fr": 100_000, "es": 1}
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix materialization: per-language TOKEN budgets
+    realized as deterministic seeded greedy prefixes
+    (operators/packing.py::token_budget_mix -- per-(group, ordered
+    md5-hex bucket) parallel windows + a broadcast offset relation, so
+    a 90%-of-corpus language never lands on one task).
+
+    Full per-doc value gate: membership, within-group order and the
+    exact cumulative token counts all replayed by the oracle.
+    """
+    from .operators.packing import token_budget_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_mix(
+        docs, _TBMIX_BUDGETS, seed=_TBMIX_SEED
+    ).orderBy("lang", "group_pos")
+
+
+_TBMIX_CASE = " ".join(
+    f"WHEN '{g}' THEN {b}" for g, b in sorted(_TBMIX_BUDGETS.items())
+)
+_TBMIX_IN = ", ".join(f"'{g}'" for g in sorted(_TBMIX_BUDGETS))
+
+TOKEN_BUDGET_MIX_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         md5('{_TBMIX_SEED}:' || CAST(doc_id AS VARCHAR)) AS mix_key,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS doc_tokens
+  FROM documents
+  WHERE lang IN ({_TBMIX_IN})),
+cum AS (
+  SELECT doc_id, lang, mix_key, doc_tokens,
+         ROW_NUMBER() OVER (
+             PARTITION BY lang ORDER BY mix_key, doc_id) AS group_pos,
+         COALESCE(SUM(doc_tokens) OVER (
+             PARTITION BY lang ORDER BY mix_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS tokens_before
+  FROM base)
+SELECT doc_id, lang, mix_key,
+       CAST(group_pos AS BIGINT) AS group_pos,
+       doc_tokens,
+       CAST(tokens_before AS BIGINT) AS tokens_before
+FROM cum
+WHERE tokens_before < CASE lang {_TBMIX_CASE} END
+ORDER BY lang, group_pos
+"""
+
+
 # -- corpus shuffle for training export -----------------------------------
 
 _SHUFFLE_SHARDS = 16
@@ -3535,6 +3592,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "sequence_packing": (q_sequence_packing, SEQUENCE_PACKING_SQL),
     "packing_offset": (q_packing_offset, PACKING_OFFSET_SQL),
     "token_budget_shards": (q_token_budget_shards, TOKEN_BUDGET_SHARDS_SQL),
+    "token_budget_mix": (q_token_budget_mix, TOKEN_BUDGET_MIX_SQL),
     "corpus_shuffle": (q_corpus_shuffle, CORPUS_SHUFFLE_SQL),
     "source_mix_weights": (q_source_mix_weights, SOURCE_MIX_WEIGHTS_SQL),
     "embedding_coverage": (q_embedding_coverage, EMBEDDING_COVERAGE_SQL),

@@ -215,3 +215,33 @@ def test_token_budget_shards_matches_pandas_oracle_property(spark):
         assert got == exp
 
     check()
+
+
+def test_token_budget_mix_selection_rules(spark):
+    from flink_ad_analytics_spark.operators.packing import token_budget_mix
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "a" if i % 2 else "b", " ".join(["w"] * 10)))
+    rows.append((100, "c", "ten tokens " * 5))  # group not in budgets
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, lang STRING, text STRING"
+    )
+    out = token_budget_mix(
+        docs, {"a": 95, "b": 10_000}, seed=7, group_col="lang"
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, []).append(r)
+    # group not in budgets dropped entirely
+    assert set(by) == {"a", "b"}
+    # b's budget exceeds its total -> every doc kept
+    assert len(by["b"]) == 20
+    # a: 10-token docs, budget 95 -> greedy prefix keeps 10 docs (the
+    # 10th starts at tokens_before=90 < 95 and straddles the boundary)
+    a = sorted(by["a"], key=lambda r: r.group_pos)
+    assert len(a) == 10
+    assert [r.group_pos for r in a] == list(range(1, 11))
+    assert [r.tokens_before for r in a] == [10 * i for i in range(10)]
+    # order follows the seeded md5 key
+    assert [r.mix_key for r in a] == sorted(r.mix_key for r in a)
