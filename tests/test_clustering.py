@@ -213,3 +213,120 @@ def test_pq_codes_stats_match_production_encoder(spark):
     for r in pq_codes_stats(emb, m=8, k=16, seed=11).collect():
         exact.setdefault(r.vec_id, [0] * 8)[r.sub] = r.code
     assert fast == exact
+
+
+def test_fixedpoint_kmeans_oracle_on_ties_and_empty_clusters(spark):
+    """Adversarial fixture for the recursive oracle's corner paths:
+    exact duplicate vectors (argmin TIES between equidistant
+    centroids -> the lowest-cid rule must fire identically in both
+    engines) and k larger than the number of DISTINCT points (some
+    clusters go EMPTY and must carry their previous centroid)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from flink_ad_analytics_spark.operators.clustering import (
+        kmeans_fixedpoint,
+        kmeans_fixedpoint_assign,
+    )
+    from flink_ad_analytics_spark.queries_pipeline import (
+        KMEANS_CLUSTERS_SQL,
+        _kmeans_fp_cte,
+    )
+
+    k, iters, seed = 6, 3, 11
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(4, 64)).astype(np.float32)  # only 4 distinct
+    rows = []
+    for i in range(24):
+        rows.append(
+            {
+                "vec_id": i,
+                "embedding": base[i % 4].tolist(),  # 6 exact copies each
+                "label": i % 4,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    emb = spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>, label int"
+    )
+
+    cent = kmeans_fixedpoint(emb, k=k, iters=iters, seed=seed)
+    assigned = kmeans_fixedpoint_assign(emb, cent, extra=["label"])
+    got = sorted(
+        (r.vec_id, r.label, r.cluster, r.dist2) for r in assigned.collect()
+    )
+
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    sql = (
+        _kmeans_fp_cte(k, iters, seed)
+        + f""",
+assigned AS (
+  SELECT v.vec_id, v.label, c.cid,
+         list_sum(list_transform(generate_series(1, 64),
+             i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS dist2
+  FROM qv v, (SELECT * FROM cent WHERE it = {iters}) c
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY v.vec_id ORDER BY dist2, c.cid) = 1)
+SELECT vec_id, label, CAST(cid AS BIGINT) AS cluster,
+       CAST(dist2 AS BIGINT) AS dist2
+FROM assigned"""
+    )
+    exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == exp
+    # the fixture actually exercised both paths: with 4 distinct
+    # points and k=6, at least two clusters must be empty (their
+    # centroids carried), and duplicated points share assignments
+    used = {c for _, _, c, _ in got}
+    assert len(used) <= 4 < k
+    by_vec = {v: c for v, _, c, _ in got}
+    assert all(by_vec[i] == by_vec[i % 4] for i in range(24))
+
+
+def test_fixedpoint_pq_oracle_on_duplicate_codewords(spark):
+    """Duplicated vectors make the PQ codebook hold IDENTICAL
+    codewords under different cids -- every encode is then a pure
+    tie-break; both engines must pick the lowest cid everywhere."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from flink_ad_analytics_spark.operators.clustering import (
+        pq_fixedpoint,
+        pq_fixedpoint_topk,
+    )
+    from flink_ad_analytics_spark.queries_pipeline import (
+        ANN_PQ_TOPK_SQL,
+        _pq_fp_cte,
+    )
+    from pyspark.sql import functions as F
+
+    m, k, iters, seed = 4, 8, 2, 11
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(3, 64)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(18),
+            "embedding": [base[i % 3].tolist() for i in range(18)],
+            "label": [i % 3 for i in range(18)],
+        }
+    )
+    emb = spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>, label int"
+    )
+    cb = pq_fixedpoint(emb, m=m, k=k, iters=iters, seed=seed)
+    got = sorted(
+        (r.q_id, r.c_id, r.adc_dist2, r.rank)
+        for r in pq_fixedpoint_topk(
+            emb, cb, query_filter=F.col("vec_id") < 3, k=4, m=m
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    sql = ANN_PQ_TOPK_SQL.format(
+        cte=_pq_fp_cte(m, k, iters, seed), iters=iters,
+        dsub=64 // m, topk=4,
+    ).replace("v.vec_id < 20", "v.vec_id < 3")
+    exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == exp and len(got) == 12

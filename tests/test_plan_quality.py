@@ -519,3 +519,48 @@ def test_coloc_entries_fact_never_exchanged(spark):
             "Exchange rangepartitioning"
         ) + plan.count("Exchange SinglePartition")
         assert n_ex <= max_exchanges, f"{fn.__name__}: {n_ex} exchanges\n{plan[:3000]}"
+
+
+def test_coloc_table_rebuilds_partial_write_and_restamps(spark, tmp_path):
+    """_coloc_table trust rules: a leftover directory WITHOUT a
+    _SUCCESS marker (killed mid-write) is cleared and rebuilt rather
+    than re-registered; and a regenerated source parquet mints a NEW
+    table tag instead of silently serving the stale layout."""
+    import os
+    import shutil
+
+    from flink_ad_analytics_spark.queries import _coloc_table
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    src = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "l_orderkey long, x long"
+    )
+    src.write.parquet(f"{sf}/lineitem.parquet")
+
+    t1 = _coloc_table(spark, sf, "lineitem", "l_orderkey")
+    assert t1.count() == 100
+    # find the table dir, drop the catalog entry, and simulate a
+    # partial write by deleting _SUCCESS
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    locs = [d for d in os.listdir(wh) if d.startswith("coloc_lineitem_")]
+    tag_dir = next(d for d in locs if spark.catalog.tableExists(d))
+    # DROP TABLE on the managed table deletes its files too; leave a
+    # marker-less directory behind to simulate the killed write
+    spark.sql(f"DROP TABLE {tag_dir}")
+    os.makedirs(os.path.join(wh, tag_dir), exist_ok=True)
+    success = os.path.join(wh, tag_dir, "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
+    t2 = _coloc_table(spark, sf, "lineitem", "l_orderkey")
+    assert t2.count() == 100  # rebuilt, not trusted
+    assert os.path.exists(success)
+
+    # regenerate the source with DIFFERENT content: new stamp -> new
+    # table; the old registered table must not be served
+    shutil.rmtree(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [(i, 0) for i in range(50)], "l_orderkey long, x long"
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    t3 = _coloc_table(spark, sf, "lineitem", "l_orderkey")
+    assert t3.count() == 50
