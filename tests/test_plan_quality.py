@@ -540,11 +540,17 @@ def test_coloc_table_rebuilds_partial_write_and_restamps(spark, tmp_path):
 
     t1 = _coloc_table(spark, sf, "lineitem", "l_orderkey")
     assert t1.count() == 100
-    # find the table dir, drop the catalog entry, and simulate a
-    # partial write by deleting _SUCCESS
+    # derive THIS test's table name from its own sf dir (scanning the
+    # shared warehouse could grab -- and drop -- another test's table)
+    import hashlib
+
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    locs = [d for d in os.listdir(wh) if d.startswith("coloc_lineitem_")]
-    tag_dir = next(d for d in locs if spark.catalog.tableExists(d))
+    st = os.stat(f"{sf}/lineitem.parquet")
+    tag = hashlib.md5(
+        f"{sf}|{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    tag_dir = f"coloc_lineitem_{tag}"
+    assert spark.catalog.tableExists(tag_dir)
     # DROP TABLE on the managed table deletes its files too; leave a
     # marker-less directory behind to simulate the killed write
     spark.sql(f"DROP TABLE {tag_dir}")
