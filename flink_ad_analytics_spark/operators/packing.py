@@ -307,6 +307,13 @@ def token_budget_mix(
     Output (one row per KEPT doc): id, group, mix_key, group_pos
     (1-based within group), doc_tokens, tokens_before.
     """
+    if not budgets:
+        # fail loud: F.col(...).isin() with zero args and create_map
+        # with no pairs both raise opaque analyzer errors downstream
+        raise ValueError(
+            "token_budget_mix: budgets must be non-empty "
+            "(a mix spec with no groups selects nothing)"
+        )
     key = F.md5(
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
     )

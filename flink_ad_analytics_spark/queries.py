@@ -30,7 +30,7 @@ from .operators.anomaly import detect_anomalies
 from .operators.asof import asof_join
 from .operators.ctr import ctr_windows, linear_attribution, position_attribution
 from .operators.engagement import engagement_windows
-from .sources.batch import load_events, load_table
+from .sources.batch import content_stamp, load_events, load_table
 
 # DuckDB CTE: events with microsecond event_time (matches load_events).
 EV_SQL = (
@@ -3173,18 +3173,17 @@ def _coloc_table(
 
     from .sources.bucketed import read_bucketed, write_bucketed
 
-    # The tag carries a CONTENT stamp of the source parquet (mtime +
-    # size), not just the path: a regenerated sf_dir must mint a new
-    # table, or a session would silently re-register the previous
-    # corpus's layout while the flat twin and the oracle read the
-    # fresh files (same invalidation rule as queries_pipeline's
-    # _dir_stamp fit memo).
+    # The tag carries a CONTENT stamp of the source parquet, not just
+    # the path: a regenerated sf_dir must mint a new table, or a
+    # session would silently re-register the previous corpus's layout
+    # while the flat twin and the oracle read the fresh files (same
+    # invalidation rule as queries_pipeline's _dir_stamp fit memo).
+    # The stamp walks the DATA FILES (relpath, mtime_ns, size), not
+    # the directory inode: rewriting part-file contents in place under
+    # the same names leaves the directory mtime unchanged, so a
+    # dir-level stat would serve a stale layout.
     src = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        stamp = "nostat"
+    stamp = content_stamp(src)
     tag = hashlib.md5(f"{sf_dir}|{stamp}".encode()).hexdigest()[:10]
     table = f"coloc_{name}_{tag}"
     if not spark.catalog.tableExists(table):

@@ -76,15 +76,15 @@ def _dir_stamp(sf_dir: str) -> tuple:
     """Content stamp for the embeddings file, so a REGENERATED parquet
     under the same path invalidates the memo (path alone would
     silently serve centroids fit on the old data -- and the iterative
-    queries are the rows-only-gated ones with no oracle to catch it)."""
+    queries are the rows-only-gated ones with no oracle to catch it).
+    Uses content_stamp, which walks part files inside a directory-form
+    parquet rather than stat-ing the directory inode (in-place part
+    rewrites don't move the dir mtime)."""
     import os
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(path)
-        return (st.st_mtime_ns, st.st_size)
-    except OSError:
-        return (0, 0)
+    from .sources.batch import content_stamp
+
+    return (content_stamp(os.path.join(sf_dir, "embeddings.parquet")),)
 
 
 def _kmeans_fp_cached(emb, sf_dir: str, k: int, iters: int, seed: int):

@@ -24,6 +24,39 @@ from ..schemas import DRIVER_TABLES
 from ..session import ensure_engine_conf
 
 
+def content_stamp(path: str) -> str:
+    """Content stamp of a parquet file OR directory: for a plain file,
+    ``mtime_ns:size``; for a directory, a hash over the sorted
+    (relpath, mtime_ns, size) triples of every regular file under it.
+    Unlike a single os.stat of the directory inode, the walk changes
+    when a part file is rewritten in place under the same name --
+    directory mtime only moves on entry add/remove/rename, so a
+    dir-level stat would let a cached layout/fit silently serve stale
+    data after an in-place corpus rewrite."""
+    import hashlib
+
+    try:
+        if os.path.isdir(path):
+            entries = []
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    fp = os.path.join(root, fn)
+                    st = os.stat(fp)
+                    entries.append(
+                        f"{os.path.relpath(fp, path)}:"
+                        f"{st.st_mtime_ns}:{st.st_size}"
+                    )
+            if not entries:
+                return "emptydir"
+            return hashlib.md5(
+                "\n".join(sorted(entries)).encode()
+            ).hexdigest()[:16]
+        st = os.stat(path)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "nostat"
+
+
 #: Scan-parallelism floor: sizing constant for one unit of scan work.
 #: 1 MB of UNCOMPRESSED row-group bytes per slot (_parquet_layout sums
 #: the footer's total_byte_size, which is the uncompressed figure) --

@@ -461,6 +461,17 @@ def _match_windowed_join_agg(select: str) -> dict | None:
     }
 
 
+def _norm_tokens(s: str) -> str:
+    """Lower-case token-stream normalization for SQL fragment
+    comparison: squash whitespace runs, then drop spaces adjacent to
+    punctuation ('(', ')', ',', '/', '>') so only token ORDER is
+    compared. Used by the CTR-projection verifier to accept spacing
+    variants of the canonical metric while still failing fast on any
+    genuinely different expression."""
+    flat = re.sub(r"\s+", " ", s.strip()).lower()
+    return re.sub(r"\s*([(),/>])\s*", r"\1", flat)
+
+
 def _verify_join_agg_projections(
     select: str, *, la: str, ra: str, gc: str, imp_id: str, click_id: str
 ) -> None:
@@ -483,13 +494,18 @@ def _verify_join_agg_projections(
     # two accepted spellings of the SAME metric: the reference's form
     # (double numerator, implicit-promotion denominator) and the
     # denominator-cast form (what e.g. this repo's own batch oracle
-    # SQL writes) -- value-identical; anything else raises
+    # SQL writes) -- value-identical; anything else raises.
+    # _norm_tokens (not plain whitespace-squash) so spacing variants
+    # around parentheses/operators ('COUNT( DISTINCT x )',
+    # 'COUNT (DISTINCT ...)') match the same canonical token stream --
+    # the standalone COUNT(DISTINCT) regexes already accepted those,
+    # the CASE comparison must too
     canonical_ctrs = {
-        re.sub(r"\s+", " ", (
+        _norm_tokens(
             f"CASE WHEN COUNT(DISTINCT {la}.{imp_id}) > 0 "
             f"THEN CAST(COUNT(DISTINCT {ra}.{click_id}) AS DOUBLE) "
             f"/ {den} ELSE 0.0 END as ctr"
-        )).lower()
+        )
         for den in (
             f"COUNT(DISTINCT {la}.{imp_id})",
             f"CAST(COUNT(DISTINCT {la}.{imp_id}) AS DOUBLE)",
@@ -516,7 +532,7 @@ def _verify_join_agg_projections(
             continue
         if any(p.match(flat) for p in allowed):
             continue
-        if flat.lower() in canonical_ctrs:
+        if _norm_tokens(flat) in canonical_ctrs:
             continue
         raise ValueError(
             f"unsupported projection in windowed-join statement (the "

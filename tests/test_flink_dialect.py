@@ -150,6 +150,27 @@ def test_altered_ctr_formula_rejected_not_misbound():
     with pytest.raises(ValueError, match="unsupported projection"):
         _match_windowed_join_agg(extra)
 
+    # spacing variants of the SAME metric must be ACCEPTED (ADVICE r5):
+    # 'COUNT( DISTINCT x )' and 'COUNT (DISTINCT ...)' are token-
+    # identical to the canonical form; only token order differences
+    # should raise
+    spaced = good.replace(
+        "CAST(COUNT(DISTINCT c.click_id) AS DOUBLE)",
+        "CAST( COUNT ( DISTINCT c.click_id ) AS DOUBLE )",
+    ).replace(
+        "/ COUNT(DISTINCT i.impression_id)",
+        "/ COUNT( DISTINCT i.impression_id )",
+    )
+    assert spaced != good
+    assert _match_windowed_join_agg(spaced) is not None
+    # and a real semantic change still raises even with odd spacing
+    swapped = spaced.replace(
+        "CASE WHEN COUNT(DISTINCT i.impression_id) > 0",
+        "CASE WHEN COUNT( DISTINCT c.click_id ) > 0",
+    )
+    with pytest.raises(ValueError, match="unsupported projection"):
+        _match_windowed_join_agg(swapped)
+
 
 @pytest.mark.skipif(
     not os.path.exists(f"{_REF_DIR}/flink_job.sql"),

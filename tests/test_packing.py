@@ -245,3 +245,10 @@ def test_token_budget_mix_selection_rules(spark):
     assert [r.tokens_before for r in a] == [10 * i for i in range(10)]
     # order follows the seeded md5 key
     assert [r.mix_key for r in a] == sorted(r.mix_key for r in a)
+
+    # empty budgets: a clear ValueError, not an opaque analyzer error
+    # from isin() with zero args / create_map with no pairs (ADVICE r5)
+    import pytest
+
+    with pytest.raises(ValueError, match="budgets must be non-empty"):
+        token_budget_mix(docs, {}, group_col="lang")

@@ -544,10 +544,11 @@ def test_coloc_table_rebuilds_partial_write_and_restamps(spark, tmp_path):
     # shared warehouse could grab -- and drop -- another test's table)
     import hashlib
 
+    from flink_ad_analytics_spark.sources.batch import content_stamp
+
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    st = os.stat(f"{sf}/lineitem.parquet")
     tag = hashlib.md5(
-        f"{sf}|{st.st_mtime_ns}:{st.st_size}".encode()
+        f"{sf}|{content_stamp(f'{sf}/lineitem.parquet')}".encode()
     ).hexdigest()[:10]
     tag_dir = f"coloc_lineitem_{tag}"
     assert spark.catalog.tableExists(tag_dir)
@@ -570,3 +571,54 @@ def test_coloc_table_rebuilds_partial_write_and_restamps(spark, tmp_path):
     ).write.parquet(f"{sf}/lineitem.parquet")
     t3 = _coloc_table(spark, sf, "lineitem", "l_orderkey")
     assert t3.count() == 50
+
+
+def test_coloc_stamp_sees_inplace_part_rewrite(spark, tmp_path):
+    """The content stamp must change when a PART FILE is rewritten in
+    place under the same name -- the directory inode's mtime doesn't
+    move for that, so a dir-level stat would re-register (and serve)
+    the stale bucketed layout while the flat twin reads fresh data."""
+    import glob
+    import os
+    import shutil
+
+    from flink_ad_analytics_spark.queries import _coloc_table
+    from flink_ad_analytics_spark.sources.batch import content_stamp
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq = f"{sf}/lineitem.parquet"
+    spark.createDataFrame(
+        [(i, i) for i in range(60)], "l_orderkey long, x long"
+    ).coalesce(1).write.parquet(pq)
+    before = content_stamp(pq)
+    assert _coloc_table(spark, sf, "lineitem", "l_orderkey").count() == 60
+
+    # rewrite the single part's CONTENTS in place: same file name, same
+    # directory entry set, so the directory inode's mtime is untouched
+    tmp_out = f"{sf}/_rewrite"
+    spark.createDataFrame(
+        [(i, i) for i in range(25)], "l_orderkey long, x long"
+    ).coalesce(1).write.parquet(tmp_out)
+    new_part = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+    old_part = glob.glob(f"{pq}/part-*.parquet")[0]
+    shutil.copyfile(new_part, old_part)  # copyfile keeps the dest name
+    # the Hadoop LocalFileSystem checksum sidecar must match the new
+    # bytes (its format depends only on content, not file name)
+    new_crc = os.path.join(
+        os.path.dirname(new_part), f".{os.path.basename(new_part)}.crc"
+    )
+    old_crc = os.path.join(
+        os.path.dirname(old_part), f".{os.path.basename(old_part)}.crc"
+    )
+    if os.path.exists(new_crc):
+        shutil.copyfile(new_crc, old_crc)
+    shutil.rmtree(tmp_out)
+    # Spark's own FileStatusCache also holds the stale part length; an
+    # external in-place rewrite requires refreshByPath in ANY engine --
+    # the stamp fix under test is _coloc_table's layout memo on top
+    spark.catalog.refreshByPath(pq)
+
+    assert content_stamp(pq) != before
+    # and the layout path agrees: a fresh tag is minted, fresh data read
+    assert _coloc_table(spark, sf, "lineitem", "l_orderkey").count() == 25
