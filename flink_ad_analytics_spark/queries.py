@@ -55,6 +55,23 @@ def _dsum(col: str) -> F.Column:
 # decimal math leaves BigDecimal's compact-long representation (~3x
 # slower per row, measured at sf0.1 -- dominated pricing_summary's
 # runtime before this).
+def _cents(col: str, factor: int = 100) -> F.Column:
+    """Exact integer ``factor``-ths of a NON-NEGATIVE exact-2dp money
+    double: ``(x * factor + 0.5)`` truncated by the long cast.
+
+    Why not F.round: Spark's round() on a double goes through a
+    per-row BigDecimal setScale -- measured 1.35s vs 0.76s for the
+    same 60M-row sf10 revenue aggregation (value-equal, asserted
+    before timing). The +0.5-truncate form stays in pure codegen
+    arithmetic and is exact under the money contract: x carries <= 2
+    decimal places (tests/test_testdata_contract.py), so x*factor is
+    within one ulp of an integer n, (n +- ulp) + 0.5 truncates to n.
+    Precondition x >= 0 (truncation is toward zero); every money
+    column in the driver tables is non-negative.
+    """
+    return (F.col(col) * factor + F.lit(0.5)).cast("long")
+
+
 def _rev() -> F.Column:
     """Exact ``l_extendedprice * (1 - l_discount)`` revenue term."""
     return F.col("l_extendedprice").cast("decimal(12,2)") * (
@@ -565,43 +582,68 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: single scan, map-side partial aggregation, 6 output groups;
     the shipdate filter pushes into the parquet scan.
 
-    Decimal-vs-long-cents, measured (tools/decimal_bench.py,
-    .benchmarks/decimal_longcents.json): summing exact integer cents /
-    micros with ``try_sum(long)`` is 2.0x (sf1) / 2.2x (sf10) faster
-    than these decimal sums and value-identical after rescaling, with
-    overflow turned into NULL (a sound rerun-exact trigger) instead of
-    a silent wrap. REJECTED as the shipped default: the charge
-    accumulator wraps past ~2.3e9 rows per group (100 TB territory for
-    skewed groups), so the fast path needs a detect-and-rerun second
-    pass -- two-path complexity for a query that is not a bench
-    bottleneck. The recipe stays in decimal_bench.py for pipelines
-    where money aggregation IS the dominant cost and group sizes are
-    bounded.
+    Round-6 aggregation engine: TWO-LEVEL exact money sums. Money
+    columns carry exactly 2 decimal places (asserted by
+    tests/test_testdata_contract.py), so every term is an exact
+    integer in cents / 1e-4 / 1e-6 units. Level 1 sums those LONGS
+    per task partition -- groupBy(spark_partition_id(), keys), where
+    overflow is structurally impossible: a task sums only its own
+    split's rows (~1-6M at default 128MB splits), and the worst term
+    (charge micros, <= ~2e11/row) wraps only past 4.6e7 rows/task;
+    ANSI mode (on) raises on any residual rather than wrapping.
+    Level 2 merges the handful of DECIMAL(38,0) partials per group --
+    exact at ANY corpus size, which is exactly where the plain
+    long-cents form failed (a single global accumulator wraps past
+    ~2.3e9 rows/group, 100 TB territory). Measured sf10
+    (tools/decimal_bench.py, .benchmarks/decimal_longcents.json):
+    two_level 0.81s vs decimal 4.21s (5.2x) vs unguarded long_cents
+    0.75s -- the two-level form recovers the integer-lattice speed
+    the engine's BigDecimal path leaves on the table, with none of
+    the overflow exposure that got long_cents rejected in round 4.
+    Full-query sf10 steady: 1.43s = 0.72x the DuckDB oracle (was
+    3.06x on the decimal path).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # Money columns are exact 2dp (tests/test_testdata_contract.py), so
-    # (12,2)/(4,2) casts are value-exact and the triple product is an
-    # exact scale-6 decimal that never leaves BigDecimal's compact-long
-    # fast path (the earlier scale-6 operands produced (30,18) products
-    # whose sums ran ~3x slower on the BigInteger path).
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
-    tax = F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)")
-    disc_price = price * disc
-    charge = price * disc * tax
-    return (
+    qty_c = _cents("l_quantity")
+    price_c = _cents("l_extendedprice")
+    disc_raw_c = _cents("l_discount")
+    disc_c = F.lit(100) - disc_raw_c
+    tax_c = F.lit(100) + _cents("l_tax")
+    partial = (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _dsum("l_quantity").alias("sum_qty"),
-            _dsum("l_extendedprice").alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge), 4).cast("double").alias("sum_charge"),
-            (_dsum("l_quantity") / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
-            (_dsum("l_extendedprice") / F.count(F.lit(1)).cast("double")).alias("avg_price"),
-            (_dsum("l_discount") / F.count(F.lit(1)).cast("double")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+        .groupBy(
+            F.spark_partition_id().alias("__pid"),
+            "l_returnflag",
+            "l_linestatus",
         )
+        .agg(
+            F.sum(qty_c).alias("p_qty"),
+            F.sum(price_c).alias("p_price"),
+            F.sum(disc_raw_c).alias("p_disc"),
+            F.sum(price_c * disc_c).alias("p_dp"),
+            F.sum(price_c * disc_c * tax_c).alias("p_ch"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+    )
+
+    def dsum(col: str, scale: int) -> F.Column:
+        # exact integer total -> exact decimal at its true scale; the
+        # ROUND(...,4) before the double cast keeps the conversion
+        # exact in both engines (same rationale as _dsum)
+        return F.round(
+            F.sum(F.col(col).cast("decimal(38,0)")) / F.lit(10**scale), 4
+        ).cast("double")
+
+    n = F.sum("p_n")
+    return partial.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("p_qty", 2).alias("sum_qty"),
+        dsum("p_price", 2).alias("sum_base_price"),
+        dsum("p_dp", 4).alias("sum_disc_price"),
+        dsum("p_ch", 6).alias("sum_charge"),
+        (dsum("p_qty", 2) / n.cast("double")).alias("avg_qty"),
+        (dsum("p_price", 2) / n.cast("double")).alias("avg_price"),
+        (dsum("p_disc", 2) / n.cast("double")).alias("avg_disc"),
+        n.alias("count_order"),
     )
 
 
@@ -3060,14 +3102,17 @@ def _market_share_from(
       and AQE skew split still applies to the streamed side.
 
     Measured sf10 steady (tools/query_floor.py protocol): 8.75s (r4
-    plan) -> 6.2s flat, 3.44s on the bucketed co-entry
-    (market_share_coloc: zero fact exchange, one 34MB exchange total).
-    The residual vs the 0.58s oracle is NOT plan: the exact-decimal
-    revenue aggregation alone costs 2.37s over this scan (0.75s with
-    double math, 0.45s decode-only) -- the engine-inherent decimal gap
-    already adjudicated for pricing_summary, with the long-cents
-    alternative measured and rejected for overflow
-    (.benchmarks/market_share_floor_sf10.json, decimal_longcents.json).
+    plan) -> 6.2s flat / 3.44s coloc (r5, decimal agg) -> 3.87s flat /
+    **2.02s coloc** after the round-6 two-level exact-cents rewrite
+    (zero fact exchange, one ~34MB exchange total). The decimal
+    component of the old floor is GONE: the revenue aggregation now
+    costs ~0.5s over the bare scan (was 1.9s). The residual vs the
+    0.58s oracle is the hash-probe join itself -- a COUNT-ONLY join
+    with no money math already costs 1.22s, over 2x the oracle's FULL
+    query (.benchmarks/market_share_floor_sf10.json); merge-on-sorted-
+    buckets, broadcast, and int-id build payloads all measured slower
+    or within noise. Engine probe throughput, amortized by executor
+    count at scale, not plan shape.
 
     The share denominator stays a window SUM over the tiny (year)
     aggregate -- no second fact pass -- and the share is the only
@@ -3085,19 +3130,39 @@ def _market_share_from(
               F.col("c_nationkey") == F.col("n_nationkey"))
         .select("o_orderkey", F.col("n_name").alias("nation"))
     )
+    # revenue as an exact integer in 1e-4 dollars: cents * (100 -
+    # discount cents). Feeds the round-6 two-level exact sum -- long
+    # partials per task partition (bounded by split size; this term
+    # wraps only past ~9e9 rows/task at its 1e9/row ceiling, and ANSI
+    # raises rather than wraps regardless), DECIMAL(38,0) merge across
+    # tasks (exact at any corpus size). Measured 2.59x over the
+    # BigDecimal path on this exact shape
+    # (.benchmarks/decimal_longcents.json two_level).
     li_n = li.select(
         "l_orderkey",
         F.year("l_shipdate").cast("long").alias("o_year"),
-        _rev().alias("rev"),
+        (
+            _cents("l_extendedprice")
+            * (F.lit(100) - _cents("l_discount"))
+        ).alias("rev_e4"),
     )
     per = (
         li_n.join(orders_f.hint("shuffle_hash"),
                   F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.spark_partition_id().alias("__pid"), "o_year", "nation"
+        )
+        .agg(F.sum("rev_e4").alias("p_rev"))
         .groupBy("o_year", "nation")
-        # keep the 4dp-rounded sum as DECIMAL through the window: the
-        # share's numerator/denominator stay exact and order-free; the
-        # only doubles are two round-then-cast conversions + one divide
-        .agg(F.round(F.sum("rev"), 4).alias("rev_dec"))
+        # keep the 4dp sum as DECIMAL through the window: the share's
+        # numerator/denominator stay exact and order-free; the only
+        # doubles are two conversions + one divide
+        .agg(
+            F.round(
+                F.sum(F.col("p_rev").cast("decimal(38,0)")) / F.lit(10_000),
+                4,
+            ).alias("rev_dec")
+        )
     )
     w = Window.partitionBy("o_year")
     tot_dec = F.sum("rev_dec").over(w)

@@ -90,9 +90,13 @@ def main() -> None:
     # (tests/test_testdata_contract.py). disc/tax become integer
     # per-cent factors in [0,200]; products are exact integer
     # "micro-money" (cents * pct * pct = 1e-6 dollars).
-    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_c = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
-    tax_c = F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
+    # (x*100 + 0.5) truncated-by-cast, NOT F.round: round() runs a
+    # per-row BigDecimal setScale (measured ~2x the whole agg's cost);
+    # the +0.5-truncate form is exact for non-negative exact-2dp
+    # doubles and stays in codegen arithmetic (queries.py::_cents).
+    price_c = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_c = F.lit(100) - (F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    tax_c = F.lit(100) + (F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
 
     def plan_cents(sum_fn):
         return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -103,6 +107,30 @@ def main() -> None:
         )
 
     try_sum = lambda c: F.try_sum(c)  # noqa: E731
+
+    def plan_two_level():
+        # Round-6 candidate (VERDICT r5 #1): BOUNDED long-cents
+        # partials per task partition, merged in decimal. Overflow is
+        # structurally impossible in level 1: a task sums only its own
+        # split's rows (<= ~6M rows at 128MB splits; the worst term,
+        # charge micros ~2e11/row, wraps only past 4.6e7 rows/task),
+        # and level 2 sums a handful of DECIMAL(38,0) partials --
+        # unbounded-safe. ANSI mode (on) turns any residual overflow
+        # into a raise, never a silent wrap.
+        pid = F.spark_partition_id().alias("__pid")
+        partial = li.groupBy(pid, "l_returnflag", "l_linestatus").agg(
+            F.sum(price_c).alias("p_base"),
+            F.sum(price_c * disc_c).alias("p_disc"),
+            F.sum(price_c * disc_c * tax_c).alias("p_charge"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+        dsum = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))  # noqa: E731
+        return partial.groupBy("l_returnflag", "l_linestatus").agg(
+            dsum("p_base").alias("sum_base_cents"),
+            dsum("p_disc").alias("sum_disc_e4"),
+            dsum("p_charge").alias("sum_charge_e6"),
+            F.sum("p_n").alias("n"),
+        )
 
     # value equivalence before any timing
     dec = {
@@ -117,11 +145,16 @@ def main() -> None:
         (r.l_returnflag, r.l_linestatus): r
         for r in plan_cents(try_sum).collect()
     }
-    assert set(dec) == set(cen) == set(tcen)
+    two = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in plan_two_level().collect()
+    }
+    assert set(dec) == set(cen) == set(tcen) == set(two)
     for k in dec:
-        assert int(dec[k].sum_base_price * 100) == cen[k].sum_base_cents == tcen[k].sum_base_cents, k
-        assert int(dec[k].sum_disc_price * 10_000) == cen[k].sum_disc_e4 == tcen[k].sum_disc_e4, k
-        assert int(dec[k].sum_charge * 1_000_000) == cen[k].sum_charge_e6 == tcen[k].sum_charge_e6, k
+        assert int(dec[k].sum_base_price * 100) == cen[k].sum_base_cents == tcen[k].sum_base_cents == int(two[k].sum_base_cents), k
+        assert int(dec[k].sum_disc_price * 10_000) == cen[k].sum_disc_e4 == tcen[k].sum_disc_e4 == int(two[k].sum_disc_e4), k
+        assert int(dec[k].sum_charge * 1_000_000) == cen[k].sum_charge_e6 == tcen[k].sum_charge_e6 == int(two[k].sum_charge_e6), k
+        assert cen[k].n == two[k].n, k
 
     def timed(label, fn):
         samples = []
@@ -143,6 +176,7 @@ def main() -> None:
         "decimal": timed("decimal", plan_decimal),
         "long_cents": timed("long_cents", lambda: plan_cents(F.sum)),
         "try_cents": timed("try_cents", lambda: plan_cents(try_sum)),
+        "two_level": timed("two_level", plan_two_level),
     }
     speedup = round(
         results["decimal"]["median_sec"]
@@ -155,11 +189,21 @@ def main() -> None:
         "repeats": repeats,
         "results": results,
         "try_cents_speedup_vs_decimal": speedup,
+        "two_level_speedup_vs_decimal": round(
+            results["decimal"]["median_sec"]
+            / max(results["two_level"]["median_sec"], 1e-9),
+            2,
+        ),
         "values_equal": True,
         "overflow_headroom_note": (
             "charge micros ~ 4e9/row: a single long accumulator wraps "
             "past ~2.3e9 rows/group; try_sum turns wrap into NULL "
-            "(sound fallback trigger), plain sum silently corrupts"
+            "(sound fallback trigger), plain sum silently corrupts. "
+            "two_level bounds the long accumulation per TASK (split-"
+            "sized: wraps only past ~4.6e7 rows/task for the charge "
+            "term, ~70x over default 128MB splits) and merges partials "
+            "in DECIMAL(38,0) -- overflow-impossible by construction "
+            "at any corpus size, with ANSI raising on any residual"
         ),
     }
     out = json.dumps(payload)
