@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .functions.skew import salted_join
 from .operators.anomaly import detect_anomalies
 from .operators.asof import asof_join
-from .operators.ctr import ctr_windows, linear_attribution, position_attribution
+from .operators.ctr import (
+    ctr_windows,
+    ctr_windows_colocated,
+    linear_attribution,
+    position_attribution,
+)
 from .operators.engagement import engagement_windows
 from .sources.batch import content_stamp, load_events, load_table
 
@@ -91,7 +96,10 @@ _REV_SQL = (
 
 
 def _impressions_clicks(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    ev = load_events(spark, sf_dir)
+    return _impressions_clicks_from(load_events(spark, sf_dir))
+
+
+def _impressions_clicks_from(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
     imp = ev.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("impression_id"),
         F.col("user_id"),
@@ -139,6 +147,12 @@ def q_ctr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-partition dial was tried (16 is ~15% better than 32, 8 is
     worse). These absolute overheads amortize at cluster scale, which
     is why the shared-set ratio crosses 1.0 by sf1.
+
+    Round 6 confirms the decomposition: q_ctr_hourly_coloc removes
+    the 114MB shuffle via the bucketed layout + per-user distinct
+    decomposition and lands at 1.17s sf10 steady -- almost exactly
+    the ~1.1s scheduling term, proving the flat residual really was
+    shuffle + scheduling and nothing else.
     """
     imp, clk = _impressions_clicks(spark, sf_dir)
     return ctr_windows(
@@ -3323,6 +3337,64 @@ def q_market_share_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _coloc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` bucketed on ``user_id`` with the computed
+    ``event_time`` column (same dtype-branching rule as load_events:
+    nanos-as-long ts is floor-divided, micros ts is cast). user_id is
+    the events family's join AND ownership key -- every impression_id
+    / click_id value belongs to one user -- so this one layout makes
+    the interval join and the distinct aggregation bucket-local."""
+    ev = _coloc_table(spark, sf_dir, "events", "user_id")
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        from .functions.time import epoch_nanos_to_ts
+
+        return ev.withColumn("event_time", epoch_nanos_to_ts("ts"))
+    return ev.withColumn("event_time", F.col("ts").cast("timestamp"))
+
+
+def q_ctr_hourly_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ctr_hourly on the bucketed serving layout: events bucketed on
+    user_id, so the interval join is exchange-free and the exact
+    COUNT(DISTINCT)s run entirely within buckets via the per-user
+    decomposition (operators/ctr.py::ctr_windows_colocated -- exact
+    because each impression/click id belongs to one user). The only
+    exchange in the plan moves per-(user, window, campaign)
+    pre-aggregated counts -- the 114MB exact-distinct shuffle of the
+    flat plan (.benchmarks/agg_floor_sf10.json) disappears. Same
+    result as q_ctr_hourly (same oracle SQL): bucketing is a layout
+    choice, the decomposition a proven-equal aggregation strategy.
+    """
+    imp, clk = _impressions_clicks_from(_coloc_events(spark, sf_dir))
+    return ctr_windows_colocated(
+        imp,
+        clk,
+        key="user_id",
+        group_key="campaign_id",
+        window="1 hour",
+        band="10 minutes",
+    )
+
+
+def q_engagement_hourly_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_engagement_hourly on the bucketed layout: same exchange-free
+    join + per-user distinct decomposition as q_ctr_hourly_coloc, with
+    the tag-encoded COALESCE segment key (operators/engagement.py)."""
+    from .operators.engagement import _tag, _untag
+
+    imp, clk = _impressions_clicks_from(_coloc_events(spark, sf_dir))
+    out = ctr_windows_colocated(
+        imp.withColumn("segment", _tag("device_type")),
+        clk,
+        key="user_id",
+        group_key="segment",
+        window="1 hour",
+        band="10 minutes",
+    )
+    return out.withColumn(
+        "segment", _untag("segment", "Unknown")
+    ).withColumnRenamed("segment", "device_type")
+
+
 def q_volume_shipping_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 on the bucketed serving layout: broadcast supplier-nation
     filter applies directly on the bucketed scan (broadcast join
@@ -3707,5 +3779,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "market_share": (q_market_share, MARKET_SHARE_SQL),
     "market_share_coloc": (q_market_share_coloc, MARKET_SHARE_SQL),
     "volume_shipping_coloc": (q_volume_shipping_coloc, VOLUME_SHIPPING_SQL),
+    "ctr_hourly_coloc": (q_ctr_hourly_coloc, CTR_HOURLY_SQL),
+    "engagement_hourly_coloc": (q_engagement_hourly_coloc, ENGAGEMENT_HOURLY_SQL),
     "pit_feature_join": (q_pit_feature_join, PIT_FEATURE_JOIN_SQL),
 }

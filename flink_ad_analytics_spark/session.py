@@ -44,6 +44,17 @@ ENGINE_RUNTIME_CONF = {
     "spark.sql.optimizer.excludedRules": (
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
     ),
+    # Accept SUBSET co-partitioning for joins: two relations hash-
+    # partitioned on user_id (the bucketed events layout) ARE
+    # co-located for a join on (user_id, window, campaign) -- the
+    # default-true guard would re-shuffle both sides on the full key
+    # set, re-introducing the exact shuffle the co-location layout
+    # exists to remove (ctr_hourly_coloc's merge join: 2 exchanges ->
+    # 0, measured). The trade the guard protects against -- fewer/
+    # skewed partitions when the subset key is low-cardinality -- does
+    # not apply: the subset key is the layout's own high-cardinality
+    # bucket key.
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
 }
 
 #: Defaults for sessions we create ourselves. All of these hold on a real

@@ -521,6 +521,33 @@ def test_coloc_entries_fact_never_exchanged(spark):
         assert n_ex <= max_exchanges, f"{fn.__name__}: {n_ex} exchanges\n{plan[:3000]}"
 
 
+def test_events_coloc_single_merge_exchange(spark):
+    """The events-family co-entries' core promise: with events bucketed
+    on user_id, the interval join AND the exact-distinct aggregation
+    run bucket-locally (per-user decomposition, no Expand) -- the only
+    hash exchange in the whole executed plan is the final tiny
+    (window, group) merge of per-user-hour pre-aggregates. The flat
+    plan's 93-115MB exact-distinct shuffle must NOT reappear."""
+    from flink_ad_analytics_spark.queries import (
+        q_ctr_hourly_coloc,
+        q_engagement_hourly_coloc,
+    )
+
+    for fn in (q_ctr_hourly_coloc, q_engagement_hourly_coloc):
+        df = fn(spark, SF_CORRECT)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in plan, plan[:2000]
+        n_ex = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        ) + plan.count("Exchange SinglePartition")
+        assert n_ex <= 1, f"{fn.__name__}: {n_ex} exchanges\n{plan[:3000]}"
+        # the no-Expand contract: Expand's unknown output partitioning
+        # is exactly what reintroduces the wide shuffle
+        assert "Expand" not in plan, f"{fn.__name__} plans Expand\n{plan[:3000]}"
+
+
 def test_coloc_table_rebuilds_partial_write_and_restamps(spark, tmp_path):
     """_coloc_table trust rules: a leftover directory WITHOUT a
     _SUCCESS marker (killed mid-write) is cleared and rebuilt rather
