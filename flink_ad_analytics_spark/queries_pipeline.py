@@ -87,12 +87,50 @@ def _dir_stamp(sf_dir: str) -> tuple:
     return (content_stamp(os.path.join(sf_dir, "embeddings.parquet")),)
 
 
+def _persisted_fit(emb, sf_dir: str, kind: str, params: tuple, fit_fn):
+    """Serve a deterministic fit artifact from the WAREHOUSE, fitting
+    once at first touch -- the _coloc_table pattern applied to model
+    artifacts (round-6, VERDICT r5 #5): a real serving system pays
+    training at ingest, not per query. Keyed by the corpus content
+    stamp + hyperparameters, so a regenerated corpus or changed
+    params re-fits; the persisted relation is tiny (k centroid /
+    m*k codebook rows) and oracle-replayable because the fit is
+    deterministic. The in-session memo above remains as a stat-call
+    cache; the durable layer is the parquet."""
+    import hashlib
+    import os
+    import shutil
+
+    spark = emb.sparkSession
+    tag = hashlib.md5(
+        f"{sf_dir}|{_dir_stamp(sf_dir)}|{kind}|{params}".encode()
+    ).hexdigest()[:10]
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        f"fit_{kind}_{tag}",
+    )
+    if not (
+        os.path.isdir(loc) and os.path.exists(os.path.join(loc, "_SUCCESS"))
+    ):
+        if os.path.isdir(loc):
+            # incomplete leftover from a killed write: rebuild
+            shutil.rmtree(loc, ignore_errors=True)
+        fit_fn().write.parquet(loc)
+    return spark.read.parquet(loc)
+
+
 def _kmeans_fp_cached(emb, sf_dir: str, k: int, iters: int, seed: int):
     from .operators.clustering import kmeans_fixedpoint
 
     key = ("kmfp", sf_dir, _dir_stamp(sf_dir), k, iters, seed)
     if key not in _FIT_MEMO:
-        _FIT_MEMO[key] = kmeans_fixedpoint(emb, k=k, iters=iters, seed=seed)
+        _FIT_MEMO[key] = _persisted_fit(
+            emb,
+            sf_dir,
+            "kmfp",
+            (k, iters, seed),
+            lambda: kmeans_fixedpoint(emb, k=k, iters=iters, seed=seed),
+        )
     return _FIT_MEMO[key]
 
 
@@ -819,9 +857,67 @@ FROM ranked GROUP BY cid
 """
 
 
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINING entry of the fit/serve split (VERDICT r5 #5): runs
+    the fixed-point Lloyd fit and returns the final centroid relation
+    exploded to (cid, d, v) rows -- dimension-level so the oracle
+    compares exact lattice coordinates, not list renderings. Serving
+    entries (kmeans_clusters, ann_ivf_kmeans) read the artifact this
+    fit persists to the warehouse; their bench rows now measure
+    serving, this row owns training. Forces a REFIT (ignores the
+    persisted artifact) so the measured cost is the fit itself."""
+    from .operators.clustering import kmeans_fixedpoint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_fixedpoint(
+        emb, k=_KM_K, iters=_KM_FP_ITERS, seed=_KM_SEED
+    )
+    return cent.select(
+        F.col("cid").cast("long").alias("cid"),
+        F.posexplode("c").alias("d", "v"),
+    ).withColumn("d", F.col("d").cast("long"))
+
+
+KMEANS_FIT_SQL = """{cte}
+SELECT CAST(cid AS BIGINT) AS cid,
+       CAST(gs.g - 1 AS BIGINT) AS d,
+       CAST(c[gs.g] AS BIGINT) AS v
+FROM cent, generate_series(1, 64) gs(g)
+WHERE it = {iters}
+"""
+
+
+def q_pq_codebook_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training entry for the PQ family: per-subspace fixed-point
+    Lloyd codebooks exploded to (sub, cid, d, v). Same fit/serve
+    contract as q_kmeans_fit."""
+    from .operators.clustering import pq_fixedpoint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_fixedpoint(
+        emb, m=_PQ_M, k=_PQ_CODES, iters=_PQ_ITERS, seed=_KM_SEED
+    )
+    return cb.select(
+        F.col("sub").cast("long").alias("sub"),
+        F.col("cid").cast("long").alias("cid"),
+        F.posexplode("c").alias("d", "v"),
+    ).withColumn("d", F.col("d").cast("long"))
+
+
+PQ_CODEBOOK_FIT_SQL = """{cte}
+SELECT CAST(sub AS BIGINT) AS sub,
+       CAST(cid AS BIGINT) AS cid,
+       CAST(gs.g - 1 AS BIGINT) AS d,
+       CAST(c[gs.g] AS BIGINT) AS v
+FROM cb, generate_series(1, {dsub}) gs(g)
+WHERE it = {iters}
+"""
+
+
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN over the learned IVF index (fit at query time) -- centroids
-    from the fixed-point fit, candidates scored by EXACT integer
+    """ANN over the learned IVF index -- centroids SERVED from the
+    warehouse artifact persisted at first touch (_persisted_fit;
+    q_kmeans_fit owns the training cost), candidates scored by EXACT integer
     squared distance, so probe choice, candidate membership and
     ranking are all engine-reproducible: a full DuckDB oracle replays
     fit + probe + scan (upgraded from the r2-r4 rows-only gate; the
@@ -1689,6 +1785,26 @@ FROM best WHERE rr = 1
 _PQ_M, _PQ_CODES, _PQ_ITERS = 8, 16, 3
 
 
+def _pq_fp_cached(emb, sf_dir: str):
+    from .operators.clustering import pq_fixedpoint
+
+    key = (
+        "pqfp", sf_dir, _dir_stamp(sf_dir),
+        _PQ_M, _PQ_CODES, _PQ_ITERS, _KM_SEED,
+    )
+    if key not in _FIT_MEMO:
+        _FIT_MEMO[key] = _persisted_fit(
+            emb,
+            sf_dir,
+            "pqfp",
+            (_PQ_M, _PQ_CODES, _PQ_ITERS, _KM_SEED),
+            lambda: pq_fixedpoint(
+                emb, m=_PQ_M, k=_PQ_CODES, iters=_PQ_ITERS, seed=_KM_SEED
+            ),
+        )
+    return _FIT_MEMO[key]
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-k over PQ codes -- codebooks from the FIXED-POINT
     per-subspace Lloyd fit (operators/clustering.py::pq_fixedpoint),
@@ -1696,20 +1812,18 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking are all exact integer arithmetic and the entire search is
     replayed by a DuckDB recursive oracle (upgraded from the r2-r4
     rows-only gate; the float pq_fit/pq_topk operators remain the
-    throughput path, recall-gated in test_clustering.py)."""
-    from .operators.clustering import pq_fixedpoint, pq_fixedpoint_topk
+    throughput path, recall-gated in test_clustering.py). Round 6:
+    codebooks are SERVED from the persisted warehouse artifact
+    (_persisted_fit); pq_codebook_fit owns the training cost."""
+    from .operators.clustering import pq_fixedpoint_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    key = (
-        "pqfp", sf_dir, _dir_stamp(sf_dir),
-        _PQ_M, _PQ_CODES, _PQ_ITERS, _KM_SEED,
-    )
-    if key not in _FIT_MEMO:
-        _FIT_MEMO[key] = pq_fixedpoint(
-            emb, m=_PQ_M, k=_PQ_CODES, iters=_PQ_ITERS, seed=_KM_SEED
-        )
     return pq_fixedpoint_topk(
-        emb, _FIT_MEMO[key], query_filter=F.col("vec_id") < 20, k=5, m=_PQ_M
+        emb,
+        _pq_fp_cached(emb, sf_dir),
+        query_filter=F.col("vec_id") < 20,
+        k=5,
+        m=_PQ_M,
     )
 
 
@@ -3560,6 +3674,13 @@ PIPELINE_QUERIES: dict[str, tuple] = {
             iters=_PQ_ITERS, dsub=64 // _PQ_M, topk=5,
         ),
     ),
+    "pq_codebook_fit": (
+        q_pq_codebook_fit,
+        PQ_CODEBOOK_FIT_SQL.format(
+            cte=_pq_fp_cte(_PQ_M, _PQ_CODES, _PQ_ITERS, _KM_SEED),
+            iters=_PQ_ITERS, dsub=64 // _PQ_M,
+        ),
+    ),
     "pq_codes": (q_pq_codes, PQ_CODES_SQL),
     "dataset_splits": (q_dataset_splits, DATASET_SPLITS_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
@@ -3577,6 +3698,13 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "kmeans_clusters": (
         q_kmeans_clusters,
         KMEANS_CLUSTERS_SQL.format(
+            cte=_kmeans_fp_cte(_KM_K, _KM_FP_ITERS, _KM_SEED),
+            iters=_KM_FP_ITERS,
+        ),
+    ),
+    "kmeans_fit": (
+        q_kmeans_fit,
+        KMEANS_FIT_SQL.format(
             cte=_kmeans_fp_cte(_KM_K, _KM_FP_ITERS, _KM_SEED),
             iters=_KM_FP_ITERS,
         ),
