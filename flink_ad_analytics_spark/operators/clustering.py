@@ -1045,6 +1045,33 @@ def _pq_fp_assign(sv: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
+def pq_fixedpoint_codes(
+    emb: DataFrame,
+    cb: DataFrame,
+    *,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """ENCODE: assign every vector's m subspace slices to their
+    nearest fixed-point codebook entries -> (c_id, sub, code). Split
+    out of pq_fixedpoint_topk because the code relation is an INDEX
+    ARTIFACT: deterministic in (corpus, codebooks), tiny (m small ints
+    per vector), and paid once at ingest in a real serving system --
+    queries_pipeline persists it next to the codebooks the way
+    _coloc_table persists bucket layouts."""
+    dsub = dims // m
+    qv = _fp_quantize(emb, id_col, vec_col)
+    slices = F.expr(
+        f"transform(sequence(0, {m - 1}), j -> slice(q, j * {dsub} + 1, {dsub}))"
+    )
+    sv = qv.select(id_col, F.posexplode(slices).alias("sub", "qs"))
+    return _pq_fp_assign(sv, cb).select(
+        F.col(id_col).alias("c_id"), "sub", F.col("cid").alias("code")
+    )
+
+
 def pq_fixedpoint_topk(
     emb: DataFrame,
     cb: DataFrame,
@@ -1055,22 +1082,25 @@ def pq_fixedpoint_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k over fixed-point PQ codes: candidates are stored as m
     small integer codes; a query scans them with a per-(query, sub,
     code) integer distance table (the classic asymmetric-distance
     shape: |q| x m x k_codes table rows, candidate scan is a sum of m
     lookups). Exact integer arithmetic end to end -> full oracle.
+
+    ``codes``: pre-encoded (c_id, sub, code) relation (e.g. the
+    persisted index artifact); encoded on the fly when omitted.
     """
     dsub = dims // m
-    qv = _fp_quantize(emb, id_col, vec_col)
     slices = F.expr(
         f"transform(sequence(0, {m - 1}), j -> slice(q, j * {dsub} + 1, {dsub}))"
     )
-    sv = qv.select(id_col, F.posexplode(slices).alias("sub", "qs"))
-    codes = _pq_fp_assign(sv, cb).select(
-        F.col(id_col).alias("c_id"), "sub", F.col("cid").alias("code")
-    )
+    if codes is None:
+        codes = pq_fixedpoint_codes(
+            emb, cb, m=m, id_col=id_col, vec_col=vec_col, dims=dims
+        )
     queries = _fp_quantize(emb.filter(query_filter), id_col, vec_col).select(
         F.col(id_col).alias("q_id"), F.posexplode(slices).alias("sub", "qs")
     )

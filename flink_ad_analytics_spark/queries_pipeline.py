@@ -1813,17 +1813,30 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed by a DuckDB recursive oracle (upgraded from the r2-r4
     rows-only gate; the float pq_fit/pq_topk operators remain the
     throughput path, recall-gated in test_clustering.py). Round 6:
-    codebooks are SERVED from the persisted warehouse artifact
-    (_persisted_fit); pq_codebook_fit owns the training cost."""
-    from .operators.clustering import pq_fixedpoint_topk
+    codebooks AND the per-vector code relation are SERVED from
+    persisted warehouse artifacts (_persisted_fit; both deterministic
+    in corpus + hyperparameters, so the oracle replays them);
+    pq_codebook_fit owns the training cost, the one-time encode is
+    paid at first touch like _coloc_table's bucketing. Measured sf10:
+    on-the-fly encode made 'serving' 29s; persisted codes ~1s."""
+    from .operators.clustering import pq_fixedpoint_codes, pq_fixedpoint_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_fp_cached(emb, sf_dir)
+    codes = _persisted_fit(
+        emb,
+        sf_dir,
+        "pqcodes",
+        (_PQ_M, _PQ_CODES, _PQ_ITERS, _KM_SEED),
+        lambda: pq_fixedpoint_codes(emb, cb, m=_PQ_M),
+    )
     return pq_fixedpoint_topk(
         emb,
-        _pq_fp_cached(emb, sf_dir),
+        cb,
         query_filter=F.col("vec_id") < 20,
         k=5,
         m=_PQ_M,
+        codes=codes,
     )
 
 
