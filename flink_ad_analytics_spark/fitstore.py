@@ -1,0 +1,56 @@
+"""Warehouse persistence for deterministic fit/index artifacts.
+
+The _coloc_table pattern (queries.py) applied to MODEL artifacts
+(round 6, VERDICT r5 #5): a real serving system pays training /
+index construction at ingest, not per query. Artifacts are keyed by
+the corpus CONTENT stamp (sources/batch.py::content_stamp -- part-
+file walk, not directory mtime) plus hyperparameters, so a
+regenerated corpus or changed params re-fits; a killed mid-write
+directory (no _SUCCESS) is rebuilt, never trusted. Because every
+persisted fit here is a pure function of corpus + params (the
+fixed-point contract), the artifact is oracle-replayable: DuckDB
+recursive CTEs recompute it from the raw tables and values match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def persisted_fit(
+    anchor: DataFrame,
+    sf_dir: str,
+    kind: str,
+    params: tuple,
+    fit_fn,
+    *,
+    stamp_table: str = "embeddings",
+) -> DataFrame:
+    """Serve the ``kind`` artifact from the warehouse, running
+    ``fit_fn`` once at first touch. ``anchor`` supplies the
+    SparkSession; ``stamp_table`` names the corpus table whose content
+    stamp keys the cache."""
+    from .sources.batch import content_stamp
+
+    spark = anchor.sparkSession
+    stamp = content_stamp(os.path.join(sf_dir, f"{stamp_table}.parquet"))
+    tag = hashlib.md5(
+        f"{sf_dir}|{stamp}|{kind}|{params}".encode()
+    ).hexdigest()[:10]
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        f"fit_{kind}_{tag}",
+    )
+    if not (
+        os.path.isdir(loc) and os.path.exists(os.path.join(loc, "_SUCCESS"))
+    ):
+        if os.path.isdir(loc):
+            # incomplete leftover from a killed write: rebuild
+            shutil.rmtree(loc, ignore_errors=True)
+        fit_fn().write.parquet(loc)
+    return spark.read.parquet(loc)
