@@ -3395,6 +3395,53 @@ def q_engagement_hourly_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("segment", "device_type")
 
 
+def q_campaign_spend_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_campaign_spend on the bucketed events layout: the CTR counts
+    come from the per-user exchange-free decomposition
+    (ctr_windows_colocated), the spend aggregate runs over the same
+    bucketed impression scan, and the final counts-x-spend join is a
+    broadcast of two tiny per-(day, campaign) relations."""
+    imp, clk = _impressions_clicks_from(_coloc_events(spark, sf_dir))
+    counts = ctr_windows_colocated(
+        imp,
+        clk,
+        key="user_id",
+        group_key="campaign_id",
+        window="1 day",
+        band="10 minutes",
+    ).select("window_start", "window_end", "campaign_id",
+             "impression_count", "click_count")
+    spend = (
+        imp.groupBy(
+            F.window(F.col("event_time"), "1 day").alias("w"),
+            F.col("campaign_id"),
+        )
+        .agg(_dsum("cost").alias("spend"))
+        .select(F.col("w.start").alias("window_start"), "campaign_id", "spend")
+    )
+    out = counts.join(spend, ["window_start", "campaign_id"])
+    cpc = F.when(
+        F.col("click_count") > 0,
+        F.col("spend") / F.col("click_count").cast("double"),
+    )
+    cpm = F.when(
+        F.col("impression_count") > 0,
+        (F.col("spend") * F.lit(1000.0)) / F.col("impression_count").cast("double"),
+    )
+    return out.select(
+        "window_start", "window_end", "campaign_id",
+        "impression_count", "click_count", "spend",
+        cpc.alias("cpc"), cpm.alias("cpm"),
+    )
+
+
+def q_anomaly_alerts_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_anomaly_alerts over the coloc CTR pipeline: the LAG stage is
+    a tiny-relation window either way; the upstream CTR cost is what
+    the bucketed layout removes."""
+    return detect_anomalies(q_ctr_hourly_coloc(spark, sf_dir))
+
+
 def q_volume_shipping_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 on the bucketed serving layout: broadcast supplier-nation
     filter applies directly on the bucketed scan (broadcast join
@@ -3781,5 +3828,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "volume_shipping_coloc": (q_volume_shipping_coloc, VOLUME_SHIPPING_SQL),
     "ctr_hourly_coloc": (q_ctr_hourly_coloc, CTR_HOURLY_SQL),
     "engagement_hourly_coloc": (q_engagement_hourly_coloc, ENGAGEMENT_HOURLY_SQL),
+    "campaign_spend_coloc": (q_campaign_spend_coloc, CAMPAIGN_SPEND_SQL),
+    "anomaly_alerts_coloc": (q_anomaly_alerts_coloc, ANOMALY_ALERTS_SQL),
     "pit_feature_join": (q_pit_feature_join, PIT_FEATURE_JOIN_SQL),
 }
