@@ -564,16 +564,32 @@ def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference has no grouping sets; this is the standard-surface
     entry).
 
-    Scale: rollup executes as a single Expand + hash aggregate -- one
-    scan, one shuffle, rows multiplied only by the 3 grouping levels;
-    map-side partial aggregation bounds the shuffle as usual.
+    Scale: round-6 two-level form -- the wide scan is reduced by a
+    plain (partition, status, priority) long-cents partial aggregate
+    FIRST (map-side, ~32 x 15 rows out), and the ROLLUP's Expand runs
+    over those partials instead of tripling 15M scan rows; the decimal
+    work happens once per partial, not per row (same exactness
+    argument as q_pricing_summary: 2dp money, split-bounded task
+    sums, DECIMAL(38,0) merge).
     """
     o = load_table(spark, sf_dir, "orders")
+    partial = o.groupBy(
+        F.spark_partition_id().alias("__pid"),
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("p_n"),
+        F.sum(_cents("o_totalprice")).alias("p_c"),
+    )
     return (
-        o.rollup("o_orderstatus", "o_orderpriority")
+        partial.rollup("o_orderstatus", "o_orderpriority")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            _dsum("o_totalprice").alias("total_price"),
+            F.coalesce(F.sum("p_n"), F.lit(0)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("p_c").cast("decimal(38,0)")) / F.lit(100), 4
+            )
+            .cast("double")
+            .alias("total_price"),
             F.grouping_id().cast("long").alias("lvl"),
         )
     )
