@@ -400,7 +400,16 @@ def streaming_ingest_neardup(
     # .benchmarks/neardup_gate_r5.json): hashing is cheap (26k docs
     # sign in ~3s batch-side); per-trigger cost is the micro-batch
     # incremental-execution floor, so throughput scales with batch
-    # size -- the standard latency/throughput dial.
+    # size -- the standard latency/throughput dial. MEASURED at four
+    # reader sizings (r6, streaming_health.json neardup_trigger_dial;
+    # 26k docs, local[32]): 1 file/trigger 329 docs/s, 2 -> 670,
+    # 4 -> 1302, single trigger 2017 -- near-linear in batch size.
+    # Recommendation: size maxFilesPerTrigger (or a processing-time
+    # trigger) so each micro-batch carries >= ~10k docs unless the
+    # pipeline has a hard per-doc latency bound; below that the
+    # per-trigger floor, not the hashing, is what you pay. RocksDB
+    # cuts the state-commit clock but NOT this floor (r5 measurement,
+    # re-confirmed by the fused+RocksDB row in the same artifact).
     sig, bands, phantom = _neardup_band_inputs(
         docs_stream, id_col, text_col, event_time_col, watermark,
         shuffle_docs,
