@@ -114,7 +114,7 @@ def test_rollup_single_expand_single_shuffle(spark):
     assert plan.count("FileScan") == 1  # one scan serves all 3 levels
     # Expand must sit ABOVE the partial aggregate (operate on partials,
     # not scan rows): the aggregate keyed by __pid appears below it
-    assert "spark_partition_id" in plan
+    assert "spark_partition_id" in plan.lower()
     assert plan.count("Exchange") <= 2
 
 
