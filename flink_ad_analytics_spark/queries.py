@@ -1172,7 +1172,8 @@ def _volume_shipping_from(
         .join(F.broadcast(supp_f), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", "supp_nation",
                 F.year("l_shipdate").cast("long").alias("l_year"),
-                _rev().alias("rev"))
+                (_cents("l_extendedprice")
+                 * (F.lit(100) - _cents("l_discount"))).alias("rev_e4"))
     )
     orders_f = (
         orders.join(F.broadcast(cust_f), F.col("o_custkey") == F.col("c_custkey"))
@@ -1185,10 +1186,27 @@ def _volume_shipping_from(
             ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
             | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
         )
+        .groupBy(
+            F.spark_partition_id().alias("__pid"),
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+        )
+        # two-level exact cents (q_pricing_summary rationale): long
+        # partials per task, decimal merge -- exact at any scale
+        .agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum("rev_e4").alias("p_rev"),
+        )
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("rev"), 4).cast("double").alias("revenue"),
+            F.sum("p_n").alias("n_items"),
+            F.round(
+                F.sum(F.col("p_rev").cast("decimal(38,0)")) / F.lit(10_000),
+                4,
+            )
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
