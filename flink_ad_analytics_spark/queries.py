@@ -3430,30 +3430,49 @@ def q_engagement_hourly_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_campaign_spend_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q_campaign_spend on the bucketed events layout: the CTR counts
-    come from the per-user exchange-free decomposition
-    (ctr_windows_colocated), the spend aggregate runs over the same
-    bucketed impression scan, and the final counts-x-spend join is a
-    broadcast of two tiny per-(day, campaign) relations."""
+    """q_campaign_spend on the bucketed events layout. The spend sum
+    rides the SAME per-user pre-aggregation pass as the impression
+    counts (one scan, no separate spend scan or counts-x-spend join):
+    per-(user, day, campaign) partial decimal sums are exact in any
+    grouping order, so summing the partials and rounding ONCE at the
+    end equals the flat _dsum (round-after-total). Click counts come
+    from the inner band join; everything below the final (day,
+    campaign) merge is exchange-free on the user_id bucket layout
+    (q_ctr_hourly_coloc rationale)."""
     imp, clk = _impressions_clicks_from(_coloc_events(spark, sf_dir))
-    counts = ctr_windows_colocated(
-        imp,
-        clk,
-        key="user_id",
-        group_key="campaign_id",
-        window="1 day",
-        band="10 minutes",
-    ).select("window_start", "window_end", "campaign_id",
-             "impression_count", "click_count")
-    spend = (
-        imp.groupBy(
-            F.window(F.col("event_time"), "1 day").alias("w"),
-            F.col("campaign_id"),
-        )
-        .agg(_dsum("cost").alias("spend"))
-        .select(F.col("w.start").alias("window_start"), "campaign_id", "spend")
+    w_col = F.window(F.col("event_time"), "1 day")
+    imp_counts = imp.groupBy(
+        F.col("user_id").alias("__key"),
+        w_col.alias("w"),
+        F.col("campaign_id"),
+    ).agg(
+        F.countDistinct("impression_id").alias("__ki"),
+        F.sum(F.col("cost").cast("decimal(18,6)")).alias("__spend"),
     )
-    out = counts.join(spend, ["window_start", "campaign_id"])
+    i = imp.alias("i")
+    c = clk.alias("c")
+    matched = i.join(
+        c,
+        (F.col("i.user_id") == F.col("c.user_id"))
+        & (F.col("c.click_time") >= F.col("i.event_time"))
+        & (
+            F.col("c.click_time")
+            <= F.col("i.event_time") + F.expr("INTERVAL 10 minutes")
+        ),
+    )
+    clk_counts = matched.groupBy(
+        F.col("i.user_id").alias("__key"),
+        F.window(F.col("i.event_time"), "1 day").alias("w"),
+        F.col("i.campaign_id").alias("campaign_id"),
+    ).agg(F.countDistinct(F.col("c.click_id")).alias("__kc"))
+    per_key = imp_counts.join(
+        clk_counts, ["__key", "w", "campaign_id"], "left_outer"
+    )
+    out = per_key.groupBy("w", "campaign_id").agg(
+        F.sum("__ki").alias("impression_count"),
+        F.sum(F.coalesce(F.col("__kc"), F.lit(0))).alias("click_count"),
+        F.round(F.sum("__spend"), 4).cast("double").alias("spend"),
+    )
     cpc = F.when(
         F.col("click_count") > 0,
         F.col("spend") / F.col("click_count").cast("double"),
@@ -3463,7 +3482,9 @@ def q_campaign_spend_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("spend") * F.lit(1000.0)) / F.col("impression_count").cast("double"),
     )
     return out.select(
-        "window_start", "window_end", "campaign_id",
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "campaign_id",
         "impression_count", "click_count", "spend",
         cpc.alias("cpc"), cpm.alias("cpm"),
     )
