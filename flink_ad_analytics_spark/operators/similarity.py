@@ -576,3 +576,100 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "qcosine", "rank")
     )
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    eval_pred,
+    *,
+    threshold: int,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_eval: int = 200_000,
+) -> DataFrame:
+    """SEMANTIC decontamination: flag training vectors whose exact
+    integer-lattice dot product with ANY eval-set vector reaches
+    ``threshold`` -- the embedding-similarity complement of the n-gram
+    decontamination family (operators/dedup.py decontaminate/bloom):
+    n-grams catch verbatim leakage, this catches paraphrase-level
+    leakage the way SemDeDup-style pipelines do before training.
+
+    Exactness: both sides quantize to floor(x * scale) BIGINT lattice
+    coordinates, so every dot is an exact integer and the flag set is
+    engine-reproducible (full DuckDB oracle). The scoring matmul runs
+    in float64 BLAS under the same checked certificate as
+    dedup.knn_graph (dims * max|q|^2 < 2^53 -> exact), falling back to
+    int64 past the bound.
+
+    Scale shape: the EVAL side is small by nature (benchmarks, held-out
+    splits) -- it collects (cap enforced, fail-loud) and broadcasts as
+    one matrix; the TRAIN corpus streams through mapInPandas in Arrow
+    batches, one BLAS matmul per batch, emitting only flagged rows.
+    No shuffle anywhere: a pure map over the corpus scan, embarrassing
+    parallel at any corpus size. Ties for the best eval match break to
+    the SMALLER eval id (argmax picks the first maximum over the
+    id-ascending eval matrix).
+
+    Output: (``id_col``, eval_id, dot) -- one row per flagged train
+    vector, its best-matching eval vector, and their exact dot.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = emb.select(
+        F.col(id_col), floor_scale_quant(vec_col, scale).alias("__q")
+    )
+    ev = q.filter(eval_pred)
+    rows = ev.limit(max_eval + 1).collect()
+    if len(rows) > max_eval:
+        raise ValueError(
+            f"semantic_decontaminate eval side exceeds max_eval="
+            f"{max_eval}: eval splits are small by nature; for "
+            "corpus-x-corpus similarity use the banded ANN family"
+        )
+    spark = emb.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [], f"{id_col} long, eval_id long, dot long"
+        )
+    rows.sort(key=lambda r: r[id_col])
+    e_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    e_mat = np.stack([np.asarray(r["__q"], dtype=np.int64) for r in rows])
+    dims = e_mat.shape[1]
+    qmax = int(np.abs(e_mat).max())
+    blas = dims * qmax * qmax < 2**53
+    bc = spark.sparkContext.broadcast(
+        (e_ids, e_mat.astype(np.float64) if blas else e_mat, blas)
+    )
+
+    def flag(batches):
+        b_ids, b_mat, b_blas = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[pdf.columns[0]].to_numpy()
+            m = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["__q"]]
+            )
+            if b_blas:
+                dots = (m.astype(np.float64) @ b_mat.T).astype(np.int64)
+            else:
+                dots = m @ b_mat.T
+            # no self-pair handling needed: train is strictly
+            # ~eval_pred, so the two sides are disjoint by construction
+            best = dots.argmax(axis=1)
+            best_dot = dots[np.arange(len(ids)), best]
+            keep = best_dot >= threshold
+            yield pd.DataFrame(
+                {
+                    id_col: ids[keep],
+                    "eval_id": b_ids[best[keep]],
+                    "dot": best_dot[keep],
+                }
+            )
+
+    train = q.filter(~eval_pred)
+    return train.mapInPandas(
+        flag, f"{id_col} long, eval_id long, dot long"
+    )

@@ -452,6 +452,53 @@ def _bench_pred(str_type: str = "VARCHAR") -> str:
     )
 
 
+#: Semantic-decontamination threshold on the floor(x*1000) lattice:
+#: dot >= 300_000 is ~0.3 cosine for these unit-norm embeddings --
+#: calibrated so the testdata flags a real but small slice (43/490
+#: train vectors at sf0.01), i.e. the gate is exercised, not vacuous.
+_SEMDECON_T = 300_000
+
+
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-similarity decontamination (round 6): flag training
+    vectors whose exact lattice dot with ANY eval vector (the
+    vec_id % 50 == 7 held-out split) reaches the threshold, with the
+    best-matching eval id and exact dot. Complements the n-gram
+    decontamination family: n-grams catch verbatim leakage, embedding
+    similarity catches paraphrase-level leakage. Plan: eval side
+    broadcast as one matrix, train corpus streams through one
+    BLAS-exact matmul per Arrow batch -- zero shuffles
+    (operators/similarity.py::semantic_decontaminate)."""
+    from .operators.similarity import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb, F.col("vec_id") % 50 == 7, threshold=_SEMDECON_T
+    ).orderBy("vec_id")
+
+
+SEMANTIC_DECONTAMINATION_SQL = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS q,
+         vec_id % 50 = 7 AS is_eval
+  FROM embeddings),
+scored AS (
+  SELECT t.vec_id, e.vec_id AS eval_id,
+         list_sum(list_transform(generate_series(1, 64),
+             i -> t.q[i] * e.q[i])) AS dot
+  FROM (SELECT * FROM qv WHERE NOT is_eval) t,
+       (SELECT * FROM qv WHERE is_eval) e),
+best AS (
+  SELECT vec_id, eval_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, eval_id ASC) AS r
+  FROM scored)
+SELECT vec_id, eval_id, CAST(dot AS BIGINT) AS dot
+FROM best WHERE r = 1 AND dot >= {_SEMDECON_T}
+"""
+
+
 def q_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang audit of training docs surviving benchmark decontamination."""
     docs = load_table(spark, sf_dir, "documents")
@@ -3679,6 +3726,10 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "gopher_quality": (q_gopher_quality, GOPHER_QUALITY_SQL),
     "dsir_selection": (q_dsir_selection, DSIR_SELECTION_SQL),
     "decontaminated": (q_decontaminated, DECONTAMINATED_SQL),
+    "semantic_decontamination": (
+        q_semantic_decontamination,
+        SEMANTIC_DECONTAMINATION_SQL,
+    ),
     "decontaminated_bloom": (q_decontaminated_bloom, DECONTAMINATED_SQL),
     "pii_redaction": (q_pii_redaction, PII_REDACTION_SQL),
     "embedding_quantization": (q_embedding_quantization, EMBEDDING_QUANTIZATION_SQL),

@@ -316,3 +316,57 @@ def test_gopher_rules_line_and_symbol_paths(spark):
     assert not out[6]["rule_symbol_ratio"] and out[6]["n_symbols"] == 3
     assert not out[7]["rule_alpha_words"]
     assert not any(r["gopher_keep"] for r in out.values())
+
+
+def test_semantic_decontaminate_contract(spark):
+    """Operator-level gates for semantic_decontaminate: threshold
+    boundary is inclusive, ties break to the smaller eval id, empty
+    eval side yields an empty typed frame, and the bounded-collect
+    cap fails loudly (the eval side is the broadcast side)."""
+    import pytest
+
+    from flink_ad_analytics_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+    from pyspark.sql import functions as F
+
+    # lattice-friendly vectors (scale 1000): dims 0/1 carry the signal
+    def vec(a, b):
+        return [a, b] + [0.0] * 62
+
+    rows = [
+        (7, vec(1.0, 0.0)),    # eval A
+        (14, vec(1.0, 0.0)),   # eval B -- same vector: forces a tie
+        (1, vec(1.0, 0.0)),    # train: dot 1e6 with BOTH evals -> tie
+        (2, vec(0.3, 0.0)),    # train: dot exactly 300000 (inclusive)
+        (3, vec(0.29, 0.0)),   # train: dot 290000 (below)
+        (4, vec(0.0, 1.0)),    # train: dot 0
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    is_eval = F.col("vec_id").isin(7, 14)
+    out = {
+        r.vec_id: (r.eval_id, r.dot)
+        for r in semantic_decontaminate(
+            emb, is_eval, threshold=300_000
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1] == (7, 1_000_000)  # tie -> smaller eval id
+    assert out[2] == (7, 300_000)    # inclusive boundary
+
+    # empty eval side: empty typed result, no job failure
+    none_eval = semantic_decontaminate(
+        emb, F.col("vec_id") < 0, threshold=1
+    )
+    assert none_eval.count() == 0
+    assert [f.name for f in none_eval.schema.fields] == [
+        "vec_id", "eval_id", "dot",
+    ]
+
+    # cap: a too-large eval side must fail loudly before broadcast
+    with pytest.raises(ValueError, match="max_eval"):
+        semantic_decontaminate(
+            emb, F.lit(True), threshold=1, max_eval=3
+        )
