@@ -907,6 +907,27 @@ def kmeans_fixedpoint_assign(
     )
 
 
+def ivf_fixedpoint_assign(
+    emb: DataFrame,
+    cent: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF INVERTED-LIST relation: every vector's quantized
+    coordinates plus its nearest-centroid bucket -> (c_id, bucket,
+    c_q). Deterministic in (corpus, centroids), so queries_pipeline
+    persists it as a warehouse index artifact (the PQ-codes pattern):
+    serving reads the lists instead of re-assigning the corpus per
+    query."""
+    qv = _fp_quantize(emb, id_col, vec_col)
+    return _fp_assign(qv, cent, id_col).select(
+        F.col(id_col).alias("c_id"),
+        F.col("cid").alias("bucket"),
+        F.col("q").alias("c_q"),
+    )
+
+
 def ivf_fixedpoint_topk(
     emb: DataFrame,
     cent: DataFrame,
@@ -916,6 +937,7 @@ def ivf_fixedpoint_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN over fixed-point k-means centroids, scored by EXACT
     integer squared distance (so the whole search -- probe choice,
@@ -927,13 +949,15 @@ def ivf_fixedpoint_topk(
     cid); top-k by (dist2, candidate id). Queries and the k-row
     centroid table broadcast; per-list work is bounded by list size --
     the standard serving shape.
+
+    ``assigned``: a precomputed inverted-list relation
+    (ivf_fixedpoint_assign output, e.g. the persisted index
+    artifact); assigned on the fly when omitted.
     """
-    qv = _fp_quantize(emb, id_col, vec_col)
-    assigned = _fp_assign(qv, cent, id_col).select(
-        F.col(id_col).alias("c_id"),
-        F.col("cid").alias("bucket"),
-        F.col("q").alias("c_q"),
-    )
+    if assigned is None:
+        assigned = ivf_fixedpoint_assign(
+            emb, cent, id_col=id_col, vec_col=vec_col
+        )
     queries = _fp_quantize(emb.filter(query_filter), id_col, vec_col).select(
         F.col(id_col).alias("q_id"), F.col("q").alias("q_q")
     )

@@ -949,8 +949,22 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving path, recall-gated in test_clustering.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cent = _kmeans_fp_cached(emb, sf_dir, _KM_K, _KM_FP_ITERS, _KM_SEED)
+    from .operators.clustering import ivf_fixedpoint_assign
+
+    assigned = _persisted_fit(
+        emb,
+        sf_dir,
+        "ivflists",
+        (_KM_K, _KM_FP_ITERS, _KM_SEED),
+        lambda: ivf_fixedpoint_assign(emb, cent),
+    )
     return ivf_fixedpoint_topk(
-        emb, cent, query_filter=F.col("vec_id") < 20, k=5, nprobe=2
+        emb,
+        cent,
+        query_filter=F.col("vec_id") < 20,
+        k=5,
+        nprobe=2,
+        assigned=assigned,
     )
 
 
