@@ -49,8 +49,23 @@ def persisted_fit(
     if not (
         os.path.isdir(loc) and os.path.exists(os.path.join(loc, "_SUCCESS"))
     ):
+        # Concurrency guard (two sessions sharing a warehouse): build
+        # into a private temp dir, then os.rename into place -- atomic
+        # on POSIX. If the rename loses the race (destination appeared
+        # meanwhile), the winner's artifact is the same deterministic
+        # fit; drop ours and read theirs. A marker-less leftover at
+        # ``loc`` (killed mid-rename write from an OLD layout) is
+        # still cleared first -- rename refuses non-empty dests.
+        import uuid
+
         if os.path.isdir(loc):
-            # incomplete leftover from a killed write: rebuild
             shutil.rmtree(loc, ignore_errors=True)
-        fit_fn().write.parquet(loc)
+        tmp = f"{loc}.tmp-{uuid.uuid4().hex[:8]}"
+        fit_fn().write.parquet(tmp)
+        try:
+            os.rename(tmp, loc)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+                raise
     return spark.read.parquet(loc)

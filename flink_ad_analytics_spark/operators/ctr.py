@@ -143,9 +143,19 @@ def ctr_windows_colocated(
     click_time: str = "click_time",
     window: str = "1 minute",
     band: str = "10 minutes",
+    imp_extras: dict[str, Column] | None = None,
+    merge_extras: dict[str, Column] | None = None,
 ) -> DataFrame:
     """``ctr_windows`` value-twin for CO-PARTITIONED inputs: per-key
     pre-aggregated COUNT(DISTINCT) decomposition.
+
+    ``imp_extras`` / ``merge_extras``: extra aggregates that ride the
+    SAME per-key impression pass and final merge (e.g. campaign
+    spend) -- each imp_extras[name] aggregates impression rows per
+    (key, window, group), each merge_extras[name] combines those
+    per-key columns in the final (window, group) aggregate. Keeps
+    the subtle per-key decomposition arguments in ONE place instead
+    of re-implementing the pipeline per consumer.
 
     Validity contract (holds for the ad-events model, where the ids
     are globally unique event ids and clicks join only to the same
@@ -191,7 +201,13 @@ def ctr_windows_colocated(
             F.col(key).alias("__key"),
             w_col.alias("w"),
             F.col(group_key).alias(group_key),
-        ).agg(F.countDistinct(F.col(imp_id)).alias("__ki"))
+        ).agg(
+            F.countDistinct(F.col(imp_id)).alias("__ki"),
+            *(
+                col.alias(name)
+                for name, col in (imp_extras or {}).items()
+            ),
+        )
     )
     i = impressions.alias("i")
     c = clicks.alias("c")
@@ -209,12 +225,28 @@ def ctr_windows_colocated(
         F.window(F.col(f"i.{imp_time}"), window).alias("w"),
         F.col(f"i.{group_key}").alias(group_key),
     ).agg(F.countDistinct(F.col(f"c.{click_id}")).alias("__kc"))
-    per_key = imp_counts.join(
-        clk_counts, ["__key", "w", group_key], "left_outer"
-    )
+    # NULL-SAFE equality on the group column: the reference's raw
+    # segment keys carry NULLs (the COALESCE-in-projection shape), and
+    # a plain equi-join would drop their click counts to 0 while the
+    # flat twin's single groupBy kept them -- the engagement family's
+    # tag encoding dodged this at one call site, the operator itself
+    # must be correct for ANY nullable group. <=> is a hash-joinable
+    # key, so the co-partitioned zero-exchange property is unchanged.
+    ic, cc = imp_counts.alias("ic"), clk_counts.alias("cc")
+    per_key = ic.join(
+        cc,
+        (F.col("ic.__key") == F.col("cc.__key"))
+        & (F.col("ic.w") == F.col("cc.w"))
+        & F.col(f"ic.{group_key}").eqNullSafe(F.col(f"cc.{group_key}")),
+        "left_outer",
+    ).select("ic.*", F.col("cc.__kc").alias("__kc"))
     agg = per_key.groupBy("w", group_key).agg(
         F.sum("__ki").alias("impression_count"),
         F.sum(F.coalesce(F.col("__kc"), F.lit(0))).alias("click_count"),
+        *(
+            col.alias(name)
+            for name, col in (merge_extras or {}).items()
+        ),
     )
     ctr = F.when(
         F.col("impression_count") > 0,
@@ -227,6 +259,7 @@ def ctr_windows_colocated(
         "impression_count",
         "click_count",
         ctr.alias("ctr"),
+        *((name for name in merge_extras) if merge_extras else ()),
     )
 
 

@@ -598,9 +598,11 @@ def semantic_decontaminate(
     Exactness: both sides quantize to floor(x * scale) BIGINT lattice
     coordinates, so every dot is an exact integer and the flag set is
     engine-reproducible (full DuckDB oracle). The scoring matmul runs
-    in float64 BLAS under the same checked certificate as
-    dedup.knn_graph (dims * max|q|^2 < 2^53 -> exact), falling back to
-    int64 past the bound.
+    in float64 BLAS under a TWO-SIDED, per-batch certificate
+    (dims * max|eval| * max|train_batch| < 2^53, and each operand
+    < 2^53 itself) -- unlike dedup.knn_graph, whose one matrix serves
+    both operands, the disjoint sides here must each be certified;
+    any batch past the bound falls back to exact int64.
 
     Scale shape: the EVAL side is small by nature (benchmarks, held-out
     splits) -- it collects (cap enforced, fail-loud) and broadcasts as
@@ -637,14 +639,13 @@ def semantic_decontaminate(
     e_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     e_mat = np.stack([np.asarray(r["__q"], dtype=np.int64) for r in rows])
     dims = e_mat.shape[1]
-    qmax = int(np.abs(e_mat).max())
-    blas = dims * qmax * qmax < 2**53
+    e_qmax = int(np.abs(e_mat).max())
     bc = spark.sparkContext.broadcast(
-        (e_ids, e_mat.astype(np.float64) if blas else e_mat, blas)
+        (e_ids, e_mat, e_mat.astype(np.float64), e_qmax)
     )
 
     def flag(batches):
-        b_ids, b_mat, b_blas = bc.value
+        b_ids, b_mat, b_matf, b_eqmax = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -652,8 +653,15 @@ def semantic_decontaminate(
             m = np.stack(
                 [np.asarray(v, dtype=np.int64) for v in pdf["__q"]]
             )
-            if b_blas:
-                dots = (m.astype(np.float64) @ b_mat.T).astype(np.int64)
+            # TWO-SIDED exactness certificate, per batch: unlike
+            # knn_graph (both operands from one collected matrix) the
+            # sides here are disjoint, so the train batch's magnitudes
+            # must be certified too -- |dot| <= dims * max|e| * max|m|
+            # and every int64 operand must itself fit float64
+            # (< 2^53). Falls back to exact int64 for the batch.
+            m_qmax = int(np.abs(m).max()) if m.size else 0
+            if dims * b_eqmax * m_qmax < 2**53 and m_qmax < 2**53:
+                dots = (m.astype(np.float64) @ b_matf.T).astype(np.int64)
             else:
                 dots = m @ b_mat.T
             # no self-pair handling needed: train is strictly

@@ -3440,39 +3440,20 @@ def q_campaign_spend_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     campaign) merge is exchange-free on the user_id bucket layout
     (q_ctr_hourly_coloc rationale)."""
     imp, clk = _impressions_clicks_from(_coloc_events(spark, sf_dir))
-    w_col = F.window(F.col("event_time"), "1 day")
-    imp_counts = imp.groupBy(
-        F.col("user_id").alias("__key"),
-        w_col.alias("w"),
-        F.col("campaign_id"),
-    ).agg(
-        F.countDistinct("impression_id").alias("__ki"),
-        F.sum(F.col("cost").cast("decimal(18,6)")).alias("__spend"),
-    )
-    i = imp.alias("i")
-    c = clk.alias("c")
-    matched = i.join(
-        c,
-        (F.col("i.user_id") == F.col("c.user_id"))
-        & (F.col("c.click_time") >= F.col("i.event_time"))
-        & (
-            F.col("c.click_time")
-            <= F.col("i.event_time") + F.expr("INTERVAL 10 minutes")
-        ),
-    )
-    clk_counts = matched.groupBy(
-        F.col("i.user_id").alias("__key"),
-        F.window(F.col("i.event_time"), "1 day").alias("w"),
-        F.col("i.campaign_id").alias("campaign_id"),
-    ).agg(F.countDistinct(F.col("c.click_id")).alias("__kc"))
-    per_key = imp_counts.join(
-        clk_counts, ["__key", "w", "campaign_id"], "left_outer"
-    )
-    out = per_key.groupBy("w", "campaign_id").agg(
-        F.sum("__ki").alias("impression_count"),
-        F.sum(F.coalesce(F.col("__kc"), F.lit(0))).alias("click_count"),
-        F.round(F.sum("__spend"), 4).cast("double").alias("spend"),
-    )
+    out = ctr_windows_colocated(
+        imp,
+        clk,
+        key="user_id",
+        group_key="campaign_id",
+        window="1 day",
+        band="10 minutes",
+        imp_extras={
+            "__spend": F.sum(F.col("cost").cast("decimal(18,6)"))
+        },
+        merge_extras={
+            "spend": F.round(F.sum("__spend"), 4).cast("double")
+        },
+    ).drop("ctr")
     cpc = F.when(
         F.col("click_count") > 0,
         F.col("spend") / F.col("click_count").cast("double"),
@@ -3482,9 +3463,7 @@ def q_campaign_spend_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("spend") * F.lit(1000.0)) / F.col("impression_count").cast("double"),
     )
     return out.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
-        "campaign_id",
+        "window_start", "window_end", "campaign_id",
         "impression_count", "click_count", "spend",
         cpc.alias("cpc"), cpm.alias("cpm"),
     )

@@ -33,6 +33,12 @@ from pyspark.sql import SparkSession
 ENGINE_RUNTIME_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # The two-level exact money aggregations (queries.py::_cents
+    # family) sum raw longs per task and document ANSI as the raise-
+    # never-wrap backstop for tasks past the structural bound. Spark 4
+    # merely DEFAULTS ansi on -- a handed session with a legacy-compat
+    # ansi=false global would wrap silently, so the engine pins it.
+    "spark.sql.ansi.enabled": "true",
     # InferFiltersFromGenerate synthesizes `size(gen_input) > 0` filters
     # under every explode(); predicate pushdown then re-inlines the
     # generator's (expensive, lambda-bearing) defining expression into
@@ -50,10 +56,16 @@ ENGINE_RUNTIME_CONF = {
     # default-true guard would re-shuffle both sides on the full key
     # set, re-introducing the exact shuffle the co-location layout
     # exists to remove (ctr_hourly_coloc's merge join: 2 exchanges ->
-    # 0, measured). The trade the guard protects against -- fewer/
-    # skewed partitions when the subset key is low-cardinality -- does
-    # not apply: the subset key is the layout's own high-cardinality
-    # bucket key.
+    # 0, measured). The trades the guard protects against do not bite
+    # here: (a) skew/cardinality -- the subset key is always the
+    # layout's own high-cardinality bucket key (the conf only matters
+    # when children ALREADY satisfy subset clustering, i.e. they carry
+    # a deliberate bucket layout); (b) parallelism -- a subset-key
+    # join then runs at the layout's bucket count instead of
+    # re-shuffling to shuffle.partitions, and this engine sizes bucket
+    # counts to shuffle.partitions by design (32 locally, thousands at
+    # cluster scale), so the width is the same and the exchange saved
+    # is pure win.
     "spark.sql.requireAllClusterKeysForCoPartition": "false",
 }
 

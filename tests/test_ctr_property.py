@@ -193,3 +193,48 @@ def test_ctr_colocated_decomposition_equals_flat(spark, imps, clks):
         for r in ctr_windows_colocated(imp_s, clk_s, **kw).collect()
     }
     assert flat == coloc
+
+
+def test_ctr_colocated_null_group_keys_match_flat(spark):
+    """NULL group keys (the reference's raw COALESCE segment shape)
+    must flow through the colocated decomposition's merge join: a
+    plain equi-join would zero their click counts while the flat
+    groupBy kept them (round-6 review finding, fixed with <=>)."""
+    import datetime as dt
+
+    from flink_ad_analytics_spark.operators.ctr import (
+        ctr_windows_colocated,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+    imp = spark.createDataFrame(
+        [
+            (1, 10, None, T0),                              # NULL group, clicked
+            (2, 10, "g1", T0 + dt.timedelta(minutes=1)),    # named group
+            (3, 20, None, T0 + dt.timedelta(minutes=2)),    # NULL group, unclicked
+        ],
+        "impression_id long, user_id long, campaign_id string, event_time timestamp",
+    )
+    clk = spark.createDataFrame(
+        [
+            (101, 10, T0 + dt.timedelta(minutes=1)),
+            (102, 10, T0 + dt.timedelta(minutes=3)),
+        ],
+        "click_id long, user_id long, click_time timestamp",
+    )
+    kw = dict(key="user_id", group_key="campaign_id",
+              window="1 hour", band="10 minutes")
+    flat = {
+        tuple(sorted(r.asDict().items()))
+        for r in ctr_windows(imp, clk, **kw).collect()
+    }
+    coloc = {
+        tuple(sorted(r.asDict().items()))
+        for r in ctr_windows_colocated(imp, clk, **kw).collect()
+    }
+    assert flat == coloc
+    # and the NULL group really has nonzero clicks (not a vacuous pass)
+    null_rows = [
+        dict(t) for t in flat if dict(t)["campaign_id"] is None
+    ]
+    assert any(r["click_count"] > 0 for r in null_rows)
