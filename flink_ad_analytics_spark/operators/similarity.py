@@ -616,22 +616,54 @@ def semantic_decontaminate(
     Output: (``id_col``, eval_id, dot) -- one row per flagged train
     vector, its best-matching eval vector, and their exact dot.
     """
-    import numpy as np
-    import pandas as pd
-
     q = emb.select(
         F.col(id_col), floor_scale_quant(vec_col, scale).alias("__q")
     )
-    ev = q.filter(eval_pred)
-    rows = ev.limit(max_eval + 1).collect()
+    return semantic_decontaminate_against(
+        emb.filter(~eval_pred),
+        q.filter(eval_pred),
+        threshold=threshold,
+        scale=scale,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_eval=max_eval,
+    )
+
+
+def semantic_decontaminate_against(
+    train: DataFrame,
+    eval_q: DataFrame,
+    *,
+    threshold: int,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_eval: int = 200_000,
+) -> DataFrame:
+    """Core of semantic_decontaminate with the two sides explicit:
+    ``eval_q`` is a BATCH relation of (id, __q lattice) rows (it is
+    collected and broadcast); ``train`` may be a batch OR STREAMING
+    frame (the gate is a stateless mapInPandas, so the same code is
+    the streaming ingest twin -- streaming/jobs.py wraps it). Caller
+    guarantees the sides are disjoint."""
+    import numpy as np
+    import pandas as pd
+
+    rows = eval_q.limit(max_eval + 1).collect()
     if len(rows) > max_eval:
         raise ValueError(
             f"semantic_decontaminate eval side exceeds max_eval="
             f"{max_eval}: eval splits are small by nature; for "
             "corpus-x-corpus similarity use the banded ANN family"
         )
-    spark = emb.sparkSession
+    spark = eval_q.sparkSession
     if not rows:
+        if train.isStreaming:
+            raise ValueError(
+                "semantic_decontaminate_against: empty eval side with a "
+                "streaming train side -- an always-empty streaming gate "
+                "is a misconfiguration, not a result"
+            )
         return spark.createDataFrame(
             [], f"{id_col} long, eval_id long, dot long"
         )
@@ -664,8 +696,8 @@ def semantic_decontaminate(
                 dots = (m.astype(np.float64) @ b_matf.T).astype(np.int64)
             else:
                 dots = m @ b_mat.T
-            # no self-pair handling needed: train is strictly
-            # ~eval_pred, so the two sides are disjoint by construction
+            # no self-pair handling needed: the caller guarantees the
+            # two sides are disjoint
             best = dots.argmax(axis=1)
             best_dot = dots[np.arange(len(ids)), best]
             keep = best_dot >= threshold
@@ -677,7 +709,9 @@ def semantic_decontaminate(
                 }
             )
 
-    train = q.filter(~eval_pred)
-    return train.mapInPandas(
+    tq = train.select(
+        F.col(id_col), floor_scale_quant(vec_col, scale).alias("__q")
+    )
+    return tq.mapInPandas(
         flag, f"{id_col} long, eval_id long, dot long"
     )

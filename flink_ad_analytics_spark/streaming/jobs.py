@@ -539,3 +539,43 @@ def streaming_ingest_neardup_fused(
         )
 
     return pioneers, verdicts_batch_fn
+
+
+def streaming_semantic_decontamination(
+    train_stream: DataFrame,
+    eval_emb: DataFrame,
+    *,
+    threshold: int,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_eval: int = 200_000,
+) -> DataFrame:
+    """Embedding-similarity decontamination as an INGEST gate: flag
+    arriving training vectors whose exact lattice dot with any vector
+    of the (batch, broadcast) eval set reaches ``threshold``. The gate
+    is completely STATELESS -- one BLAS-exact matmul per Arrow batch
+    against the broadcast eval matrix, no state store, no watermark,
+    no shuffle -- so it is the same code as the batch operator
+    (operators/similarity.py::semantic_decontaminate_against) applied
+    to a streaming frame, and streaming==batch equality is by
+    construction (asserted on real data in tests/test_streaming.py).
+    Append-mode output: (id, eval_id, dot) per flagged arrival.
+    """
+    from ..operators.similarity import (
+        floor_scale_quant,
+        semantic_decontaminate_against,
+    )
+
+    eval_q = eval_emb.select(
+        F.col(id_col), floor_scale_quant(vec_col, scale).alias("__q")
+    )
+    return semantic_decontaminate_against(
+        train_stream,
+        eval_q,
+        threshold=threshold,
+        scale=scale,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_eval=max_eval,
+    )

@@ -1250,3 +1250,57 @@ def test_latest_marker_preserves_cutoff_across_restart(spark, tmp_path):
            spark.read.parquet(out_dir).select("campaign_id").distinct().collect()}
     assert "downtime" in got, "files written during downtime must survive restart"
     assert "old" not in got, "pre-subscription backlog stays skipped"
+
+
+def test_streaming_semantic_decontamination_equals_batch(spark, tmp_path):
+    """The embedding-decontamination ingest gate is stateless, so the
+    streaming flag set must equal the batch operator's EXACTLY on real
+    data -- same ids, same best-match eval ids, same exact dots --
+    regardless of how arrivals split across micro-batches."""
+    import shutil
+
+    from flink_ad_analytics_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+    from flink_ad_analytics_spark.streaming.jobs import (
+        streaming_semantic_decontamination,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    is_eval = F.col("vec_id") % 50 == 7
+    thr = 300_000
+
+    batch = {
+        (r.vec_id, r.eval_id, r.dot)
+        for r in semantic_decontaminate(
+            emb, is_eval, threshold=thr
+        ).collect()
+    }
+    assert batch  # non-vacuous: the calibrated threshold flags rows
+
+    # train side arrives as a stream in several files
+    feed = tmp_path / "train_feed"
+    emb.filter(~is_eval).repartition(4).write.parquet(str(feed))
+    train_stream = spark.readStream.schema(
+        spark.read.parquet(str(feed)).schema
+    ).option("maxFilesPerTrigger", "1").parquet(str(feed))
+    flagged = streaming_semantic_decontamination(
+        train_stream, emb.filter(is_eval), threshold=thr
+    )
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("semdecon_gate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.vec_id, r.eval_id, r.dot)
+        for r in spark.table("semdecon_gate").collect()
+    }
+    assert streamed == batch
