@@ -2822,6 +2822,64 @@ FROM per CROSS JOIN c
 """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility diagnostics per (lang, source): token,
+    character and byte totals plus bytes/token and chars/token ratios
+    -- the standard mix-design table for deciding per-language token
+    budgets (a language whose tokenizer is 2x less efficient needs 2x
+    the bytes for the same token budget). One corpus scan, zero-
+    shuffle projections, a |lang x source|-row aggregate; the ratio
+    doubles are exact quotients of exact integer sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        F.expr(r"size(split(trim(text), '\\s+'))").cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_char"),
+        F.octet_length("text").cast("long").alias("n_byte"),
+    )
+    per = base.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_char").alias("n_chars"),
+        F.sum("n_byte").alias("n_bytes"),
+    )
+    return per.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_bytes",
+        (F.col("n_bytes").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("bytes_per_token"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("chars_per_token"),
+    )
+
+
+TOKENIZER_FERTILITY_SQL = r"""
+WITH base AS (
+  SELECT lang, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_char,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_byte
+  FROM documents),
+per AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         SUM(n_tok) AS n_tokens, SUM(n_char) AS n_chars,
+         SUM(n_byte) AS n_bytes
+  FROM base GROUP BY 1, 2)
+SELECT lang, source, n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS bytes_per_token,
+       CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token
+FROM per
+"""
+
+
 # -- perceptual near-dup over multimodal assets ------------------------------
 
 
@@ -3693,6 +3751,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
         QUALITY_WEIGHTED_SAMPLE_SQL.replace("{CLASSIFIER}", CLASSIFIER_SCORES_SQL),
     ),
     "token_budget": (q_token_budget, TOKEN_BUDGET_SQL),
+    "tokenizer_fertility": (q_tokenizer_fertility, TOKENIZER_FERTILITY_SQL),
     "user_erasure_audit": (q_user_erasure_audit, USER_ERASURE_AUDIT_SQL),
     "k_anonymity_audit": (q_k_anonymity_audit, K_ANONYMITY_AUDIT_SQL),
     "price_band_peers": (q_price_band_peers, PRICE_BAND_PEERS_SQL),
