@@ -601,8 +601,10 @@ def semantic_decontaminate(
     in float64 BLAS under a TWO-SIDED, per-batch certificate
     (dims * max|eval| * max|train_batch| < 2^53, and each operand
     < 2^53 itself) -- unlike dedup.knn_graph, whose one matrix serves
-    both operands, the disjoint sides here must each be certified;
-    any batch past the bound falls back to exact int64.
+    both operands, the disjoint sides here must each be certified.
+    Past that bound the batch falls back to int64 (exact while the
+    dot bound fits 2^63); past THAT, it refuses -- numpy int64 matmul
+    wraps silently, and a wrong flag set is worse than an error.
 
     Scale shape: the EVAL side is small by nature (benchmarks, held-out
     splits) -- it collects (cap enforced, fail-loud) and broadcasts as
@@ -616,12 +618,9 @@ def semantic_decontaminate(
     Output: (``id_col``, eval_id, dot) -- one row per flagged train
     vector, its best-matching eval vector, and their exact dot.
     """
-    q = emb.select(
-        F.col(id_col), floor_scale_quant(vec_col, scale).alias("__q")
-    )
     return semantic_decontaminate_against(
         emb.filter(~eval_pred),
-        q.filter(eval_pred),
+        emb.filter(eval_pred),
         threshold=threshold,
         scale=scale,
         id_col=id_col,
@@ -632,7 +631,7 @@ def semantic_decontaminate(
 
 def semantic_decontaminate_against(
     train: DataFrame,
-    eval_q: DataFrame,
+    eval_emb: DataFrame,
     *,
     threshold: int,
     scale: int = 1000,
@@ -641,14 +640,19 @@ def semantic_decontaminate_against(
     max_eval: int = 200_000,
 ) -> DataFrame:
     """Core of semantic_decontaminate with the two sides explicit:
-    ``eval_q`` is a BATCH relation of (id, __q lattice) rows (it is
+    ``eval_emb`` is a BATCH relation of raw (id, vector) rows (it is
     collected and broadcast); ``train`` may be a batch OR STREAMING
     frame (the gate is a stateless mapInPandas, so the same code is
-    the streaming ingest twin -- streaming/jobs.py wraps it). Caller
-    guarantees the sides are disjoint."""
+    the streaming ingest twin -- streaming/jobs.py wraps it). BOTH
+    sides are quantized HERE at the same ``scale`` -- taking a
+    pre-quantized eval side invited silently mismatched lattices.
+    Caller guarantees the sides are disjoint."""
     import numpy as np
     import pandas as pd
 
+    eval_q = eval_emb.select(
+        F.col(id_col), floor_scale_quant(vec_col, scale).alias("__q")
+    )
     rows = eval_q.limit(max_eval + 1).collect()
     if len(rows) > max_eval:
         raise ValueError(
@@ -694,8 +698,20 @@ def semantic_decontaminate_against(
             m_qmax = int(np.abs(m).max()) if m.size else 0
             if dims * b_eqmax * m_qmax < 2**53 and m_qmax < 2**53:
                 dots = (m.astype(np.float64) @ b_matf.T).astype(np.int64)
-            else:
+            elif dims * b_eqmax * m_qmax < 2**63:
+                # int64 matmul is exact while |dot| fits the type
                 dots = m @ b_mat.T
+            else:
+                # numpy int64 matmul WRAPS silently past 2^63 -- there
+                # is no exact fixed-width path left, so refuse rather
+                # than flag on corrupted dots (magnitudes this large
+                # mean the quantization scale is wrong for the data)
+                raise ValueError(
+                    "semantic_decontaminate: lattice magnitudes "
+                    f"(dims={dims}, max|eval|={b_eqmax}, "
+                    f"max|train|={m_qmax}) exceed exact int64 range; "
+                    "lower the quantization scale"
+                )
             # no self-pair handling needed: the caller guarantees the
             # two sides are disjoint
             best = dots.argmax(axis=1)

@@ -14,6 +14,22 @@ from pyspark.sql import DataFrame, Window, functions as F
 #: Whitespace tokenizer (portable: DuckDB string_split_regex(trim, '\s+')).
 TOKENS = r"split(trim({col}), '\\s+')"
 
+#: Whitespace TOKEN COUNT with the empty-document guard: split('')
+#: returns one empty element in both engines, so a bare size(TOKENS)
+#: counts an empty/whitespace-only doc as 1 token and skews any
+#: per-token ratio built on it. ONE definition, used by every
+#: token-counting query (token_budget, tokenizer_fertility), with a
+#: matching DuckDB twin fragment so the unit cannot drift between
+#: queries or engines.
+TOKEN_COUNT = (
+    r"CASE WHEN trim({col}) = '' THEN 0 "
+    r"ELSE size(split(trim({col}), '\\s+')) END"
+)
+TOKEN_COUNT_SQL = (
+    r"CASE WHEN trim({col}) = '' THEN 0 "
+    r"ELSE len(string_split_regex(trim({col}), '\s+')) END"
+)
+
 #: BPE-ish lexer: word pieces or single non-space punctuation.
 #: (doubled backslashes: this string is spliced into a Spark SQL
 #: literal, whose parser consumes one escape level)

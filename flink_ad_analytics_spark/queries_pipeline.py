@@ -2781,9 +2781,11 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     downsample. One corpus scan + a |sources|-row aggregate; the
     scalar source count rides a single-partition window over that tiny
     aggregate, not a second corpus pass."""
+    from .operators.text import TOKEN_COUNT
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "source", F.expr(r"size(split(trim(text), '\\s+'))").alias("n_tok")
+        "source", F.expr(TOKEN_COUNT.format(col="text")).alias("n_tok")
     )
     per = toks.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2806,7 +2808,9 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_BUDGET_SQL = f"""
 WITH toks AS (
-  SELECT source, len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
   FROM documents),
 per AS (
   SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
@@ -2830,11 +2834,13 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bytes for the same token budget). One corpus scan, zero-
     shuffle projections, a |lang x source|-row aggregate; the ratio
     doubles are exact quotients of exact integer sums."""
+    from .operators.text import TOKEN_COUNT
+
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "lang",
         "source",
-        F.expr(r"size(split(trim(text), '\\s+'))").cast("long").alias("n_tok"),
+        F.expr(TOKEN_COUNT.format(col="text")).cast("long").alias("n_tok"),
         F.length("text").cast("long").alias("n_char"),
         F.octet_length("text").cast("long").alias("n_byte"),
     )
@@ -2861,7 +2867,9 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKENIZER_FERTILITY_SQL = r"""
 WITH base AS (
   SELECT lang, source,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END
+           AS BIGINT) AS n_tok,
          CAST(length(text) AS BIGINT) AS n_char,
          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_byte
   FROM documents),

@@ -562,17 +562,11 @@ def streaming_semantic_decontamination(
     construction (asserted on real data in tests/test_streaming.py).
     Append-mode output: (id, eval_id, dot) per flagged arrival.
     """
-    from ..operators.similarity import (
-        floor_scale_quant,
-        semantic_decontaminate_against,
-    )
+    from ..operators.similarity import semantic_decontaminate_against
 
-    eval_q = eval_emb.select(
-        F.col(id_col), floor_scale_quant(vec_col, scale).alias("__q")
-    )
     return semantic_decontaminate_against(
         train_stream,
-        eval_q,
+        eval_emb,
         threshold=threshold,
         scale=scale,
         id_col=id_col,

@@ -1257,7 +1257,6 @@ def test_streaming_semantic_decontamination_equals_batch(spark, tmp_path):
     streaming flag set must equal the batch operator's EXACTLY on real
     data -- same ids, same best-match eval ids, same exact dots --
     regardless of how arrivals split across micro-batches."""
-    import shutil
 
     from flink_ad_analytics_spark.operators.similarity import (
         semantic_decontaminate,
