@@ -21,6 +21,12 @@ import shutil
 
 from pyspark.sql import DataFrame
 
+# Bumped whenever ANY persisted fit's semantics change (quantization
+# constants, tie-breaks, assignment order, ...). Folded into the cache
+# tag so a code change can never silently serve a stale pre-change
+# artifact (ADVICE r6: artifacts were keyed only by corpus + params).
+FIT_ALGO_VERSION = 1
+
 
 def persisted_fit(
     anchor: DataFrame,
@@ -40,7 +46,7 @@ def persisted_fit(
     spark = anchor.sparkSession
     stamp = content_stamp(os.path.join(sf_dir, f"{stamp_table}.parquet"))
     tag = hashlib.md5(
-        f"{sf_dir}|{stamp}|{kind}|{params}".encode()
+        f"v{FIT_ALGO_VERSION}|{sf_dir}|{stamp}|{kind}|{params}".encode()
     ).hexdigest()[:10]
     loc = os.path.join(
         spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
@@ -59,13 +65,25 @@ def persisted_fit(
         import uuid
 
         if os.path.isdir(loc):
+            # TOCTOU guard (ADVICE r6): a concurrent session may have
+            # completed its atomic rename between the outer _SUCCESS
+            # check and here -- re-check immediately before clearing so
+            # we never delete a just-completed valid artifact out from
+            # under a third session's lazy reader.
+            if os.path.exists(os.path.join(loc, "_SUCCESS")):
+                return spark.read.parquet(loc)
             shutil.rmtree(loc, ignore_errors=True)
         tmp = f"{loc}.tmp-{uuid.uuid4().hex[:8]}"
-        fit_fn().write.parquet(tmp)
         try:
-            os.rename(tmp, loc)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(os.path.join(loc, "_SUCCESS")):
-                raise
+            fit_fn().write.parquet(tmp)
+            try:
+                os.rename(tmp, loc)
+            except OSError:
+                if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+                    raise
+        finally:
+            # Failed fit/write (or lost rename race): never leak the
+            # uuid-suffixed temp dir.
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(loc)

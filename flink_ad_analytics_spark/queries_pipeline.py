@@ -2850,6 +2850,12 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_char").alias("n_chars"),
         F.sum("n_byte").alias("n_bytes"),
     )
+    # Zero-token groups (all docs empty/whitespace) get NULL ratios on
+    # BOTH engines (ADVICE r6: an unguarded 0/0 is a data-dependent
+    # engine/oracle divergence; the SQL twin uses NULLIF identically).
+    tok_d = F.when(
+        F.col("n_tokens") > 0, F.col("n_tokens").cast("double")
+    )
     return per.select(
         "lang",
         "source",
@@ -2857,10 +2863,8 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_chars",
         "n_bytes",
-        (F.col("n_bytes").cast("double") / F.col("n_tokens").cast("double"))
-        .alias("bytes_per_token"),
-        (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"))
-        .alias("chars_per_token"),
+        (F.col("n_bytes").cast("double") / tok_d).alias("bytes_per_token"),
+        (F.col("n_chars").cast("double") / tok_d).alias("chars_per_token"),
     )
 
 
@@ -2882,8 +2886,10 @@ SELECT lang, source, n_docs,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(n_bytes AS BIGINT) AS n_bytes,
-       CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS bytes_per_token,
-       CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token
+       CAST(n_bytes AS DOUBLE) / CAST(NULLIF(n_tokens, 0) AS DOUBLE)
+         AS bytes_per_token,
+       CAST(n_chars AS DOUBLE) / CAST(NULLIF(n_tokens, 0) AS DOUBLE)
+         AS chars_per_token
 FROM per
 """
 

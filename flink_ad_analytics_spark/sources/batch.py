@@ -53,8 +53,15 @@ def content_stamp(path: str) -> str:
             ).hexdigest()[:16]
         st = os.stat(path)
         return f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        return "nostat"
+    except OSError as e:
+        # ADVICE r6: a constant sentinel ("nostat") would give two
+        # different unreadable corpora identical cache tags, and a
+        # corpus appearing after a failed stat would keep serving the
+        # layout/fit built while it was unreadable. The corpus must
+        # exist to build or serve anything keyed on it -- fail loudly.
+        raise FileNotFoundError(
+            f"content_stamp: cannot stat corpus at {path!r}"
+        ) from e
 
 
 #: Scan-parallelism floor: sizing constant for one unit of scan work.
