@@ -3128,8 +3128,10 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 
 
 def _market_share_from(
-    li: DataFrame, orders: DataFrame, cust: DataFrame,
-    nation: DataFrame, region: DataFrame,
+    li: DataFrame, orders: DataFrame | None = None,
+    cust: DataFrame | None = None, nation: DataFrame | None = None,
+    region: DataFrame | None = None, *,
+    orders_f: DataFrame | None = None,
 ) -> DataFrame:
     """Shared Q8 plan over caller-supplied inputs (flat or bucketed).
 
@@ -3168,16 +3170,17 @@ def _market_share_from(
     """
     from pyspark.sql import Window
 
-    nations_in_region = nation.join(
-        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
-    ).select("n_nationkey", "n_name")
-    orders_f = (
-        orders.join(cust.hint("shuffle_hash"),
-                    F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nations_in_region),
-              F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("o_orderkey", F.col("n_name").alias("nation"))
-    )
+    if orders_f is None:
+        nations_in_region = nation.join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        ).select("n_nationkey", "n_name")
+        orders_f = (
+            orders.join(cust.hint("shuffle_hash"),
+                        F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nations_in_region),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("o_orderkey", F.col("n_name").alias("nation"))
+        )
     # revenue as an exact integer in 1e-4 dollars: cents * (100 -
     # discount cents). Feeds the round-6 two-level exact sum -- long
     # partials per task partition (bounded by split size; this term
@@ -3344,31 +3347,158 @@ def _coloc_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _coloc_table(spark, sf_dir, "lineitem", "l_orderkey")
 
 
-def q_market_share_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q8 on the bucketed serving layout: lineitem bucketed on
-    l_orderkey, orders and customer co-bucketed on custkey. The fact
-    side is NEVER exchanged (the bucketed scan already satisfies the
-    orderkey join's distribution) and the orders<->customer attribute
-    join is exchange-free too -- the ONLY exchange in the whole query
-    moves the ~20% order->nation map into the fact's bucket layout
-    (plan digest gated by test_plan_digests).
+#: Bumped on any semantic change to a derived layout's build query so
+#: a code change can never silently serve a stale pre-change artifact
+#: (same rule as fitstore.FIT_ALGO_VERSION).
+_DERIVED_LAYOUT_VERSION = 1
 
-    Same result as market_share (same oracle SQL): bucketing is a
-    layout choice, not a semantic one.
-    """
-    return _market_share_from(
-        _coloc_lineitem(spark, sf_dir),
-        _coloc_table(spark, sf_dir, "orders", "o_custkey")
-        .select("o_orderkey", "o_custkey"),
-        _coloc_table(spark, sf_dir, "customer", "c_custkey")
-        .select("c_custkey", "c_nationkey"),
-        load_table(spark, sf_dir, "nation").select(
-            "n_nationkey", "n_name", "n_regionkey"
-        ),
-        load_table(spark, sf_dir, "region")
-        .filter(F.col("r_name") == "ASIA")
-        .select("r_regionkey"),
+
+def _coloc_derived(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    bucket_col: str,
+    src_tables: list[str],
+    build_fn,
+    *,
+    sort_col: str | None = None,
+) -> DataFrame:
+    """A DERIVED table (the output of ``build_fn()``) persisted as a
+    bucketed warehouse artifact -- the fitstore pattern applied to the
+    co-location layout. The build is a pure function of its source
+    tables, so the artifact is keyed by their content stamps (plus a
+    layout version) and stays oracle-replayable: the oracle recomputes
+    the same relation from the raw tables inside its own query.
+
+    This is the 100 TB denormalization trade: a map like
+    order -> nation is maintained at ingest (one join per corpus
+    refresh), and every downstream fact probe becomes a bucket-local
+    join with ZERO exchanges on either side instead of re-deriving the
+    map and shuffling it per query."""
+    import hashlib
+    import os
+
+    from .sources.bucketed import read_bucketed, write_bucketed
+
+    stamps = "|".join(
+        content_stamp(os.path.join(sf_dir, f"{t}.parquet"))
+        for t in src_tables
     )
+    tag = hashlib.md5(
+        f"v{_DERIVED_LAYOUT_VERSION}|{sf_dir}|{stamps}|{bucket_col}".encode()
+    ).hexdigest()[:10]
+    table = f"coloc_{name}_{tag}"
+    if not spark.catalog.tableExists(table):
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+            table,
+        )
+        if os.path.isdir(loc) and os.path.exists(
+            os.path.join(loc, "_SUCCESS")
+        ):
+            # re-register a complete previous write (same rule as
+            # _coloc_table: catalog forgets between sessions, files
+            # persist; CLUSTERED BY DDL restores the bucket spec)
+            schema = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in build_fn().schema.fields
+            )
+            sort_ddl = f"SORTED BY ({sort_col}) " if sort_col else ""
+            spark.sql(
+                f"CREATE TABLE {table} ({schema}) USING parquet "
+                f"CLUSTERED BY ({bucket_col}) {sort_ddl}"
+                f"INTO 32 BUCKETS LOCATION '{loc}'"
+            )
+        else:
+            if os.path.isdir(loc):
+                import shutil
+
+                shutil.rmtree(loc, ignore_errors=True)
+            write_bucketed(
+                build_fn(),
+                table,
+                bucket_col=bucket_col,
+                n_buckets=32,
+                sort_col=sort_col,
+            )
+    return read_bucketed(spark, table)
+
+
+def _order_nation_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order -> (customer nation, region) map for ALL regions,
+    bucketed AND sorted on o_orderkey: the ingest-maintained
+    denormalization that turns every orderkey-grain fact probe into a
+    zero-exchange bucket-local join against the l_orderkey-bucketed
+    lineitem. Region filters apply at the bucketed scan (filters
+    preserve the bucket partitioning), so one artifact serves every
+    regional slice."""
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        nr = (
+            load_table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .join(
+                F.broadcast(
+                    load_table(spark, sf_dir, "region").select(
+                        "r_regionkey", "r_name"
+                    )
+                ),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .select("n_nationkey", "n_name", "r_name")
+        )
+        return (
+            orders.join(
+                cust.hint("shuffle_hash"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(
+                "o_orderkey",
+                F.col("n_name").alias("nation"),
+                F.col("r_name").alias("region"),
+            )
+        )
+
+    return _coloc_derived(
+        spark,
+        sf_dir,
+        "order_nation",
+        "o_orderkey",
+        ["orders", "customer", "nation", "region"],
+        build,
+        sort_col="o_orderkey",
+    )
+
+
+def q_market_share_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 on the bucketed serving layout, round-7 form: the probe
+    side is the PERSISTED order->nation map (_order_nation_coloc),
+    bucketed and sorted on o_orderkey like the fact -- so the whole
+    query is a zero-exchange bucket-local probe: lineitem scan
+    (bucketed l_orderkey) x order_nation scan (bucketed o_orderkey,
+    region filter pushed to the scan), SHUFFLE_HASH build on the map
+    buckets. The round-6 plan re-derived the map per query
+    (orders x customer x nation) and paid one ~34MB exchange to move
+    it into the fact layout; that derivation is now ingest-paid
+    (.benchmarks/market_share_floor_sf10.json tracks the residual).
+
+    Same result as market_share (same oracle SQL): layout and
+    ingest-time denormalization are physical choices, not semantic
+    ones -- the oracle recomputes the map inside its own query.
+    """
+    omap = (
+        _order_nation_coloc(spark, sf_dir)
+        .filter(F.col("region") == "ASIA")
+        .select("o_orderkey", "nation")
+    )
+    return _market_share_from(_coloc_lineitem(spark, sf_dir), orders_f=omap)
 
 
 def _coloc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
