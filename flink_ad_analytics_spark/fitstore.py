@@ -27,6 +27,14 @@ from pyspark.sql import DataFrame
 # artifact (ADVICE r6: artifacts were keyed only by corpus + params).
 FIT_ALGO_VERSION = 1
 
+#: (kind, tag, seconds) of every fit_fn actually EXECUTED in this
+#: process (cache misses only). bench.py reads this to attribute
+#: one-time fit cost to the query that triggered it (refit_sec in the
+#: bench artifact), so a cache-tag change (new FIT_ALGO_VERSION, new
+#: corpus stamp) reads as ingest cost, not a serving regression --
+#: BENCH_r07's +5s was exactly this ambiguity (VERDICT r7 #6).
+FIT_EVENTS: list[tuple[str, str, float]] = []
+
 
 def persisted_fit(
     anchor: DataFrame,
@@ -75,7 +83,13 @@ def persisted_fit(
             shutil.rmtree(loc, ignore_errors=True)
         tmp = f"{loc}.tmp-{uuid.uuid4().hex[:8]}"
         try:
+            import time
+
+            t0 = time.perf_counter()
             fit_fn().write.parquet(tmp)
+            FIT_EVENTS.append(
+                (kind, tag, round(time.perf_counter() - t0, 3))
+            )
             try:
                 os.rename(tmp, loc)
             except OSError:

@@ -59,9 +59,16 @@ def content_stamp(path: str) -> str:
         # corpus appearing after a failed stat would keep serving the
         # layout/fit built while it was unreadable. The corpus must
         # exist to build or serve anything keyed on it -- fail loudly.
-        raise FileNotFoundError(
-            f"content_stamp: cannot stat corpus at {path!r}"
-        ) from e
+        # ADVICE r7: only a genuinely MISSING corpus maps to
+        # FileNotFoundError; EACCES/ELOOP/EIO keep their real errno
+        # class so callers and logs see what actually failed.
+        import errno
+
+        if e.errno == errno.ENOENT:
+            raise FileNotFoundError(
+                f"content_stamp: cannot stat corpus at {path!r}"
+            ) from e
+        raise
 
 
 #: Scan-parallelism floor: sizing constant for one unit of scan work.

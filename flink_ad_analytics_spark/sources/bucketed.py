@@ -39,17 +39,25 @@ def write_bucketed(
     n_buckets: int,
     sort_col: str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Save ``df`` as a catalog table bucketed on ``bucket_col``.
 
     ``sort_col`` additionally sorts within buckets (lets SortMergeJoin
     skip its sort for sort-key joins). The pre-repartition keeps the
     file count at one per bucket instead of tasks-x-buckets.
+
+    ``path`` makes the table EXTERNAL at that location -- used by the
+    atomic derived-layout build (queries.py::_coloc_derived): write to
+    a private temp dir, os.rename into the final location, then drop
+    the temp catalog entry (external drop never deletes files).
     """
     out = df.repartition(n_buckets, df[bucket_col])
     writer = out.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

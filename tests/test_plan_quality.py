@@ -504,15 +504,21 @@ def test_coloc_entries_fact_never_exchanged(spark):
     post-agg stages. Gated on the EXECUTED plan: the bucketed scan is
     present and the total exchange count is bounded by the non-fact
     stages (a fact re-shuffle would add wide hash exchanges and blow
-    the bound)."""
+    the bound).
+
+    Round-8 bounds, matching the persisted-order->nation-map plans
+    exactly: market_share = 4 (two-level agg partial+merge, window
+    re-partition on o_year, final orderBy range exchange);
+    volume_shipping = 2 (two-level agg partial+merge). Any map
+    re-derivation exchange (the round-6/7 shapes) blows the bound."""
     from flink_ad_analytics_spark.queries import (
         q_market_share_coloc,
         q_volume_shipping_coloc,
     )
 
     for fn, max_exchanges in (
-        (q_market_share_coloc, 5),
-        (q_volume_shipping_coloc, 4),
+        (q_market_share_coloc, 4),
+        (q_volume_shipping_coloc, 2),
     ):
         df = fn(spark, SF_CORRECT)
         df.collect()
@@ -553,6 +559,40 @@ def test_events_coloc_single_merge_exchange(spark):
         # the no-Expand contract: Expand's unknown output partitioning
         # is exactly what reintroduces the wide shuffle
         assert "Expand" not in plan, f"{fn.__name__} plans Expand\n{plan[:3000]}"
+
+
+def test_events_family_shared_pass_single_exchange(spark):
+    """The round-8 events-family amortization: all four outputs read
+    the SAME persisted pre-aggregates (one scan + one band join paid
+    once per session) and each final plan is one tiny (window, group)
+    merge exchange over an InMemoryTableScan -- the bucket-derived
+    partitioning must survive the persist, or the rollups re-shuffle
+    per consumer and the amortization is fiction."""
+    import flink_ad_analytics_spark.queries as qmod
+    from flink_ad_analytics_spark.queries import (
+        q_campaign_spend_family,
+        q_ctr_hourly_family,
+        q_engagement_hourly_family,
+    )
+
+    n_cache_before = len(qmod._EVENTS_FAMILY_CACHE)
+    for fn in (
+        q_ctr_hourly_family,
+        q_engagement_hourly_family,
+        q_campaign_spend_family,
+    ):
+        df = fn(spark, SF_CORRECT)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "InMemoryTableScan" in plan, plan[:2000]
+        n_ex = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        ) + plan.count("Exchange SinglePartition")
+        assert n_ex <= 1, f"{fn.__name__}: {n_ex} exchanges\n{plan[:3000]}"
+        assert "Expand" not in plan, f"{fn.__name__} plans Expand"
+    # the three consumers shared ONE build (one new cache entry at most)
+    assert len(qmod._EVENTS_FAMILY_CACHE) <= n_cache_before + 1
 
 
 def test_coloc_table_rebuilds_partial_write_and_restamps(spark, tmp_path):
