@@ -89,8 +89,10 @@ def test_table_profile_plans(spark):
     """Plan-shape contracts for both profile strategies: NEITHER may
     contain an Expand (the |cols|+1x row-replication multi-
     countDistinct compile both are designed to avoid); the exact
-    profile pays one extra column-pruned scan per distinct count,
-    while the approx profile reads the table exactly ONCE."""
+    profile is exactly one column-pruned scan per profiled column
+    (round 8 folded nulls/min/max/n_rows into the per-column distinct
+    pass, dropping the extra wide scan), while the approx profile
+    reads the table exactly ONCE."""
     def plan_of(name):
         df = QUERIES[name](spark, SF_CORRECT)
         return df._sc._jvm.PythonSQLUtils.explainString(
@@ -103,7 +105,7 @@ def test_table_profile_plans(spark):
 
     exact = plan_of("table_profile")
     assert "Expand" not in exact, exact
-    # one wide scan + one single-column scan per profiled column
+    # exactly one single-column scan per profiled column, no wide scan
     from flink_ad_analytics_spark.queries import _PROFILE_COLS
 
-    assert exact.count("FileScan") == 1 + len(_PROFILE_COLS), exact
+    assert exact.count("FileScan") == len(_PROFILE_COLS), exact
