@@ -3698,6 +3698,85 @@ def q_anomaly_alerts_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENTS_FAMILY_CACHE: dict[str, dict[str, DataFrame]] = {}
 
 
+def family_imp_pre_from(ev: DataFrame) -> DataFrame:
+    """Impression-side family rollup cells from an events frame: per
+    (user, hour-window, campaign, tagged-segment) exact distinct
+    impression counts + exact decimal spend partials.
+
+    This is THE definition of the warehouse rollup — shared verbatim
+    by the batch build (`_events_family_pre` over the bucketed
+    layout) and asserted equal, cell for cell, to the streaming
+    maintenance twin (`streaming/jobs.py::streaming_family_rollups`,
+    which decomposes the countDistinct into dedup + count)."""
+    from .operators.engagement import _tag
+
+    imp, _clk = _impressions_clicks_from(ev)
+    return (
+        imp.withColumn("__seg", _tag("device_type"))
+        .groupBy(
+            F.col("user_id").alias("__key"),
+            F.window(F.col("event_time"), "1 hour").alias("w"),
+            "campaign_id",
+            "__seg",
+        )
+        .agg(
+            F.countDistinct("impression_id").alias("__ki"),
+            F.sum(F.col("cost").cast("decimal(18,6)")).alias("__spend"),
+        )
+    )
+
+
+def family_clk_pre_from(ev: DataFrame) -> DataFrame:
+    """Click-side family rollup: the DISTINCT (user, hour-window,
+    campaign, tagged-segment, click_id) combinations of the band
+    join's matches. Shared definition for batch build and streaming
+    maintenance (see family_imp_pre_from)."""
+    from .operators.engagement import _tag
+
+    imp, clk = _impressions_clicks_from(ev)
+    i = imp.withColumn("__seg", _tag("device_type")).alias("i")
+    c = clk.alias("c")
+    return (
+        i.join(
+            c,
+            (F.col("i.user_id") == F.col("c.user_id"))
+            & (F.col("c.click_time") >= F.col("i.event_time"))
+            & (
+                F.col("c.click_time")
+                <= F.col("i.event_time") + F.expr("INTERVAL 10 minutes")
+            ),
+        )
+        .select(
+            F.col("i.user_id").alias("__key"),
+            F.window(F.col("i.event_time"), "1 hour").alias("w"),
+            F.col("i.campaign_id").alias("campaign_id"),
+            F.col("i.__seg").alias("__seg"),
+            F.col("c.click_id").alias("click_id"),
+        )
+        .distinct()
+    )
+
+
+def family_counts_from(
+    imp_pre: DataFrame,
+    clk_pre: DataFrame,
+    group_col: str,
+    *,
+    day: bool = False,
+    with_spend: bool = False,
+) -> DataFrame:
+    """Serve a family aggregate from rollup tables regardless of who
+    built them — the batch warehouse build or the streaming
+    maintenance job. Public face of `_family_counts` for rollups read
+    back from storage."""
+    return _family_counts(
+        {"imp_pre": imp_pre, "clk_pre": clk_pre},
+        group_col,
+        day=day,
+        with_spend=with_spend,
+    )
+
+
 def _events_family_pre(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """ONE shared pass over the bucketed events layout feeding the
     whole events family (ctr_hourly + engagement_hourly +
@@ -3745,8 +3824,6 @@ def _events_family_pre(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]
 
     from pyspark.storagelevel import StorageLevel
 
-    from .operators.engagement import _tag
-
     key = "|".join(
         (
             spark.sparkContext.applicationId,
@@ -3758,47 +3835,21 @@ def _events_family_pre(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]
     if hit is not None:
         return hit
 
-    def build_imp_pre():
-        imp, _clk = _impressions_clicks_from(_coloc_events(spark, sf_dir))
-        return imp.withColumn("__seg", _tag("device_type")).groupBy(
-            F.col("user_id").alias("__key"),
-            F.window(F.col("event_time"), "1 hour").alias("w"),
-            "campaign_id",
-            "__seg",
-        ).agg(
-            F.countDistinct("impression_id").alias("__ki"),
-            F.sum(F.col("cost").cast("decimal(18,6)")).alias("__spend"),
-        )
-
-    def build_clk_pre():
-        imp, clk = _impressions_clicks_from(_coloc_events(spark, sf_dir))
-        i = imp.withColumn("__seg", _tag("device_type")).alias("i")
-        c = clk.alias("c")
-        return (
-            i.join(
-                c,
-                (F.col("i.user_id") == F.col("c.user_id"))
-                & (F.col("c.click_time") >= F.col("i.event_time"))
-                & (
-                    F.col("c.click_time")
-                    <= F.col("i.event_time") + F.expr("INTERVAL 10 minutes")
-                ),
-            )
-            .select(
-                F.col("i.user_id").alias("__key"),
-                F.window(F.col("i.event_time"), "1 hour").alias("w"),
-                F.col("i.campaign_id").alias("campaign_id"),
-                F.col("i.__seg").alias("__seg"),
-                F.col("c.click_id").alias("click_id"),
-            )
-            .distinct()
-        )
-
     imp_pre = _coloc_derived(
-        spark, sf_dir, "events_imp_pre", "__key", ["events"], build_imp_pre
+        spark,
+        sf_dir,
+        "events_imp_pre",
+        "__key",
+        ["events"],
+        lambda: family_imp_pre_from(_coloc_events(spark, sf_dir)),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     clk_pre = _coloc_derived(
-        spark, sf_dir, "events_clk_pre", "__key", ["events"], build_clk_pre
+        spark,
+        sf_dir,
+        "events_clk_pre",
+        "__key",
+        ["events"],
+        lambda: family_clk_pre_from(_coloc_events(spark, sf_dir)),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # materialize ONCE so every consumer reads the session cache
     imp_pre.count()

@@ -1,0 +1,197 @@
+"""Streaming maintenance of the events-family warehouse rollups ==
+the batch build, cell for cell, on the real sf0.001 events corpus --
+including at-least-once redelivery (planted duplicate deliveries
+collapse to the clean corpus) -- and the family queries served from
+the maintained tables equal the batch-served family.
+
+This closes the loop on the "ingest-paid rollup" doctrine
+(queries.py::_events_family_pre): at 100 TB the rollup is maintained
+incrementally by exactly this job; the batch build is the
+backfill/recovery path. Both sides share the rollup DEFINITION
+(family_imp_pre_from / family_clk_pre_from), so parity here proves
+the streaming decomposition (dedup + count == countDistinct; combo
+dedup == DISTINCT), not two copies of one formula.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from flink_ad_analytics_spark.queries import (
+    _family_counts,
+    family_clk_pre_from,
+    family_counts_from,
+    family_imp_pre_from,
+)
+from flink_ad_analytics_spark.streaming.jobs import (
+    maintain_family_rollups,
+    streaming_family_rollups,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("event_time_ms", T.LongType()),
+    ]
+)
+
+
+def _events_pdf() -> pd.DataFrame:
+    pdf = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    # ms truncation so the file bus (epoch millis, the S5 computed-col
+    # path) and the batch frame see bit-identical timestamps
+    pdf["event_time_ms"] = (
+        pdf["ts"].astype("datetime64[ms]").astype("int64")
+    )
+    return pdf[
+        ["event_id", "user_id", "event_type", "value", "event_time_ms"]
+    ].sort_values("event_time_ms", kind="stable").reset_index(drop=True)
+
+
+def _with_time(df):
+    return df.withColumn(
+        "event_time", F.timestamp_millis(F.col("event_time_ms"))
+    ).drop("event_time_ms")
+
+
+@pytest.fixture(scope="module")
+def maintained(spark, tmp_path_factory):
+    """Stream the corpus (plus planted duplicate deliveries and a
+    watermark-flushing sentinel) through the maintenance job once;
+    every test reads the landed tables."""
+    base = tmp_path_factory.mktemp("family_rollup")
+    clean = _events_pdf()
+    half = len(clean) // 2
+
+    # at-least-once redelivery: same-batch duplicates (a view + a
+    # click re-delivered inside half 1) and a cross-batch duplicate
+    # (the LAST half-1 row re-delivered at the head of half 2 --
+    # its dedup state is necessarily still inside the watermark).
+    h1, h2 = clean.iloc[:half], clean.iloc[half:]
+    dup_in_batch = h1[h1.event_type.isin(["view", "click"])].tail(4)
+    cross = h1.tail(1)
+    h1_fed = pd.concat([h1, dup_in_batch], ignore_index=True)
+    h2_fed = pd.concat([cross, h2], ignore_index=True)
+
+    # sentinel: +3h past the corpus max on BOTH derived streams (the
+    # view advances the impression watermark, the click the click
+    # watermark); negative user ids are filtered out of every read.
+    far = int(clean.event_time_ms.max()) + 3 * 3600 * 1000
+    sentinel = pd.DataFrame(
+        [
+            {"event_id": -1, "user_id": -1, "event_type": "view",
+             "value": 0.0, "event_time_ms": far},
+            {"event_id": -2, "user_id": -2, "event_type": "click",
+             "value": 0.0, "event_time_ms": far},
+        ]
+    )
+
+    src = base / "events_in"
+    src.mkdir()
+    out = str(base / "rollups")
+
+    h1_fed.to_parquet(src / "part-0.parquet", index=False)
+    stream = _with_time(
+        spark.readStream.schema(SCHEMA).parquet(str(src))
+    )
+    queries = maintain_family_rollups(
+        streaming_family_rollups(stream, watermark="5 seconds"), out
+    )
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+        h2_fed.to_parquet(src / "part-1.parquet", index=False)
+        for q in queries.values():
+            q.processAllAvailable()
+        sentinel.to_parquet(src / "part-2-sentinel.parquet", index=False)
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+
+    batch_ev = _with_time(spark.createDataFrame(clean, schema=SCHEMA))
+    return {
+        "imp_pre": spark.read.parquet(f"{out}/imp_pre").filter(
+            F.col("__key") >= 0
+        ),
+        "clk_pre": spark.read.parquet(f"{out}/clk_pre").filter(
+            F.col("__key") >= 0
+        ),
+        "batch_imp_pre": family_imp_pre_from(batch_ev),
+        "batch_clk_pre": family_clk_pre_from(batch_ev),
+    }
+
+
+def _flat(df, cols):
+    return (
+        df.select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            *cols,
+        )
+        .toPandas()
+        .sort_values(["w_start", *[c for c in cols if c != "__spend"]])
+        .reset_index(drop=True)
+    )
+
+
+def test_imp_pre_cells_equal_batch(maintained):
+    got = _flat(
+        maintained["imp_pre"],
+        ["__key", "campaign_id", "__seg", "__ki", "__spend"],
+    )
+    want = _flat(
+        maintained["batch_imp_pre"],
+        ["__key", "campaign_id", "__seg", "__ki", "__spend"],
+    )
+    got["__spend"] = got["__spend"].astype(float)
+    want["__spend"] = want["__spend"].astype(float)
+    assert len(want) > 50, "fixture must exercise real cells"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_clk_pre_combos_equal_batch(maintained):
+    cols = ["__key", "campaign_id", "__seg", "click_id"]
+    got = _flat(maintained["clk_pre"], cols)
+    want = _flat(maintained["batch_clk_pre"], cols)
+    assert len(want) > 0, "fixture must produce band matches"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize(
+    "group_col,day,with_spend",
+    [("campaign_id", False, False), ("campaign_id", True, True),
+     ("__seg", False, False)],
+)
+def test_served_family_equals_batch(maintained, group_col, day, with_spend):
+    """The family tail over the MAINTAINED tables == the same tail
+    over the batch-built rollups: the serving layer cannot tell who
+    built its tables."""
+    kw = {"day": day, "with_spend": with_spend}
+    got = family_counts_from(
+        maintained["imp_pre"], maintained["clk_pre"], group_col, **kw
+    )
+    want = _family_counts(
+        {
+            "imp_pre": maintained["batch_imp_pre"],
+            "clk_pre": maintained["batch_clk_pre"],
+        },
+        group_col,
+        **kw,
+    )
+    cols = [group_col, "impression_count", "click_count"] + (
+        ["spend"] if with_spend else []
+    )
+    got_p = _flat(got.withColumnRenamed("ww", "w"), cols)
+    want_p = _flat(want.withColumnRenamed("ww", "w"), cols)
+    assert len(want_p) > 10
+    pd.testing.assert_frame_equal(got_p, want_p, check_dtype=False)
