@@ -3816,9 +3816,12 @@ def _events_family_pre(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]
     A session-level memory cache sits on top (first family query per
     session reads the two tables once and persists them); every
     consumer then re-aggregates from memory. On a cluster this is the
-    classic rollup-table + cache serving layer -- or, in the streaming
-    form, the single stateful job fanning out to three sinks
-    (streaming/jobs.py). Measured family economics:
+    classic rollup-table + cache serving layer; the continuous form of
+    the same tables is streaming/jobs.py::streaming_family_rollups,
+    which maintains them incrementally from the live event stream
+    (proven cell-for-cell equal in
+    tests/test_streaming_family_rollup.py) -- this batch build doubles
+    as its backfill/recovery path. Measured family economics:
     .benchmarks/events_family_sf10.json."""
     import os
 
