@@ -195,3 +195,155 @@ def test_served_family_equals_batch(maintained, group_col, day, with_spend):
     want_p = _flat(want.withColumnRenamed("ww", "w"), cols)
     assert len(want_p) > 10
     pd.testing.assert_frame_equal(got_p, want_p, check_dtype=False)
+
+
+def test_restart_from_checkpoint_completes(spark, tmp_path):
+    """Maintenance stopped mid-corpus and restarted from its
+    checkpoints must land the complete, duplicate-free rollups --
+    the restart-safety half of the maintenance contract."""
+    clean = _events_pdf().iloc[:400].reset_index(drop=True)
+    half = len(clean) // 2
+    far = int(clean.event_time_ms.max()) + 3 * 3600 * 1000
+    sentinel = pd.DataFrame(
+        [
+            {"event_id": -1, "user_id": -1, "event_type": "view",
+             "value": 0.0, "event_time_ms": far},
+            {"event_id": -2, "user_id": -2, "event_type": "click",
+             "value": 0.0, "event_time_ms": far},
+        ]
+    )
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    out = str(tmp_path / "rollups")
+    clean.iloc[:half].to_parquet(src / "part-0.parquet", index=False)
+
+    def start():
+        stream = _with_time(
+            spark.readStream.schema(SCHEMA).parquet(str(src))
+        )
+        return maintain_family_rollups(
+            streaming_family_rollups(stream, watermark="5 seconds"), out
+        )
+
+    queries = start()
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+
+    # restart from the same checkpoints; feed the rest + sentinel
+    clean.iloc[half:].to_parquet(src / "part-1.parquet", index=False)
+    queries = start()
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+        sentinel.to_parquet(src / "part-2-sentinel.parquet", index=False)
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+
+    batch_ev = _with_time(spark.createDataFrame(clean, schema=SCHEMA))
+    got = _flat(
+        spark.read.parquet(f"{out}/imp_pre").filter(F.col("__key") >= 0),
+        ["__key", "campaign_id", "__seg", "__ki", "__spend"],
+    )
+    want = _flat(
+        family_imp_pre_from(batch_ev),
+        ["__key", "campaign_id", "__seg", "__ki", "__spend"],
+    )
+    got["__spend"] = got["__spend"].astype(float)
+    want["__spend"] = want["__spend"].astype(float)
+    assert len(want) > 20
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    cols = ["__key", "campaign_id", "__seg", "click_id"]
+    got_c = _flat(
+        spark.read.parquet(f"{out}/clk_pre").filter(F.col("__key") >= 0),
+        cols,
+    )
+    want_c = _flat(family_clk_pre_from(batch_ev), cols)
+    pd.testing.assert_frame_equal(got_c, want_c, check_dtype=False)
+
+
+def test_late_data_drops_and_batch_backfill_reconciles(spark, tmp_path):
+    """The documented division of labor (T6 + recovery path): an
+    impression arriving past the watermark is dropped by the
+    maintenance job -- its cell is simply absent from the maintained
+    table -- and the batch backfill over the full corpus is exactly
+    the maintained table plus the late contribution. No silent wrong
+    counts in either mode."""
+    clean = _events_pdf().iloc[:300].reset_index(drop=True)
+    half = len(clean) // 2
+    # late row: a 'view' with a UNIQUE user far below the corpus's id
+    # range, timestamped at the corpus start but delivered mid-stream
+    # (the stream is ~15 days in by then -- hopelessly late under a
+    # 5s watermark), so its cell exists in batch and only in batch.
+    late = pd.DataFrame(
+        [
+            {"event_id": 10**9, "user_id": 10**9, "event_type": "view",
+             "value": 7.5,
+             "event_time_ms": int(clean.event_time_ms.min())},
+        ]
+    )
+    far = int(clean.event_time_ms.max()) + 3 * 3600 * 1000
+    sentinel = pd.DataFrame(
+        [
+            {"event_id": -1, "user_id": -1, "event_type": "view",
+             "value": 0.0, "event_time_ms": far},
+            {"event_id": -2, "user_id": -2, "event_type": "click",
+             "value": 0.0, "event_time_ms": far},
+        ]
+    )
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    out = str(tmp_path / "rollups")
+    clean.iloc[:half].to_parquet(src / "part-0.parquet", index=False)
+
+    stream = _with_time(spark.readStream.schema(SCHEMA).parquet(str(src)))
+    queries = maintain_family_rollups(
+        streaming_family_rollups(stream, watermark="5 seconds"), out
+    )
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+        pd.concat([late, clean.iloc[half:]], ignore_index=True).to_parquet(
+            src / "part-1.parquet", index=False
+        )
+        for q in queries.values():
+            q.processAllAvailable()
+        sentinel.to_parquet(src / "part-2-sentinel.parquet", index=False)
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+
+    cols = ["__key", "campaign_id", "__seg", "__ki", "__spend"]
+    streamed = _flat(
+        spark.read.parquet(f"{out}/imp_pre").filter(F.col("__key") >= 0),
+        cols,
+    )
+    # the late cell is absent from the maintained table...
+    assert (streamed["__key"] == 10**9).sum() == 0
+
+    # ...and the batch backfill over the full corpus (late row
+    # included) is the maintained table + exactly that one cell.
+    full = pd.concat([clean, late], ignore_index=True)
+    backfill = _flat(
+        family_imp_pre_from(
+            _with_time(spark.createDataFrame(full, schema=SCHEMA))
+        ),
+        cols,
+    )
+    late_cells = backfill[backfill["__key"] == 10**9]
+    assert len(late_cells) == 1 and late_cells.iloc[0]["__ki"] == 1
+    rest = backfill[backfill["__key"] != 10**9].reset_index(drop=True)
+    streamed["__spend"] = streamed["__spend"].astype(float)
+    rest["__spend"] = rest["__spend"].astype(float)
+    pd.testing.assert_frame_equal(streamed, rest, check_dtype=False)
