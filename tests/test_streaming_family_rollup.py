@@ -120,6 +120,7 @@ def maintained(spark, tmp_path_factory):
 
     batch_ev = _with_time(spark.createDataFrame(clean, schema=SCHEMA))
     return {
+        "out": out,
         "imp_pre": spark.read.parquet(f"{out}/imp_pre").filter(
             F.col("__key") >= 0
         ),
@@ -347,3 +348,32 @@ def test_late_data_drops_and_batch_backfill_reconciles(spark, tmp_path):
     streamed["__spend"] = streamed["__spend"].astype(float)
     rest["__spend"] = rest["__spend"].astype(float)
     pd.testing.assert_frame_equal(streamed, rest, check_dtype=False)
+
+
+def test_rollup_compaction_preserves_cells(spark, maintained, tmp_path):
+    """Continuous maintenance appends a few files per micro-batch --
+    the classic streaming small-files debt. compact_corpus over the
+    maintained dir produces the size-budgeted serving snapshot (the
+    live dir stays the append log) with every cell intact."""
+    import glob
+
+    from flink_ad_analytics_spark.sources.corpus_writer import (
+        compact_corpus,
+    )
+
+    src = f"{maintained['out']}/clk_pre"
+    n_small = len(glob.glob(f"{src}/*.parquet"))
+    assert n_small > 1, "micro-batches must have fragmented the table"
+
+    dst = str(tmp_path / "clk_pre_compact")
+    budget = compact_corpus(
+        spark, src, dst, sort_within=("__key",), id_col="__key"
+    )
+    assert len(glob.glob(f"{dst}/*.parquet")) == budget <= n_small
+
+    cols = ["__key", "campaign_id", "__seg", "click_id"]
+    got = _flat(
+        spark.read.parquet(dst).filter(F.col("__key") >= 0), cols
+    )
+    want = _flat(maintained["clk_pre"], cols)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
