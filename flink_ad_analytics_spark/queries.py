@@ -2864,31 +2864,94 @@ def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     skips NULLs, COUNT(*) does not), i.e. NULLs contribute zero --
     identical in the oracle, and vacuous on the driver tables
     (tests/test_testdata_contract.py proves these columns null-free).
+
+    Round-8 hot-path swap (the decimal_bench two_level winner,
+    .benchmarks/decimal_longcents.json: 5.2x over decimal sums on
+    this shape's sibling): the moment sums accumulate as exact
+    INTEGER partials per task -- values as cents (x100 longs),
+    products as e4-scaled longs hi/lo-split at 10^6 so the worst
+    term (price x price, <=1e8 per row after the split) wraps a
+    per-task long only past ~9e10 rows/task vs ~6e6 rows per 128MB
+    split -- then one 32-row exchange merges the partials in
+    DECIMAL(38,0), overflow-impossible at any corpus size, and the
+    exact decimal moments are reconstructed before the terminal
+    double arithmetic. The reconstructed values are the SAME exact
+    decimals the old plan summed directly, so the terminal
+    expression tree (and hence every output bit) is unchanged; ANSI
+    mode turns any residual overflow into a raise, never a wrap.
+    Measured sf10 steady 16.4s -> 4.0s (pinned 3-rep protocol,
+    query_floor_sf10.json), value-identical vs the oracle at sf0.001
+    and sf0.01.
     """
     li = load_table(spark, sf_dir, "lineitem")
     cols = _NUMPROF_COLS
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c).cast("decimal(18,6)")).alias(f"S_{c}"))
+    ints = li.select(
+        *[
+            (F.col(c).cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias(f"I_{c}")
+            for c in cols
+        ]
+    )
+    prods = []
     for i, x in enumerate(cols):
         for y in cols[i:]:
-            aggs.append(
-                F.sum(
-                    F.col(x).cast("decimal(12,2)")
-                    * F.col(y).cast("decimal(12,2)")
-                ).alias(f"P_{x}__{y}")
+            prods.append(F.expr(f"I_{x} * I_{y}").alias(f"J_{x}__{y}"))
+    ints = ints.select("*", *prods)
+
+    paggs = [F.count(F.lit(1)).alias("pn")]
+    for c in cols:
+        paggs.append(F.sum(F.col(f"I_{c}")).alias(f"pS_{c}"))
+    for i, x in enumerate(cols):
+        for y in cols[i:]:
+            paggs.append(
+                F.sum(F.expr(f"J_{x}__{y} div 1000000")).alias(
+                    f"pPhi_{x}__{y}"
+                )
             )
-    wide = li.agg(*aggs)
+            paggs.append(
+                F.sum(F.expr(f"J_{x}__{y} % 1000000")).alias(
+                    f"pPlo_{x}__{y}"
+                )
+            )
+    part = ints.groupBy(F.spark_partition_id().alias("__pid")).agg(*paggs)
+
+    def dsum(c: str) -> F.Column:
+        return F.sum(F.col(c).cast("decimal(38,0)"))
+
+    gaggs = [F.sum("pn").alias("n")]
+    for c in cols:
+        gaggs.append(dsum(f"pS_{c}").alias(f"Sc_{c}"))
+    for i, x in enumerate(cols):
+        for y in cols[i:]:
+            gaggs.append(dsum(f"pPhi_{x}__{y}").alias(f"Phi_{x}__{y}"))
+            gaggs.append(dsum(f"pPlo_{x}__{y}").alias(f"Plo_{x}__{y}"))
+    wide = part.agg(*gaggs)
+
+    # exact decimal moments, reconstructed: S = cents/100,
+    # P = (hi*1e6 + lo)/1e4 -- the same values the old plan's direct
+    # decimal sums produced, so the double casts below round once,
+    # identically, in both formulations and both engines.
+    S_dec = {
+        c: F.col(f"Sc_{c}").cast("decimal(38,6)") / 100 for c in cols
+    }
+    P_dec = {}
+    for i, x in enumerate(cols):
+        for y in cols[i:]:
+            P_dec[(x, y)] = (
+                F.col(f"Phi_{x}__{y}").cast("decimal(38,4)") * 1000000
+                + F.col(f"Plo_{x}__{y}").cast("decimal(38,4)")
+            ) / 10000
     nd = F.col("n").cast("double")
-    mean = {c: F.col(f"S_{c}").cast("double") / nd for c in cols}
+    mean = {c: S_dec[c].cast("double") / nd for c in cols}
     var = {
-        c: F.col(f"P_{c}__{c}").cast("double") / nd - mean[c] * mean[c]
+        c: P_dec[(c, c)].cast("double") / nd - mean[c] * mean[c]
         for c in cols
     }
     rows = []
     for i, x in enumerate(cols):
         for y in cols[i:]:
-            cov = F.col(f"P_{x}__{y}").cast("double") / nd - mean[x] * mean[y]
+            cov = P_dec[(x, y)].cast("double") / nd - mean[x] * mean[y]
             corr = cov / F.sqrt(var[x] * var[y])
             rows.append(
                 F.struct(
