@@ -555,18 +555,41 @@ def dsir_logweights(
     ) - F.log(
         (F.col("c_r") + 1).cast("double") / (F.col("R") + b).cast("double")
     )
-    lookup = bt.select("bucket", lr.alias("lr"))
-    # c copies of the decimal log-ratio == decimal * decimal-int, exact
-    contrib = F.col("lr").cast("decimal(25,15)") * F.col("c").cast(
-        "decimal(10,0)"
+    # Integer-lattice form of the exact decimal weighted sum (the
+    # numeric_profile / pricing two_level recipe, round 8): the 15dp
+    # log-ratio becomes an exact e15 integer ON THE <= n_buckets-row
+    # lookup -- decimal work on 10k broadcast rows is free -- hi/lo
+    # split at 10^6 so the corpus-sized per-doc aggregation is pure
+    # long multiply-add. Bounds: |lr| <= ~20 so |lr_hi| <= 2e10 and a
+    # per-doc long sum |sum(c*lr_hi)| <= sum(c) * 2e10 wraps only past
+    # ~4.6e8 feature occurrences in ONE document (ANSI raises rather
+    # than wraps on any residual). The exact decimal reconstructed per
+    # doc is the SAME value the decimal(25,15)*count sum produced, so
+    # the terminal 6dp round and every output bit are unchanged
+    # (oracle untouched, value-gated at sf0.001/sf0.01).
+    lr_e15 = (lr.cast("decimal(25,15)") * F.lit(10**15)).cast("long")
+    lookup = bt.select("bucket", lr_e15.alias("lr_e15")).select(
+        "bucket",
+        F.expr("lr_e15 div 1000000").alias("lr_hi"),
+        F.expr("lr_e15 % 1000000").alias("lr_lo"),
     )
-    return (
+    scored = (
         dbc.join(F.broadcast(lookup), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("n_feats"),
-            F.round(F.sum(contrib), 6).cast("double").alias("log_w"),
+            F.sum(F.col("c") * F.col("lr_hi")).alias("__shi"),
+            F.sum(F.col("c") * F.col("lr_lo")).alias("__slo"),
         )
+    )
+    exact = (
+        F.col("__shi").cast("decimal(38,0)") * 1000000
+        + F.col("__slo").cast("decimal(38,0)")
+    ).cast("decimal(38,15)") / F.lit(10**15)
+    return scored.select(
+        id_col,
+        "n_feats",
+        F.round(exact, 6).cast("double").alias("log_w"),
     )
 
 
