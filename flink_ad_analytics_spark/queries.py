@@ -2919,7 +2919,11 @@ def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dsum(c: str) -> F.Column:
         return F.sum(F.col(c).cast("decimal(38,0)"))
 
-    gaggs = [F.sum("pn").alias("n")]
+    # ADVICE r8: the merge agg sees ZERO per-partition rows on an
+    # empty input (groupBy emits no groups), so a bare SUM(pn) would
+    # yield n=NULL where the old single-level plan's COUNT(*) -- and
+    # the oracle -- return 0. Coalesce restores the count semantics.
+    gaggs = [F.coalesce(F.sum("pn"), F.lit(0).cast("long")).alias("n")]
     for c in cols:
         gaggs.append(dsum(f"pS_{c}").alias(f"Sc_{c}"))
     for i, x in enumerate(cols):
@@ -3770,7 +3774,17 @@ def family_imp_pre_from(ev: DataFrame) -> DataFrame:
     by the batch build (`_events_family_pre` over the bucketed
     layout) and asserted equal, cell for cell, to the streaming
     maintenance twin (`streaming/jobs.py::streaming_family_rollups`,
-    which decomposes the countDistinct into dedup + count)."""
+    which decomposes the countDistinct into dedup + count).
+
+    Spend-exactness contract (ADVICE r8): ``__spend`` sums cost over
+    ALL input rows -- countDistinct dedups the COUNT but not the
+    spend -- while the streaming twin sums over impression_id-deduped
+    rows (its dedup precedes the agg). The two agree exactly because
+    the batch events table is impression_id-unique (the warehouse
+    invariant, asserted in tests/test_testdata_contract.py); feed
+    this function at-least-once-delivered input and spend would
+    double-count where the streaming twin would not. Dedup upstream
+    if the input can carry duplicates."""
     from .operators.engagement import _tag
 
     imp, _clk = _impressions_clicks_from(ev)

@@ -578,7 +578,7 @@ def streaming_semantic_decontamination(
 def streaming_family_rollups(
     events: DataFrame,
     *,
-    watermark: str = "5 seconds",
+    watermark: str = "10 minutes",
     window: str = "1 hour",
     band: str = "10 minutes",
 ) -> dict[str, DataFrame]:
@@ -612,6 +612,19 @@ def streaming_family_rollups(
       once; redelivered clicks and multi-impression fan-out inside
       one cell collapse in the combo dedup, exactly like the batch
       DISTINCT.
+
+    ``watermark`` is the DELIVERY-ORDER contract, not a tuning knob
+    (ADVICE r8): any event arriving more than ``watermark`` out of
+    event-time order is dropped from the maintained rollups, so the
+    cell-for-cell batch-equality guarantee only holds for deliveries
+    within that bound -- a batch backfill WOULD include the dropped
+    row (the reconciliation recipe is tested in
+    tests/test_streaming_family_rollup.py::test_late_data_*). The
+    default is a deliberately conservative 10 minutes for production
+    wiring; replay harnesses (tests, tools/family_maintenance_bench)
+    pass an explicit tight bound because their buses deliver in
+    order. Widening the watermark widens every state store linearly
+    (dedup entries, join band, open windows) -- size accordingly.
 
     State is watermark-bounded at every operator (dedup entries,
     join band, open windows); with the RocksDB provider it spills to

@@ -51,3 +51,24 @@ def test_core_artifacts_present_and_shaped():
     meth = health["methodology"]
     assert meth["repeats"] >= 3 and len(meth["runs"]) == meth["repeats"]
     assert all("load_avg_1m_before" in r for r in meth["runs"])
+
+
+def test_coverage_headline_matches_committed_bench():
+    """VERDICT r8 nit #1: COVERAGE.md once narrated a different
+    session's headline (151.8s/0.050) than the committed
+    bench_sf0.1.json (144.4s/0.048). This gate re-derives the bolded
+    headline sentence from the artifact and requires COVERAGE.md to
+    contain it verbatim -- narrative and artifact can no longer
+    diverge; updating the artifact without the prose (or vice versa)
+    fails here with the expected string in the message."""
+    bench = _load("bench_sf0.1.json")
+    headline = (
+        f"**{bench['value']:.1f}s / {bench['n_queries']} queries, "
+        f"ratio {bench['ratio_vs_duckdb']:.3f}"
+    )
+    with open("/root/repo/COVERAGE.md") as f:
+        text = " ".join(f.read().split())  # collapse prose line wraps
+    assert headline in text, (
+        f"COVERAGE.md headline drifted from .benchmarks/bench_sf0.1.json; "
+        f"expected the sentence to contain {headline!r}"
+    )

@@ -34,3 +34,20 @@ def test_numeric_profile_matches_numpy(spark):
         assert r["corr"] == pytest.approx(corr, abs=1e-6)
         if x == y:
             assert r["corr"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_numeric_profile_empty_input_counts_zero(spark, tmp_path):
+    """ADVICE r8: the two-level plan's merge agg sees ZERO partial
+    rows on an empty lineitem, so an uncoalesced SUM(pn) would emit
+    n=NULL where the old single-level COUNT(*) -- and the oracle --
+    return 0. Pin the restored semantics: 10 pair rows, n_rows=0."""
+    d = str(tmp_path / "sf_empty")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    load_table(spark, SF_SMOKE, "lineitem").limit(0).write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    rows = q_numeric_profile(spark, d).collect()
+    assert len(rows) == 10
+    assert all(r["n_rows"] == 0 for r in rows)

@@ -98,3 +98,21 @@ def test_schema_evolution_merge_and_defaults(spark, tmp_path):
     assert rows == {1: "unknown", 2: "unknown", 3: "en", 4: "fr"}
     # pruned single-column read still resolves across versions
     assert df.select("id").count() == 4
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_event_id_unique(sf_dir: str) -> None:
+    """The warehouse invariant family_imp_pre_from's spend exactness
+    rests on (ADVICE r8): event_id -- hence impression_id -- is unique
+    in the batch events table, so summing cost over ALL rows equals
+    summing over impression_id-deduped rows (the streaming twin's
+    form). If a regeneration ever ships duplicate event ids, the two
+    family builds would silently diverge on spend; fail here instead."""
+    dup = duckdb.sql(
+        f"SELECT COUNT(*) - COUNT(DISTINCT event_id) "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    assert dup == 0, (
+        f"{sf_dir}/events.parquet carries {dup} duplicate event_id rows; "
+        f"family_imp_pre_from must dedup before summing spend"
+    )
