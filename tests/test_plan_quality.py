@@ -696,3 +696,58 @@ def test_coloc_stamp_sees_inplace_part_rewrite(spark, tmp_path):
     assert content_stamp(pq) != before
     # and the layout path agrees: a fresh tag is minted, fresh data read
     assert _coloc_table(spark, sf, "lineitem", "l_orderkey").count() == 25
+
+
+def test_market_share_flat_fact_never_exchanged(spark):
+    """Round-9 flat Q8 gate (VERDICT r8 #2, adjudicated in
+    .benchmarks/market_share_floor_sf10.json): under the size-aware
+    broadcast path the 60M-row fact flows scan -> broadcast-hash probe
+    -> map-side partial agg with NO exchange; the only exchanges are
+    post-agg (merge, window on o_year, final orderBy) -- and the map
+    derivation itself is exchange-free (region-pruned customer
+    broadcasts into orders). A regression to the r8 shape re-adds the
+    orders/customer shuffle + the fact shuffle and blows the bound.
+    Bound = 4, all value-sized: two-level agg partial (__pid grain) +
+    merge, window re-partition on o_year, final orderBy range -- the
+    same post-agg tail the coloc gate pins. The structural 100 TB
+    path (broadcast_map=False) must instead hash-build the map and
+    stream the fact: ShuffledHashJoin, never a fact sort."""
+    from pyspark.sql import functions as F
+
+    from flink_ad_analytics_spark.queries import (
+        _market_share_from,
+        q_market_share,
+    )
+    from flink_ad_analytics_spark.sources.batch import load_table
+
+    df = q_market_share(spark, SF_CORRECT)  # small orders -> broadcast
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan
+    n_ex = (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
+    )
+    assert n_ex <= 4, f"{n_ex} exchanges\n{plan[:3000]}"
+
+    shj = _market_share_from(
+        load_table(spark, SF_CORRECT, "lineitem"),
+        load_table(spark, SF_CORRECT, "orders").select(
+            "o_orderkey", "o_custkey"
+        ),
+        load_table(spark, SF_CORRECT, "customer").select(
+            "c_custkey", "c_nationkey"
+        ),
+        load_table(spark, SF_CORRECT, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ),
+        load_table(spark, SF_CORRECT, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey"),
+        broadcast_map=False,
+    )
+    splan = plan_of(shj, "simple")
+    assert "ShuffledHashJoin" in splan
+    assert "SortMergeJoin" not in splan
