@@ -89,10 +89,12 @@ def test_table_profile_plans(spark):
     """Plan-shape contracts for both profile strategies: NEITHER may
     contain an Expand (the |cols|+1x row-replication multi-
     countDistinct compile both are designed to avoid); the exact
-    profile is exactly one column-pruned scan per profiled column
-    (round 8 folded nulls/min/max/n_rows into the per-column distinct
-    pass, dropping the extra wide scan), while the approx profile
-    reads the table exactly ONCE."""
+    profile is one column-pruned DISTINCT-ONLY scan per profiled
+    column plus ONE wide nulls/n_rows scan (the round-9 terminal
+    split-payload shape: the dominant near-unique-column exchanges
+    carry bare values, no cnt longs -- adjudicated in
+    .benchmarks/table_profile_floor_sf10.json), while the approx
+    profile reads the table exactly ONCE."""
     def plan_of(name):
         df = QUERIES[name](spark, SF_CORRECT)
         return df._sc._jvm.PythonSQLUtils.explainString(
@@ -105,7 +107,12 @@ def test_table_profile_plans(spark):
 
     exact = plan_of("table_profile")
     assert "Expand" not in exact, exact
-    # exactly one single-column scan per profiled column, no wide scan
+    # one single-column distinct scan per profiled column + the wide
+    # nulls/n_rows scan; any (value, cnt) payload regression re-adds
+    # a partial_count under the distinct aggregates
     from flink_ad_analytics_spark.queries import _PROFILE_COLS
 
-    assert exact.count("FileScan") == len(_PROFILE_COLS), exact
+    assert exact.count("FileScan") == len(_PROFILE_COLS) + 1, exact
+    # the lone count(1) is the wide scan's n_rows; the per-column
+    # distinct subplans must not re-grow (value, cnt) payloads
+    assert exact.count("partial_count(1)") == 1, exact
