@@ -4116,38 +4116,31 @@ def _family_ctr_cols(agg: DataFrame, group_out: str) -> DataFrame:
     )
 
 
-def q_ctr_hourly_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q_ctr_hourly served from the shared events-family pass
-    (_events_family_pre): same oracle, same values -- the family
-    amortizes one scan + one band join across four outputs."""
-    agg = _family_counts(_events_family_pre(spark, sf_dir), "campaign_id")
-    return _family_ctr_cols(agg, "campaign_id")
-
-
-def q_engagement_hourly_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q_engagement_hourly from the shared family pass; the tagged
-    segment key rides the pre-aggregates, untagged here exactly as in
-    the coloc twin."""
+def family_outputs_from(
+    imp_pre: DataFrame, clk_pre: DataFrame
+) -> dict[str, DataFrame]:
+    """All four family outputs (ctr_hourly / engagement_hourly /
+    campaign_spend / anomaly_alerts) served from a PAIR OF ROLLUP
+    TABLES, regardless of who built them: the batch warehouse build
+    (_events_family_pre), or the streaming maintenance job's landed
+    parquet (streaming/jobs.py::streaming_family_rollups -- the
+    measured serve-from-maintained path,
+    tools/family_maintenance_bench.py, VERDICT r8 item 3). The four
+    q_*_family driver entries are thin wrappers over this function
+    with the session-cached warehouse rollups."""
     from .operators.engagement import _untag
 
-    agg = _family_counts(_events_family_pre(spark, sf_dir), "__seg")
-    out = _family_ctr_cols(agg, "__seg")
-    return out.withColumn(
-        "__seg", _untag("__seg", "Unknown")
-    ).withColumnRenamed("__seg", "device_type")
-
-
-def q_campaign_spend_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q_campaign_spend from the shared family pass: the day windows
-    roll up from the hour-grain partials (hour cells nest in day
-    cells), spend partials are exact decimals summed once more, and
-    day-grain distinct clicks re-count from clk_pre's distinct
-    combinations (a click matching two hours of one day collapses)."""
-    agg = _family_counts(
-        _events_family_pre(spark, sf_dir),
-        "campaign_id",
-        day=True,
-        with_spend=True,
+    pre = {"imp_pre": imp_pre, "clk_pre": clk_pre}
+    ctr = _family_ctr_cols(
+        _family_counts(pre, "campaign_id"), "campaign_id"
+    )
+    eng = (
+        _family_ctr_cols(_family_counts(pre, "__seg"), "__seg")
+        .withColumn("__seg", _untag("__seg", "Unknown"))
+        .withColumnRenamed("__seg", "device_type")
+    )
+    spend_agg = _family_counts(
+        pre, "campaign_id", day=True, with_spend=True
     )
     cpc = F.when(
         F.col("click_count") > 0,
@@ -4158,7 +4151,7 @@ def q_campaign_spend_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("spend") * F.lit(1000.0))
         / F.col("impression_count").cast("double"),
     )
-    return agg.select(
+    spend = spend_agg.select(
         F.col("ww.start").alias("window_start"),
         F.col("ww.end").alias("window_end"),
         "campaign_id",
@@ -4168,12 +4161,51 @@ def q_campaign_spend_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         cpc.alias("cpc"),
         cpm.alias("cpm"),
     )
+    return {
+        "ctr_hourly": ctr,
+        "engagement_hourly": eng,
+        "campaign_spend": spend,
+        "anomaly_alerts": detect_anomalies(ctr),
+    }
+
+
+def q_ctr_hourly_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ctr_hourly served from the shared events-family pass
+    (_events_family_pre): same oracle, same values -- the family
+    amortizes one scan + one band join across four outputs."""
+    pre = _events_family_pre(spark, sf_dir)
+    return family_outputs_from(pre["imp_pre"], pre["clk_pre"])["ctr_hourly"]
+
+
+def q_engagement_hourly_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_engagement_hourly from the shared family pass; the tagged
+    segment key rides the pre-aggregates, untagged exactly as in
+    the coloc twin."""
+    pre = _events_family_pre(spark, sf_dir)
+    return family_outputs_from(pre["imp_pre"], pre["clk_pre"])[
+        "engagement_hourly"
+    ]
+
+
+def q_campaign_spend_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_campaign_spend from the shared family pass: the day windows
+    roll up from the hour-grain partials (hour cells nest in day
+    cells), spend partials are exact decimals summed once more, and
+    day-grain distinct clicks re-count from clk_pre's distinct
+    combinations (a click matching two hours of one day collapses)."""
+    pre = _events_family_pre(spark, sf_dir)
+    return family_outputs_from(pre["imp_pre"], pre["clk_pre"])[
+        "campaign_spend"
+    ]
 
 
 def q_anomaly_alerts_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_anomaly_alerts over the family CTR output -- the fourth sink
     of the shared pass."""
-    return detect_anomalies(q_ctr_hourly_family(spark, sf_dir))
+    pre = _events_family_pre(spark, sf_dir)
+    return family_outputs_from(pre["imp_pre"], pre["clk_pre"])[
+        "anomaly_alerts"
+    ]
 
 
 def q_volume_shipping_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
