@@ -2907,6 +2907,18 @@ def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured sf10 steady 16.4s -> 4.0s (pinned 3-rep protocol,
     query_floor_sf10.json), value-identical vs the oracle at sf0.001
     and sf0.01.
+
+    CROSSOVER, pinned so a toy-scale reader does not "fix" this
+    backwards (VERDICT r8 nit #3): the two-level form is SLOWER at
+    sf0.1 -- 1.43s (old direct-decimal plan, git history r7
+    bench_sf0.1.json) vs 2.95s (this plan, committed r8
+    bench_sf0.1.json) -- because at 600k rows the extra 32-row
+    exchange + reconstruction arithmetic dominates the decimal work
+    it replaces. At sf10 the same trade is 16.4s -> 4.0s
+    (query_floor_sf10.json r7 vs r8 rows). The crossover sits
+    between sf0.1 and sf10; this engine optimizes for the 100 TB
+    side of it, and the sf0.1 regression is the documented purchase
+    price.
     """
     li = load_table(spark, sf_dir, "lineitem")
     cols = _NUMPROF_COLS
