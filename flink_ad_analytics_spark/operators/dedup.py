@@ -1129,6 +1129,77 @@ def cross_corpus_minhash_dups(
     )
 
 
+def split_corpus_minhash_dups(
+    docs: DataFrame,
+    corpus_pred: F.Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """`cross_corpus_minhash_dups` for the common case where BOTH
+    sides live in one table and a deterministic predicate
+    (``corpus_pred``, true = standing corpus) splits them -- the
+    incremental-ingest shape where today's crawl and the standing
+    corpus share a lake table.
+
+    Why a separate entry point (round-9 shuffle audit, VERDICT r8
+    item 4): handing `cross_corpus_minhash_dups` two filtered frames
+    runs the ENTIRE signature pipeline twice (scan -> shingle
+    explode -> 16 md5s/shingle -> vocabulary SMJ -> per-doc groupBy;
+    4 exchanges each), because Catalyst pushes each side's filter all
+    the way into its scan and the subtrees stop being shareable --
+    runtime exchange reuse (which deduplicates minhash_lsh_pairs'
+    identical band sides) never fires across different filters. Here
+    the signatures+bands compute ONCE over the union and persist as
+    the STANDING SIGNATURE INDEX (~100 bytes/doc, MEMORY_AND_DISK --
+    the artifact the cross_corpus docstring has always told operators
+    to maintain); the two band sides are then filters over the cached
+    index, so the expensive pipeline runs once per corpus, not once
+    per side per query. The cache is also what blocks the filter
+    pushdown that would otherwise re-split the pipeline.
+
+    Same output contract as cross_corpus_minhash_dups: one row per
+    matched NEW doc -- (id, dup_of, jaccard) for its best corpus
+    match at ``threshold``. Verification joins read one shared
+    doc_shingles subtree (id-keyed joins select the right rows; the
+    two sh exchanges canonicalize equal and reuse at runtime)."""
+    from pyspark.storagelevel import StorageLevel
+
+    bands = (
+        _lsh_bands(minhash_signatures(docs, id_col, text_col), id_col)
+        .withColumn("__corpus", corpus_pred)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    new_bands = bands.filter(~F.col("__corpus")).select(
+        F.col(id_col).alias("__new_id"), "band", "band_key"
+    )
+    corpus_bands = bands.filter(F.col("__corpus")).select(
+        F.col(id_col).alias("__corpus_id"), "band", "band_key"
+    )
+    cand = (
+        new_bands.join(corpus_bands, ["band", "band_key"])
+        .select("__new_id", "__corpus_id")
+        .distinct()
+    )
+    sh = doc_shingles(docs, id_col, text_col)
+    scored = _exact_jaccard_verify(
+        cand, sh, sh, "__new_id", "__corpus_id", id_col, threshold
+    )
+    w = Window.partitionBy("__new_id").orderBy(
+        F.col("jaccard").desc(), F.col("__corpus_id").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("__new_id").alias(id_col),
+            F.col("__corpus_id").alias("dup_of"),
+            "jaccard",
+        )
+    )
+
+
 def pagerank_fp(
     edges: DataFrame,
     *,

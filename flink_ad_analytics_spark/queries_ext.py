@@ -19,7 +19,8 @@ from .operators.dedup import (
     SIMHASH_CHUNKS,
     SIMHASH_HAMMING,
     containment_pairs,
-    cross_corpus_minhash_dups,
+    cross_corpus_minhash_dups,  # noqa: F401 -- general two-frame form, re-exported
+    split_corpus_minhash_dups,
     dedup_clusters,
     dedup_clusters_best,
     exact_dedup,
@@ -885,11 +886,17 @@ _SPLIT_PRED = "substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'"
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup (operators/dedup.py::
-    cross_corpus_minhash_dups): a deterministic ~half of documents
+    split_corpus_minhash_dups): a deterministic ~half of documents
     plays the standing corpus, the rest today's ingest; each new doc
     reports its best corpus near-duplicate (exact-Jaccard-verified
     MinHash-LSH cross-join -- new docs are never compared to each
-    other)."""
+    other).
+
+    Round 9 (shuffle audit): the split-tagged form computes the
+    signature pipeline ONCE over the union and persists it as the
+    standing signature index; the old two-filtered-frames form ran it
+    twice (13 executed exchanges -> see plan_audit executed_audit_r9;
+    operator docstring has the mechanism)."""
     docs = load_table(spark, sf_dir, "documents")
     split = (
         F.substring(
@@ -897,9 +904,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         < "8"
     )
-    corpus = docs.filter(split)
-    new = docs.filter(~split)
-    return cross_corpus_minhash_dups(new, corpus, threshold=0.2)
+    return split_corpus_minhash_dups(docs, split, threshold=0.2)
 
 
 def _incremental_dedup_oracle() -> str:

@@ -484,3 +484,43 @@ def test_dedup_clusters_best_keeps_highest_quality(spark):
     )
     tb = {r.doc_id: r for r in dedup_clusters_best(t, threshold=0.2).collect()}
     assert tb[5].is_keeper and not tb[6].is_keeper
+
+
+def test_split_corpus_matches_cross_corpus(spark):
+    """split_corpus_minhash_dups (round-9 shared-pipeline form, the
+    standing-signature-index variant) must return exactly what
+    cross_corpus_minhash_dups returns on the equivalent two-frame
+    split -- same matches, same best-match tie rules, and new-vs-new
+    pairs still out of scope."""
+    from pyspark.sql import functions as F
+
+    from flink_ad_analytics_spark.operators.dedup import (
+        cross_corpus_minhash_dups,
+        split_corpus_minhash_dups,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (0, base),
+        (1, "one two three four five six seven eight nine ten " * 4),
+        (2, "lambda mu nu xi omicron pi rho " * 5),
+        (10, base),
+        (11, base.replace("beta", "BETA2", 1)),
+        (12, "totally different words entirely here " * 5),
+        (13, "totally different words entirely here " * 5),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pred = F.col("doc_id") < 10  # corpus side
+    got = {
+        r.doc_id: (r.dup_of, r.jaccard)
+        for r in split_corpus_minhash_dups(docs, pred, threshold=0.2).collect()
+    }
+    want = {
+        r.doc_id: (r.dup_of, r.jaccard)
+        for r in cross_corpus_minhash_dups(
+            docs.filter(~pred), docs.filter(pred), threshold=0.2
+        ).collect()
+    }
+    assert got == want
+    assert got[10] == (0, 1.0)
+    assert 12 not in got and 13 not in got
