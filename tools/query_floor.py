@@ -48,6 +48,14 @@ def main() -> None:
         names = [n for n in qs]
     out = {}
     for name in names:
+        # Host-load stamp (round 9): this host's numbers swing +/-35%
+        # under sustained back-to-back-session load (COVERAGE.md
+        # host-variance note; the coloc market_share row moved
+        # 1.34->2.21->1.62 with zero code change). Stamping the
+        # 1-minute load average into every row makes that variance
+        # adjudicable from the committed artifact instead of from
+        # narrative memory.
+        load_before = round(os.getloadavg()[0], 1)
         t0 = time.perf_counter()
         materialize(qs[name](spark, sf_dir))
         first = time.perf_counter() - t0
@@ -60,6 +68,7 @@ def main() -> None:
             "first_sec": round(first, 2),
             "steady_sec": round(min(steady), 2),
             "one_time_overhead_sec": round(first - min(steady), 2),
+            "load_avg_1m_before": load_before,
         }
         print(name, out[name], file=sys.stderr)
 
