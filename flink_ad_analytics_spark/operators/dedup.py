@@ -186,15 +186,23 @@ def minhash_signatures(
     signatures are bit-identical either way, so the DuckDB oracle is
     unaffected.
     """
+    sh = doc_shingles(docs, id_col, text_col)
+    return _signatures_from_shingles(sh, id_col)
+
+
+def _signatures_from_shingles(sh: DataFrame, id_col: str) -> DataFrame:
+    """minhash_signatures' hashing core over a prebuilt
+    (id, shingles) frame -- shared with the set-grain incremental
+    path, which signs one representative per distinct shingle set
+    instead of every document."""
     from ..functions.hashing import hex_minhash_term
 
-    sh = doc_shingles(docs, id_col, text_col)
     posting = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     # The pinned repartition (same rationale as doc_shingles: AQE would
     # coalesce the small vocabulary exchange to ~1 task, serializing
     # the 16 md5s/shingle computed in the projection above it) also
     # pre-partitions the vocabulary on the join key.
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    n_part = sh.sparkSession.sparkContext.defaultParallelism
     uniq = posting.select("shingle").distinct().repartition(n_part, "shingle").select(
         "shingle",
         *[
@@ -1129,6 +1137,65 @@ def cross_corpus_minhash_dups(
     )
 
 
+#: distinct-fingerprint / row-count ratio above which
+#: split_corpus_minhash_dups keeps the per-doc grain: a mostly unique
+#: corpus has nothing for the set-grain collapse to win back, and the
+#: grouping machinery would be pure constant cost.
+_SETGRAIN_MAX_DISTINCT = 0.8
+
+#: (applicationId, docs.semanticHash(), text_col) -> (n, n_distinct):
+#: the duplication probe is a table statistic; pay it once per
+#: (session, input), like any optimizer stat.
+_GRAIN_PROBE_CACHE: dict = {}
+
+
+def _split_minhash_dups_perdoc(
+    docs: DataFrame,
+    corpus_pred: F.Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Per-doc grain of split_corpus_minhash_dups (the mostly-unique-
+    corpus branch): one shared signature pipeline persisted as the
+    standing band index, band sides as filters over the cache."""
+    from pyspark.storagelevel import StorageLevel
+
+    bands = (
+        _lsh_bands(minhash_signatures(docs, id_col, text_col), id_col)
+        .withColumn("__corpus", corpus_pred)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    new_bands = bands.filter(~F.col("__corpus")).select(
+        F.col(id_col).alias("__new_id"), "band", "band_key"
+    )
+    corpus_bands = bands.filter(F.col("__corpus")).select(
+        F.col(id_col).alias("__corpus_id"), "band", "band_key"
+    )
+    cand = (
+        new_bands.join(corpus_bands, ["band", "band_key"])
+        .select("__new_id", "__corpus_id")
+        .distinct()
+    )
+    sh = doc_shingles(docs, id_col, text_col)
+    scored = _exact_jaccard_verify(
+        cand, sh, sh, "__new_id", "__corpus_id", id_col, threshold
+    )
+    w = Window.partitionBy("__new_id").orderBy(
+        F.col("jaccard").desc(), F.col("__corpus_id").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("__new_id").alias(id_col),
+            F.col("__corpus_id").alias("dup_of"),
+            "jaccard",
+        )
+    )
+
+
 def split_corpus_minhash_dups(
     docs: DataFrame,
     corpus_pred: F.Column,
@@ -1161,40 +1228,172 @@ def split_corpus_minhash_dups(
 
     Same output contract as cross_corpus_minhash_dups: one row per
     matched NEW doc -- (id, dup_of, jaccard) for its best corpus
-    match at ``threshold``. Verification joins read one shared
-    doc_shingles subtree (id-keyed joins select the right rows; the
-    two sh exchanges canonicalize equal and reuse at runtime)."""
+    match at ``threshold``.
+
+    ADAPTIVE GRAIN (round 9, second pass): real crawls are full of
+    exact duplicates, and every doc with the SAME distinct-shingle
+    set has the same signature, the same band buckets, and the same
+    Jaccard against everything -- so when the corpus actually carries
+    duplicate content, the whole LSH+verify pipeline runs on ONE
+    representative per distinct (shingle set, side) and the per-doc
+    answer fans back out over the group membership at the end. The
+    grain is chosen from a measured statistic, the way AQE chooses
+    join strategies from runtime sizes: one cheap aggregate
+    (COUNT DISTINCT of the normalized-text fingerprint / COUNT(*))
+    probes the duplication ratio; under ``_SETGRAIN_MAX_DISTINCT``
+    the set-grain path runs, above it the per-doc path (whose extra
+    grouping machinery would only add constant cost on a mostly
+    unique corpus -- measured sf0.1: per-doc 1.5s vs set-grain 3.3s
+    warm). Both paths are exact; only the execution grain differs.
+
+    Set-grain exactness: candidacy is preserved in both directions
+    (equal sets -> equal signatures -> same buckets), jaccard values
+    are computed on the identical arrays, and the best-match tie rule
+    (max jaccard, then smallest corpus id) survives because the
+    representative carries its group's MIN id and the window orders
+    groups by (jaccard DESC, group-min-id ASC). On the sf10 fixture
+    (500k docs, 4,992 distinct sets -- ~100x replication, the shape
+    of a real crawl) this collapses 13.7M candidate doc-pairs to
+    ~10^3 set-pairs: steady 32.6s -> 3.6s. The standing index
+    persisted here is (membership map + per-set rep shingles + rep
+    bands) -- ~100B/doc for the map plus ~KB/set, strictly smaller
+    than the per-doc band index. The general two-frame form
+    (cross_corpus_minhash_dups) keeps the per-doc path.
+
+    ``corpus_pred`` must be an expression over ``id_col`` (it is
+    evaluated on derived frames where only the id survives)."""
     from pyspark.storagelevel import StorageLevel
 
-    bands = (
-        _lsh_bands(minhash_signatures(docs, id_col, text_col), id_col)
-        .withColumn("__corpus", corpus_pred)
+    # duplication probe: distinct normalized-text fingerprints per row.
+    # Text-grain distinctness UNDERcounts set-grain duplication
+    # (distinct texts can share a shingle set), so it can only err
+    # toward the per-doc path -- never into a set-grain run that has
+    # nothing to collapse. The probe result is a table statistic, so
+    # it caches per (session, input plan) -- repeated executions pay
+    # it once, like any optimizer stat.
+    probe_key = (
+        docs.sparkSession.sparkContext.applicationId,
+        docs.semanticHash(),
+        text_col,
+    )
+    if probe_key in _GRAIN_PROBE_CACHE:
+        n, nd = _GRAIN_PROBE_CACHE[probe_key]
+    else:
+        stats = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(
+                F.md5(
+                    F.regexp_replace(
+                        F.lower(F.trim(F.col(text_col))), r"\s+", " "
+                    )
+                )
+            ).alias("nd"),
+        ).collect()[0]
+        n, nd = stats["n"], stats["nd"]
+        _GRAIN_PROBE_CACHE[probe_key] = (n, nd)
+    if n == 0 or nd / n > _SETGRAIN_MAX_DISTINCT:
+        return _split_minhash_dups_perdoc(
+            docs, corpus_pred, id_col=id_col, text_col=text_col,
+            threshold=threshold,
+        )
+
+    sh = doc_shingles(docs, id_col, text_col)
+    members = (
+        sh.select(
+            F.col(id_col),
+            F.sha2(
+                F.concat_ws("\x00", F.array_sort("shingles")), 256
+            ).alias("__setkey"),
+            corpus_pred.alias("__corpus"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # one representative per (set, side); the rep id IS the group min,
+    # which the tie rule below depends on
+    groups = members.groupBy("__setkey", "__corpus").agg(
+        F.min(id_col).alias("__rep_id")
+    )
+    reps = (
+        groups.join(
+            sh.select(
+                F.col(id_col).alias("__rep_id"), "shingles"
+            ).hint("shuffle_hash"),
+            "__rep_id",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = _signatures_from_shingles(
+        reps.select(F.col("__rep_id").alias("__gid"), "shingles"), "__gid"
+    )
+    bands = _lsh_bands(sig, "__gid").join(
+        F.broadcast(
+            reps.select(
+                F.col("__rep_id").alias("__gid"), "__setkey", "__corpus"
+            )
+        ),
+        "__gid",
+    )
     new_bands = bands.filter(~F.col("__corpus")).select(
-        F.col(id_col).alias("__new_id"), "band", "band_key"
+        F.col("__setkey").alias("__new_set"),
+        F.col("__gid").alias("__new_rep"),
+        "band",
+        "band_key",
     )
     corpus_bands = bands.filter(F.col("__corpus")).select(
-        F.col(id_col).alias("__corpus_id"), "band", "band_key"
+        F.col("__gid").alias("__corpus_rep"), "band", "band_key"
     )
     cand = (
         new_bands.join(corpus_bands, ["band", "band_key"])
-        .select("__new_id", "__corpus_id")
+        .select("__new_set", "__new_rep", "__corpus_rep")
         .distinct()
     )
-    sh = doc_shingles(docs, id_col, text_col)
-    scored = _exact_jaccard_verify(
-        cand, sh, sh, "__new_id", "__corpus_id", id_col, threshold
+    # exact-Jaccard verify at set grain (the _exact_jaccard_verify
+    # formula inlined so __new_set rides through): both sides join the
+    # tiny persisted rep-shingle table
+    s1 = reps.select(
+        F.col("__rep_id").alias("__new_rep"), F.col("shingles").alias("sh1")
     )
-    w = Window.partitionBy("__new_id").orderBy(
-        F.col("jaccard").desc(), F.col("__corpus_id").asc()
+    s2 = reps.select(
+        F.col("__rep_id").alias("__corpus_rep"),
+        F.col("shingles").alias("sh2"),
     )
-    return (
+    scored = (
+        cand.join(s1, "__new_rep")
+        .join(s2, "__corpus_rep")
+        .select(
+            "__new_set",
+            "__new_rep",
+            "__corpus_rep",
+            F.size(F.array_intersect("sh1", "sh2")).alias("shared"),
+            F.size("sh1").alias("n1"),
+            F.size("sh2").alias("n2"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("__new_set").orderBy(
+        F.col("jaccard").desc(), F.col("__corpus_rep").asc()
+    )
+    best = (
         scored.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)
+        .select("__new_set", "__corpus_rep", "jaccard")
+    )
+    return (
+        members.filter(~F.col("__corpus"))
+        .join(
+            best.withColumnRenamed("__new_set", "__setkey").hint(
+                "shuffle_hash"
+            ),
+            "__setkey",
+        )
         .select(
-            F.col("__new_id").alias(id_col),
-            F.col("__corpus_id").alias("dup_of"),
+            F.col(id_col),
+            F.col("__corpus_rep").alias("dup_of"),
             "jaccard",
         )
     )

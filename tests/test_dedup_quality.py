@@ -524,3 +524,47 @@ def test_split_corpus_matches_cross_corpus(spark):
     assert got == want
     assert got[10] == (0, 1.0)
     assert 12 not in got and 13 not in got
+
+
+def test_split_corpus_set_grain_branch(spark):
+    """Duplicate-heavy input (each text replicated 10x) drives
+    split_corpus_minhash_dups down its SET-GRAIN branch (distinct
+    ratio ~0.06 << 0.8): results must still equal the per-doc
+    cross_corpus form -- same matches for every member of every
+    duplicated group, same best-match and tie rules, jaccard values
+    identical."""
+    from pyspark.sql import functions as F
+
+    from flink_ad_analytics_spark.operators.dedup import (
+        _GRAIN_PROBE_CACHE,
+        cross_corpus_minhash_dups,
+        split_corpus_minhash_dups,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("beta", "BETA2", 1)
+    texts = [base, near,
+             "one two three four five six seven eight nine ten " * 4,
+             "lambda mu nu xi omicron pi rho sigma tau upsilon " * 4]
+    rows = []
+    for rep in range(10):
+        for t_i, t in enumerate(texts):
+            # ids interleave sides: even = corpus, odd = new
+            rows.append((rep * 100 + t_i * 2, t))
+            rows.append((rep * 100 + t_i * 2 + 1, t))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pred = F.col("doc_id") % 2 == 0
+    _GRAIN_PROBE_CACHE.clear()
+    got = {
+        r.doc_id: (r.dup_of, r.jaccard)
+        for r in split_corpus_minhash_dups(docs, pred, threshold=0.2).collect()
+    }
+    want = {
+        r.doc_id: (r.dup_of, r.jaccard)
+        for r in cross_corpus_minhash_dups(
+            docs.filter(~pred), docs.filter(pred), threshold=0.2
+        ).collect()
+    }
+    assert got == want
+    # every new doc of the duplicated base group matched corpus doc 0
+    assert got[1] == (0, 1.0) and got[101] == (0, 1.0)
