@@ -110,9 +110,34 @@ def main() -> None:
     bench_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".benchmarks"
     )
-    os.makedirs(bench_dir, exist_ok=True)
-    full_path = os.path.join(bench_dir, f"bench_sf{sf}.json")
+    # VERDICT r9 finding #1: bench runs used to rewrite the COMMITTED
+    # artifact .benchmarks/bench_sf{sf}.json in place, so any pass
+    # (including the driver's own) left the tree with a mutated
+    # artifact and the COVERAGE.md headline sync gate red. Default is
+    # now a gitignored scratch path; the committed artifact is only
+    # (re)pinned on an explicit `--pin` / SPARK_GRAFT_BENCH_PIN=1,
+    # done deliberately on an idle host together with the COVERAGE.md
+    # headline update (same commit -- the sync gate enforces it).
+    pin = "--pin" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_BENCH_PIN", ""
+    ) in ("1", "true")
+    if pin:
+        os.makedirs(bench_dir, exist_ok=True)
+        full_path = os.path.join(bench_dir, f"bench_sf{sf}.json")
+    else:
+        scratch_dir = os.path.join(bench_dir, "scratch")
+        os.makedirs(scratch_dir, exist_ok=True)
+        full_path = os.path.join(scratch_dir, f"bench_sf{sf}.json")
     merged_from_subset = False
+    if subset and not pin and not os.path.exists(full_path):
+        # scratch subset rerun with no prior scratch pass: seed the
+        # merge from the committed artifact so the scratch file still
+        # carries a full-surface total to compare against
+        committed = os.path.join(bench_dir, f"bench_sf{sf}.json")
+        if os.path.exists(committed):
+            import shutil
+
+            shutil.copy(committed, full_path)
     if subset and os.path.exists(full_path):
         # subset rerun: merge into the existing artifact (same
         # incremental-refresh contract as bench_duckdb.py) so a
