@@ -623,8 +623,15 @@ def streaming_family_rollups(
     default is a deliberately conservative 10 minutes for production
     wiring; replay harnesses (tests, tools/family_maintenance_bench)
     pass an explicit tight bound because their buses deliver in
-    order. Widening the watermark widens every state store linearly
-    (dedup entries, join band, open windows) -- size accordingly.
+    order. NOTE (reference divergence, ADVICE r9): the reference job
+    declares `WATERMARK ... INTERVAL '5' SECOND`
+    (/root/reference/flink/flink_job.sql:15,32); a caller wanting
+    reference-parity late-data semantics must pass
+    ``watermark="5 seconds"`` explicitly -- the default here trades
+    ~120x more watermark-bounded state for tolerance of real bus
+    disorder. Widening the watermark widens every state store
+    linearly (dedup entries, join band, open windows) -- size
+    accordingly.
 
     State is watermark-bounded at every operator (dedup entries,
     join band, open windows); with the RocksDB provider it spills to

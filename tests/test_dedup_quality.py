@@ -568,3 +568,78 @@ def test_split_corpus_set_grain_branch(spark):
     assert got == want
     # every new doc of the duplicated base group matched corpus doc 0
     assert got[1] == (0, 1.0) and got[101] == (0, 1.0)
+
+
+def test_split_corpus_setgrain_broadcast_guard(spark, monkeypatch):
+    """VERDICT r9 item 2: the set-grain rep-table join must not
+    explicitly broadcast above the absolute distinct-set bound. With
+    the bound monkeypatched below the fixture's nd (ratio still <<
+    0.8, so the set-grain branch runs), the logical plan must carry
+    no broadcast hint for the rep table, and the degraded
+    SHUFFLE_HASH path must stay value-equal to the per-doc
+    cross-corpus form."""
+    from pyspark.sql import functions as F
+
+    from flink_ad_analytics_spark.operators import dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    texts = [base, base.replace("beta", "BETA2", 1),
+             "one two three four five six seven eight nine ten " * 4,
+             "lambda mu nu xi omicron pi rho sigma tau upsilon " * 4]
+    rows = []
+    for rep in range(10):
+        for t_i, t in enumerate(texts):
+            rows.append((rep * 100 + t_i * 2, t))
+            rows.append((rep * 100 + t_i * 2 + 1, t))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pred = F.col("doc_id") % 2 == 0
+
+    want = {
+        r.doc_id: (r.dup_of, r.jaccard)
+        for r in D.cross_corpus_minhash_dups(
+            docs.filter(~pred), docs.filter(pred), threshold=0.2
+        ).collect()
+    }
+
+    def run():
+        D._GRAIN_PROBE_CACHE.clear()
+        out = D.split_corpus_minhash_dups(docs, pred, threshold=0.2)
+        plan = out._jdf.queryExecution().logical().toString()
+        got = {r.doc_id: (r.dup_of, r.jaccard) for r in out.collect()}
+        D.release_standing_indexes()
+        return got, plan
+
+    # default bound: small fixture -> explicit broadcast present
+    got_bc, plan_bc = run()
+    assert "broadcast" in plan_bc.lower()
+    # bound below nd: hint must vanish, results identical
+    monkeypatch.setattr(D, "_SETGRAIN_BROADCAST_MAX_SETS", 1)
+    got_sh, plan_sh = run()
+    assert "broadcast" not in plan_sh.lower()
+    assert got_bc == want and got_sh == want
+
+
+def test_grain_probe_cache_bounded_and_clearable(spark):
+    """ADVICE r9: the probe cache evicts other-application entries on
+    insert, caps its size, and exposes clear()."""
+    from pyspark.sql import functions as F
+
+    from flink_ad_analytics_spark.operators import dedup as D
+
+    D.clear_grain_probe_cache()
+    assert D._GRAIN_PROBE_CACHE == {}
+    # seed stale entries from a "previous" application + beyond cap
+    for i in range(D._GRAIN_PROBE_CACHE_MAX + 5):
+        D._GRAIN_PROBE_CACHE[("dead-app", i, "text")] = (1, 1)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j " * 4)], ["doc_id", "text"]
+    )
+    D.split_corpus_minhash_dups(
+        docs, F.col("doc_id") < 0, threshold=0.2
+    ).collect()
+    D.release_standing_indexes()
+    app = spark.sparkContext.applicationId
+    assert all(k[0] == app for k in D._GRAIN_PROBE_CACHE)
+    assert len(D._GRAIN_PROBE_CACHE) <= D._GRAIN_PROBE_CACHE_MAX
+    D.clear_grain_probe_cache()
+    assert D._GRAIN_PROBE_CACHE == {}
