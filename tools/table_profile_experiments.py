@@ -56,12 +56,15 @@ def _split_payload(spark, sf_dir, with_wide=True):
     ) if with_wide else None
     out = wide
     for col, kind in _PROFILE_COLS:
-        rep = _profile_repr_spark(col, kind)
         d = o.select(col).distinct()
         prof = d.agg(
             F.count(F.col(col)).alias(f"{col}__distinct"),
-            F.min(rep).alias(f"{col}__min"),
-            F.max(rep).alias(f"{col}__max"),
+            _profile_repr_spark(F.min(F.col(col)), kind).alias(
+                f"{col}__min"
+            ),
+            _profile_repr_spark(F.max(F.col(col)), kind).alias(
+                f"{col}__max"
+            ),
         )
         out = prof if out is None else out.crossJoin(prof)
     if not with_wide:
