@@ -1207,6 +1207,57 @@ def _persist_standing(df: DataFrame) -> DataFrame:
     return out
 
 
+def _injective_setkey() -> F.Column:
+    """Distinct-shingle-set key over a `shingles` array column.
+    Injective for ANY shingle content (ADVICE r9): each shingle is
+    hashed to a fixed-width digest FIRST, then the concatenation of
+    the sorted digests is hashed -- concatenating fixed-width blocks
+    cannot collide two distinct sets the way a separator byte a
+    shingle could contain can."""
+    return F.sha2(
+        F.array_join(
+            F.array_sort(
+                F.transform("shingles", lambda s: F.sha2(s, 256))
+            ),
+            "",
+        ),
+        256,
+    )
+
+
+def _duplication_probe(docs: DataFrame, text_col: str) -> tuple:
+    """(n, n_distinct_text_fingerprints) for the adaptive-grain
+    decision, cached per (applicationId, input plan) like any
+    optimizer statistic. Text-grain distinctness UNDERcounts
+    set-grain duplication, so it only ever errs toward the per-doc
+    path."""
+    probe_key = (
+        docs.sparkSession.sparkContext.applicationId,
+        docs.semanticHash(),
+        text_col,
+    )
+    if probe_key in _GRAIN_PROBE_CACHE:
+        return _GRAIN_PROBE_CACHE[probe_key]
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(
+            F.md5(
+                F.regexp_replace(
+                    F.lower(F.trim(F.col(text_col))), r"\s+", " "
+                )
+            )
+        ).alias("nd"),
+    ).collect()[0]
+    n, nd = stats["n"], stats["nd"]
+    app_id = probe_key[0]
+    for k in [k for k in _GRAIN_PROBE_CACHE if k[0] != app_id]:
+        del _GRAIN_PROBE_CACHE[k]
+    while len(_GRAIN_PROBE_CACHE) >= _GRAIN_PROBE_CACHE_MAX:
+        del _GRAIN_PROBE_CACHE[next(iter(_GRAIN_PROBE_CACHE))]
+    _GRAIN_PROBE_CACHE[probe_key] = (n, nd)
+    return n, nd
+
+
 def _split_minhash_dups_perdoc(
     docs: DataFrame,
     corpus_pred: F.Column,
@@ -1334,31 +1385,7 @@ def split_corpus_minhash_dups(
     # nothing to collapse. The probe result is a table statistic, so
     # it caches per (session, input plan) -- repeated executions pay
     # it once, like any optimizer stat.
-    probe_key = (
-        docs.sparkSession.sparkContext.applicationId,
-        docs.semanticHash(),
-        text_col,
-    )
-    if probe_key in _GRAIN_PROBE_CACHE:
-        n, nd = _GRAIN_PROBE_CACHE[probe_key]
-    else:
-        stats = docs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct(
-                F.md5(
-                    F.regexp_replace(
-                        F.lower(F.trim(F.col(text_col))), r"\s+", " "
-                    )
-                )
-            ).alias("nd"),
-        ).collect()[0]
-        n, nd = stats["n"], stats["nd"]
-        app_id = probe_key[0]
-        for k in [k for k in _GRAIN_PROBE_CACHE if k[0] != app_id]:
-            del _GRAIN_PROBE_CACHE[k]
-        while len(_GRAIN_PROBE_CACHE) >= _GRAIN_PROBE_CACHE_MAX:
-            del _GRAIN_PROBE_CACHE[next(iter(_GRAIN_PROBE_CACHE))]
-        _GRAIN_PROBE_CACHE[probe_key] = (n, nd)
+    n, nd = _duplication_probe(docs, text_col)
     if n == 0 or nd / n > _SETGRAIN_MAX_DISTINCT:
         return _split_minhash_dups_perdoc(
             docs, corpus_pred, id_col=id_col, text_col=text_col,
@@ -1366,24 +1393,10 @@ def split_corpus_minhash_dups(
         )
 
     sh = doc_shingles(docs, id_col, text_col)
-    # Injective set key (ADVICE r9): hash each shingle to a
-    # fixed-width digest FIRST, then hash the concatenation of the
-    # sorted digests. Concatenating fixed-width blocks is injective
-    # regardless of shingle content, so no separator byte a shingle
-    # could contain can make two distinct sets collide.
-    setkey = F.sha2(
-        F.array_join(
-            F.array_sort(
-                F.transform("shingles", lambda s: F.sha2(s, 256))
-            ),
-            "",
-        ),
-        256,
-    )
     members = _persist_standing(
         sh.select(
             F.col(id_col),
-            setkey.alias("__setkey"),
+            _injective_setkey().alias("__setkey"),
             corpus_pred.alias("__corpus"),
         )
     )
@@ -1480,6 +1493,165 @@ def split_corpus_minhash_dups(
             F.col("__corpus_rep").alias("dup_of"),
             "jaccard",
         )
+    )
+
+
+def _lsh_topk_perdoc(
+    docs: DataFrame, id_col: str, text_col: str, threshold: float, k: int
+) -> DataFrame:
+    """Per-doc grain of lsh_topk_pairs: full verified pair set, then a
+    row_number window. Correct at any duplication level; quadratic in
+    duplicate-cluster sizes (the candidate join, not the cap, is what
+    explodes on duplicate-heavy corpora)."""
+    pairs = minhash_lsh_pairs(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold
+    )
+    w = Window.partitionBy("doc_id_1").orderBy(
+        F.col("jaccard").desc(), F.col("doc_id_2").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id_1", "doc_id_2", "jaccard", "rank")
+    )
+
+
+def lsh_topk_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` verified LSH candidates per doc among LARGER ids
+    (canonical pair order), ranked by (jaccard DESC, doc_id_2 ASC):
+    (doc_id_1, doc_id_2, jaccard, rank). The production-grain
+    alternative to materializing every pair -- work and output are
+    k*n whatever the duplication structure.
+
+    ADAPTIVE GRAIN (round 10, the split_corpus_minhash_dups doctrine
+    applied to ranked pairs): on duplicate-heavy corpora the pair
+    set itself is quadratic in cluster sizes -- capping AFTER
+    minhash_lsh_pairs still pays the candidate explosion (measured
+    sf10 fixture, ~100x replication: 151s steady). Under the shared
+    duplication probe (``_SETGRAIN_MAX_DISTINCT``), the top-k is
+    instead assembled WITHOUT ever materializing within-group pairs:
+
+    * Distinct shingle sets have jaccard exactly 1.0 only with
+      themselves, so a doc's best candidates are always its
+      co-members (same ``_injective_setkey``), ordered by id. The k
+      smallest co-members above each doc come from LEAD(id, 1..k)
+      over (set, id) -- zero pair materialization.
+    * Docs with fewer than k larger co-members (at most k per group,
+      plus singleton groups) fill the remainder from ADJACENT groups:
+      LSH + exact-Jaccard verify runs once per distinct set on one
+      representative (identical sets share signatures and band
+      buckets, so rep-grain candidacy IS member-grain candidacy),
+      and only the boundary docs expand adjacent groups' members
+      (filtered to larger ids). Cross-group jaccard < 1.0 can never
+      outrank a co-member, so the final window is exact.
+
+    Both grains produce identical output (equivalence-tested); the
+    grain is an execution choice, same as split_corpus's. Measured
+    sf10 fixture steady: 151s per-doc -> seconds at set grain.
+    """
+    n, nd = _duplication_probe(docs, text_col)
+    if n == 0 or nd / n > _SETGRAIN_MAX_DISTINCT:
+        return _lsh_topk_perdoc(docs, id_col, text_col, threshold, k)
+
+    sh = doc_shingles(docs, id_col, text_col)
+    members = _persist_standing(
+        sh.select(F.col(id_col), _injective_setkey().alias("__setkey"))
+    )
+    wg = Window.partitionBy("__setkey").orderBy(F.col(id_col).asc())
+    leads = members.select(
+        F.col(id_col).alias("doc_id_1"),
+        "__setkey",
+        *[
+            F.lead(id_col, i).over(wg).alias(f"__l{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+    lead_cols = [F.col(f"__l{i}") for i in range(1, k + 1)]
+    co = (
+        leads.select(
+            "doc_id_1",
+            F.explode(F.array(*lead_cols)).alias("doc_id_2"),
+        )
+        .filter(F.col("doc_id_2").isNotNull())
+        .withColumn("jaccard", F.lit(1.0))
+    )
+    n_co = sum(c.isNotNull().cast("int") for c in lead_cols)
+    need = leads.filter(n_co < k).select("doc_id_1", "__setkey")
+
+    # rep-grain adjacency: one LSH + verify per distinct set
+    reps = members.groupBy("__setkey").agg(F.min(id_col).alias("__rep"))
+    rep_sh = _persist_standing(
+        reps.join(
+            sh.select(F.col(id_col).alias("__rep"), "shingles").hint(
+                "shuffle_hash"
+            ),
+            "__rep",
+        )
+    )
+    sig = _signatures_from_shingles(
+        rep_sh.select(F.col("__rep").alias(id_col), "shingles"), id_col
+    )
+    bands = _lsh_bands(sig, id_col)
+    cand = (
+        bands.select(F.col(id_col).alias("__r1"), "band", "band_key")
+        .join(
+            bands.select(F.col(id_col).alias("__r2"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .filter(F.col("__r1") < F.col("__r2"))
+        .select("__r1", "__r2")
+        .distinct()
+    )
+    rep_keyed = rep_sh.select(F.col("__rep").alias(id_col), "shingles")
+    scored = _exact_jaccard_verify(
+        cand, rep_keyed, rep_keyed, "__r1", "__r2", id_col, threshold
+    )
+    rk = reps.select("__setkey", "__rep")
+    adj_fwd = (
+        scored.join(rk.withColumnRenamed("__rep", "__r1"), "__r1")
+        .withColumnRenamed("__setkey", "__key_a")
+        .join(
+            rk.withColumnRenamed("__rep", "__r2").withColumnRenamed(
+                "__setkey", "__key_b"
+            ),
+            "__r2",
+        )
+        .select("__key_a", "__key_b", "jaccard")
+    )
+    adj = adj_fwd.unionByName(
+        adj_fwd.select(
+            F.col("__key_b").alias("__key_a"),
+            F.col("__key_a").alias("__key_b"),
+            "jaccard",
+        )
+    )
+    fill = (
+        need.join(adj, need["__setkey"] == adj["__key_a"])
+        .join(
+            members.select(
+                F.col(id_col).alias("doc_id_2"),
+                F.col("__setkey").alias("__key_b2"),
+            ),
+            F.col("__key_b") == F.col("__key_b2"),
+        )
+        .filter(F.col("doc_id_2") > F.col("doc_id_1"))
+        .select("doc_id_1", "doc_id_2", "jaccard")
+    )
+    w = Window.partitionBy("doc_id_1").orderBy(
+        F.col("jaccard").desc(), F.col("doc_id_2").asc()
+    )
+    return (
+        co.unionByName(fill)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id_1", "doc_id_2", "jaccard", "rank")
     )
 
 

@@ -9,7 +9,7 @@ integer output is cast to BIGINT to match DuckDB's wider int types.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .operators.dedup import (
     LSH_BANDS,
@@ -18,12 +18,15 @@ from .operators.dedup import (
     SIMHASH_BITS,
     SIMHASH_CHUNKS,
     SIMHASH_HAMMING,
+    _SETGRAIN_MAX_DISTINCT,
+    _duplication_probe,
     containment_pairs,
     cross_corpus_minhash_dups,  # noqa: F401 -- general two-frame form, re-exported
     split_corpus_minhash_dups,
     dedup_clusters,
     dedup_clusters_best,
     exact_dedup,
+    lsh_topk_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -781,6 +784,160 @@ def q_dedup_verify_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: pairs kept per left doc by the production-grain edit-distance
+#: verify: bounds BOTH the O(len^2) levenshtein invocations and the
+#: output at k rows per doc (linear in corpus size)
+_EDITDIST_TOPK = 3
+
+
+def q_dedup_verify_editdist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-grain edit-distance verify (VERDICT r9 item 3): the
+    pair-grain `dedup_verify_editdist` contract is QUADRATIC in
+    duplicate-cluster sizes -- on the sf10 fixture's ~100x exact
+    replication, 13.7M pairs IS the answer (adjudicated output-bound
+    in .benchmarks/shuffle_audit_r9.json). A merge decision never
+    needs every pair: it needs, per document, its strongest few
+    candidates. This entry caps the verify at the top
+    ``_EDITDIST_TOPK`` candidates PER LEFT DOC, ranked by exact
+    shingle Jaccard (ties to the smaller right id -- deterministic in
+    both engines), and runs the O(len^2) levenshtein kernel ONLY on
+    the survivors: work and output are k*n (linear in corpus),
+    whatever the duplication structure. The pair-grain entry stays as
+    the semantic spec; this is the shape that ships at 100 TB.
+
+    Execution rides `lsh_topk_pairs`' ADAPTIVE GRAIN: on
+    duplicate-heavy corpora (measured duplication probe) the top-k is
+    assembled from LEAD windows over identical-shingle-set groups
+    plus rep-grain LSH for the group-boundary fill, never
+    materializing the quadratic within-group pair set -- capping
+    AFTER minhash_lsh_pairs still paid the candidate explosion
+    (151s steady on the sf10 ~100x-replicated fixture). Both grains
+    are output-identical
+    (tests/test_dedup_quality.py::test_lsh_topk_grain_equivalence).
+
+    The O(len^2) KERNEL is deduplicated the same way: levenshtein is
+    a pure function of the text PAIR, so under the duplication probe
+    it runs once per distinct (text-fingerprint, text-fingerprint)
+    pair -- identical-text pairs short-circuit to distance 0 without
+    touching the kernel at all -- and the per-pair answer joins back
+    over the fingerprints. Round-10 measurement: the k*n capped pair
+    set still meant 1.47M levenshtein calls on ~2KB texts (~6e12
+    cell updates, 246s steady at sf10); at kernel grain the fixture
+    runs hundreds of distinct-pair kernels instead.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    top = lsh_topk_pairs(docs, threshold=0.2, k=_EDITDIST_TOPK).select(
+        "doc_id_1", "doc_id_2", "rank"
+    )
+    n, nd = _duplication_probe(docs, "text")
+    if n == 0 or nd / n > _SETGRAIN_MAX_DISTINCT:
+        d1 = docs.select(
+            F.col("doc_id").alias("doc_id_1"), F.col("text").alias("t1")
+        )
+        d2 = docs.select(
+            F.col("doc_id").alias("doc_id_2"), F.col("text").alias("t2")
+        )
+        dist = F.levenshtein("t1", "t2").cast("bigint")
+        sim = F.lit(1.0) - dist.cast("double") / F.greatest(
+            F.length("t1"), F.length("t2")
+        ).cast("double")
+        return (
+            top.join(d1, "doc_id_1")
+            .join(d2, "doc_id_2")
+            .select(
+                "doc_id_1",
+                "doc_id_2",
+                "rank",
+                dist.alias("edit_distance"),
+                sim.alias("edit_similarity"),
+            )
+        )
+
+    fp = docs.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("__fp")
+    )
+    pairs_fp = top.join(
+        fp.select(
+            F.col("doc_id").alias("doc_id_1"), F.col("__fp").alias("__fp1")
+        ),
+        "doc_id_1",
+    ).join(
+        fp.select(
+            F.col("doc_id").alias("doc_id_2"), F.col("__fp").alias("__fp2")
+        ),
+        "doc_id_2",
+    )
+    # one representative text per fingerprint (all texts under one
+    # sha2-256 fingerprint are identical)
+    rep_text = docs.groupBy(F.sha2(F.col("text"), 256).alias("__fp")).agg(
+        F.first("text").alias("__t")
+    )
+    kern_in = (
+        pairs_fp.filter(F.col("__fp1") != F.col("__fp2"))
+        .select("__fp1", "__fp2")
+        .distinct()
+        .join(
+            rep_text.select(
+                F.col("__fp").alias("__fp1"), F.col("__t").alias("t1")
+            ),
+            "__fp1",
+        )
+        .join(
+            rep_text.select(
+                F.col("__fp").alias("__fp2"), F.col("__t").alias("t2")
+            ),
+            "__fp2",
+        )
+    )
+    kdist = F.levenshtein("t1", "t2").cast("bigint")
+    kernel = kern_in.select(
+        "__fp1",
+        "__fp2",
+        kdist.alias("__dist"),
+        (
+            F.lit(1.0)
+            - kdist.cast("double")
+            / F.greatest(F.length("t1"), F.length("t2")).cast("double")
+        ).alias("__sim"),
+    )
+    return (
+        pairs_fp.join(kernel, ["__fp1", "__fp2"], "left")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "rank",
+            F.coalesce(F.col("__dist"), F.lit(0).cast("bigint")).alias(
+                "edit_distance"
+            ),
+            F.coalesce(F.col("__sim"), F.lit(1.0)).alias(
+                "edit_similarity"
+            ),
+        )
+    )
+
+
+def _editdist_topk_oracle() -> str:
+    return f"""
+WITH pairs AS MATERIALIZED ({_minhash_lsh_oracle()}),
+ranked AS (
+  SELECT doc_id_1, doc_id_2,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id_1
+           ORDER BY jaccard DESC, doc_id_2 ASC) AS BIGINT) AS rank
+  FROM pairs),
+top AS (SELECT * FROM ranked WHERE rank <= {_EDITDIST_TOPK}),
+d AS (SELECT doc_id, text FROM documents)
+SELECT t.doc_id_1, t.doc_id_2, t.rank,
+       CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS edit_distance,
+       1.0 - CAST(levenshtein(d1.text, d2.text) AS DOUBLE)
+             / CAST(GREATEST(LENGTH(d1.text), LENGTH(d2.text)) AS DOUBLE)
+         AS edit_similarity
+FROM top t
+JOIN d d1 ON t.doc_id_1 = d1.doc_id
+JOIN d d2 ON t.doc_id_2 = d2.doc_id
+"""
+
+
 def _editdist_oracle() -> str:
     return f"""
 WITH pairs AS MATERIALIZED ({_minhash_lsh_oracle()}),
@@ -1108,4 +1265,8 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "multimodal_resize": (q_multimodal_resize, _resize_oracle()),
     "multimodal_frames": (q_multimodal_frames, _frames_oracle()),
     "dedup_verify_editdist": (q_dedup_verify_editdist, _editdist_oracle()),
+    "dedup_verify_editdist_topk": (
+        q_dedup_verify_editdist_topk,
+        _editdist_topk_oracle(),
+    ),
 }

@@ -139,6 +139,22 @@ class QueryMetricsRecorder(StreamingQueryListener):
             "state_rows_updated": sum(s.get("numRowsUpdated", 0) for s in state),
             "state_memory_bytes": sum(s.get("memoryUsedBytes", 0) for s in state),
             "num_state_operators": len(state),
+            # full engine-side duration breakdown (addBatch,
+            # queryPlanning, walCommit, commitOffsets, getBatch,
+            # latestOffset, triggerExecution): the numbers that
+            # attribute a throughput gap to per-batch constants vs
+            # per-row work (VERDICT r9 item 5)
+            "duration_ms": p.get("durationMs") or {},
+            "state_operator_detail": [
+                {
+                    "operator": s.get("operatorName"),
+                    "commit_ms": s.get("commitTimeMs", 0),
+                    "updates_ms": s.get("allUpdatesTimeMs", 0),
+                    "removals_ms": s.get("allRemovalsTimeMs", 0),
+                    "rows_total": s.get("numRowsTotal", 0),
+                }
+                for s in state
+            ],
         }
         with self._lock:
             self._rows.append(row)

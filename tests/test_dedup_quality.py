@@ -643,3 +643,106 @@ def test_grain_probe_cache_bounded_and_clearable(spark):
     assert len(D._GRAIN_PROBE_CACHE) <= D._GRAIN_PROBE_CACHE_MAX
     D.clear_grain_probe_cache()
     assert D._GRAIN_PROBE_CACHE == {}
+
+
+def test_lsh_topk_grain_equivalence(spark):
+    """lsh_topk_pairs' two execution grains must be output-identical.
+    The replicated fixture (each text x10, distinct ratio ~0.06)
+    drives the set-grain branch; the per-doc reference is forced by
+    monkeypatching is unnecessary -- call the per-doc helper
+    directly. Covers: >=k co-members (top-k all at jaccard 1.0),
+    boundary docs filling from adjacent groups, singleton groups
+    (pure cross-group candidates), and docs with no candidates at
+    all (absent from both outputs)."""
+    from pyspark.sql import functions as F
+
+    from flink_ad_analytics_spark.operators import dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("beta", "BETA2", 1)
+    texts = [base, near,
+             "one two three four five six seven eight nine ten " * 4,
+             "lambda mu nu xi omicron pi rho sigma tau upsilon " * 4]
+    rows = []
+    for rep in range(10):
+        for t_i, t in enumerate(texts):
+            rows.append((rep * 10 + t_i, t))
+    # a singleton near-dup of base: its only candidates are
+    # cross-group
+    rows.append((990, base.replace("gamma", "GAMMA3", 1)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    D.clear_grain_probe_cache()
+    for k in (1, 3):
+        got = {
+            (r.doc_id_1, r.rank): (r.doc_id_2, r.jaccard)
+            for r in D.lsh_topk_pairs(docs, threshold=0.2, k=k).collect()
+        }
+        want = {
+            (r.doc_id_1, r.rank): (r.doc_id_2, r.jaccard)
+            for r in D._lsh_topk_perdoc(
+                docs, "doc_id", "text", 0.2, k
+            ).collect()
+        }
+        assert got == want, f"k={k}: set-grain != per-doc"
+        assert got  # non-vacuous
+    D.release_standing_indexes()
+    # duplicate-heavy: doc 0's top-3 must be its next co-members
+    got3 = {
+        (r.doc_id_1, r.rank): r.doc_id_2
+        for r in D.lsh_topk_pairs(docs, threshold=0.2, k=3).collect()
+    }
+    assert got3[(0, 1)] == 10 and got3[(0, 2)] == 20 and got3[(0, 3)] == 30
+    D.release_standing_indexes()
+
+
+def test_editdist_topk_setgrain_kernel_matches_oracle(spark, tmp_path):
+    """The full dedup_verify_editdist_topk query down its
+    duplicate-heavy path (set-grain top-k + fingerprint-deduplicated
+    levenshtein kernel) must be value-exact against the same DuckDB
+    oracle the driver runs -- including identical-text pairs
+    (distance 0 short-circuit) and cross-group near-dup pairs (real
+    kernel rows joined back over fingerprints)."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from flink_ad_analytics_spark.operators import dedup as D
+    from flink_ad_analytics_spark.queries_ext import (
+        _editdist_topk_oracle,
+        q_dedup_verify_editdist_topk,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    texts = [base, base.replace("beta", "BETA2", 1),
+             "one two three four five six seven eight nine ten " * 4,
+             "lambda mu nu xi omicron pi rho sigma tau upsilon " * 4]
+    rows = []
+    for rep in range(10):
+        for t_i, t in enumerate(texts):
+            rows.append((rep * 10 + t_i, t, "en", "web", len(t)))
+    rows.append((990, base.replace("gamma", "GAMMA3", 1), "en", "web", 0))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    D.clear_grain_probe_cache()
+    pdf = q_dedup_verify_editdist_topk(spark, sf).toPandas()
+    D.release_standing_indexes()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    odf = con.execute(_editdist_topk_oracle()).fetchdf()
+    cols = sorted(pdf.columns)
+    a = pdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # non-vacuous: both the 0-distance (identical) and real-kernel
+    # (near-dup) shapes are present
+    assert (a.edit_distance == 0).any() and (a.edit_distance > 0).any()
