@@ -1,0 +1,122 @@
+"""Standing profile index: mergeable per-shard table statistics.
+
+The 100 TB form of `q_table_profile`: instead of re-scanning the
+corpus per profile request, maintain ONE ROW PER INGEST SHARD carrying
+per-column mergeable statistics -- binary DataSketches HLL sketches
+for distinct counts plus the trivially mergeable stats (row count /
+null count / typed min / typed max). Then:
+
+* serving a full-table profile = one aggregate over the index rows
+  (``hll_union_agg`` + sums + min/max), no corpus rescan;
+* ingesting a new shard = sketch only the new rows, append one row;
+* exact distinct counts are NOT mergeable without the sketch -- the
+  exact plan re-pays a full scan + distinct exchanges per refresh.
+
+Batch measurement: tools/table_profile_shard_merge.py (sf10: serve
+0.42s = 6.6x vs exact recompute, 675 KB index for 15M rows, merged
+estimates within 1.41% of exact). Streaming maintenance:
+streaming/jobs.py::streaming_profile_index appends one index row per
+micro-batch via foreachBatch -- the same batch/streaming duality
+contract as the events-family rollups.
+
+The typed sketch inputs match q_table_profile_approx exactly
+(queries.py::_sketch_input): longs feed directly, 2dp money as exact
+cents, timestamps as unix_micros -- order-preserving, so the SAME
+typed value serves both the sketch and min/max, rendered to the
+canonical string only at serve time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: lgConfigK for every profile sketch -- must be uniform across index
+#: rows so hll_union_agg merges losslessly (same as
+#: q_table_profile_approx).
+PROFILE_LG_K = 14
+
+
+def _typed_input(col: str, kind: str) -> F.Column:
+    from ..queries import _cents
+
+    if kind == "int":
+        return F.col(col)
+    if kind == "num":
+        return _cents(col).cast("long")
+    if kind == "ts":
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    return F.col(col).cast("string")
+
+
+def profile_index_aggs(cols: tuple) -> list:
+    """The per-shard aggregate list: n_rows plus, per (col, kind),
+    null count / binary HLL sketch / typed min / typed max."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, kind in cols:
+        x = _typed_input(col, kind)
+        aggs += [
+            F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__nulls"),
+            F.hll_sketch_agg(x, F.lit(PROFILE_LG_K)).alias(
+                f"{col}__sketch"
+            ),
+            F.min(x).alias(f"{col}__min"),
+            F.max(x).alias(f"{col}__max"),
+        ]
+    return aggs
+
+
+def build_profile_index(
+    df: DataFrame, cols: tuple, *, n_shards: int, shard_key: str
+) -> DataFrame:
+    """Batch build: one index row per hash shard of ``shard_key``."""
+    return df.groupBy(
+        F.pmod(F.xxhash64(shard_key), F.lit(n_shards)).alias("__shard")
+    ).agg(*profile_index_aggs(cols))
+
+
+def profile_from_index(idx: DataFrame, cols: tuple) -> DataFrame:
+    """Serve the full-table profile from index rows alone: merge the
+    sketches (union), sum the counts, fold min/max. Output schema
+    matches q_table_profile / q_table_profile_approx (col_name,
+    n_nulls, n_distinct, min_repr, max_repr + n_rows), with
+    n_distinct the merged HLL estimate."""
+    from ..queries import _profile_repr_spark
+
+    def _render(c: F.Column, kind: str) -> F.Column:
+        if kind == "num":
+            return F.format_string("%.2f", c.cast("double") / 100)
+        if kind == "ts":
+            return F.date_format(
+                F.timestamp_micros(c), "yyyy-MM-dd HH:mm:ss"
+            )
+        return _profile_repr_spark(c, kind)
+
+    if "__shard" in idx.columns:
+        # replay idempotence (streaming_profile_index's at-least-once
+        # foreachBatch): a retried batch re-appends the SAME
+        # deterministic row under the same shard id; keeping one row
+        # per shard makes double-appends harmless. Batch-built indexes
+        # have distinct shard ids, so this is a no-op there.
+        idx = idx.dropDuplicates(["__shard"])
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for col, kind in cols:
+        aggs += [
+            F.sum(f"{col}__nulls").alias(f"{col}__nulls"),
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col(f"{col}__sketch"), F.lit(False))
+            ).alias(f"{col}__distinct"),
+            _render(F.min(f"{col}__min"), kind).alias(f"{col}__min"),
+            _render(F.max(f"{col}__max"), kind).alias(f"{col}__max"),
+        ]
+    wide = idx.agg(*aggs)
+    stack = ", ".join(
+        f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+        for col, _ in cols
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(col_name, n_nulls, n_distinct, min_repr, max_repr)"
+        ),
+    ).orderBy("col_name")

@@ -701,3 +701,60 @@ def maintain_family_rollups(
         )
         for name, df in rollups.items()
     }
+
+
+def streaming_profile_index(
+    rows_stream: DataFrame,
+    *,
+    cols: tuple,
+    index_path: str,
+    checkpoint: str,
+    query_name: str = "profile_index",
+) -> "StreamingQuery":
+    """Streaming maintenance of the STANDING PROFILE INDEX
+    (operators/profile.py) -- the table_profile analogue of the
+    events-family rollup maintenance: every arriving micro-batch of
+    table rows is collapsed to ONE mergeable index row (shard id =
+    batch id; per-column binary HLL sketch + nulls + typed min/max)
+    and appended to the index table, so a full-table profile is
+    servable at ANY moment from the index alone
+    (``profile_from_index``) without ever re-scanning the corpus.
+
+    Exactness contract: every mergeable stat is exact except
+    n_distinct, which carries the HLL error bar of the batch
+    ``q_table_profile_approx`` (same lgConfigK, same typed inputs);
+    n_rows / nulls / min / max served from the index are byte-equal
+    to the batch profile because sums and min/max folds are exact
+    over any partition of the rows -- asserted against
+    `q_table_profile` on a replayed corpus in
+    tests/test_streaming_profile_index.py.
+
+    Idempotence: foreachBatch is at-least-once; a retried batch
+    re-appends the SAME deterministic row (same batch id, same
+    input), and the serve path deduplicates on __shard, so replays
+    cannot double-count -- the same restart-safety shape as the
+    family rollup sinks, without needing an idempotent sink.
+
+    At 100 TB: each index row is ~100 KB (6 sketches at lgK=14);
+    a year of hourly shards is ~1 GB -- the profile serves from a
+    broadcastable table while the exact plan would re-shuffle every
+    distinct value of every column per refresh.
+    """
+    from ..operators.profile import profile_index_aggs
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.groupBy(F.lit(batch_id).alias("__shard"))
+            .agg(*profile_index_aggs(cols))
+            .write.mode("append")
+            .parquet(index_path)
+        )
+
+    return (
+        rows_stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )

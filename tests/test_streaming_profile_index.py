@@ -1,0 +1,120 @@
+"""Streaming-maintained standing profile index: the table_profile
+analogue of the events-family rollup maintenance. A replayed orders
+corpus must yield an index whose SERVED profile matches the batch
+exact profile on every mergeable-exact stat (n_rows / nulls / min /
+max byte-equal) with distinct counts inside the same 2% HLL gate as
+q_table_profile_approx, and replay double-appends must be harmless."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_ad_analytics_spark.operators.profile import (
+    build_profile_index,
+    profile_from_index,
+)
+from flink_ad_analytics_spark.queries import _PROFILE_COLS, q_table_profile
+from flink_ad_analytics_spark.sources.batch import load_table
+from flink_ad_analytics_spark.streaming.jobs import streaming_profile_index
+
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from flink_ad_analytics_spark.session import build_session
+
+    s = build_session(
+        app_name="test-profile-index",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _served_vs_exact(spark, idx_df):
+    served = {
+        r["col_name"]: r
+        for r in profile_from_index(idx_df, _PROFILE_COLS).collect()
+    }
+    exact = {
+        r["col_name"]: r
+        for r in q_table_profile(spark, SF_CORRECT).collect()
+    }
+    assert set(served) == set(exact)
+    for col, e in exact.items():
+        s = served[col]
+        for field in ("n_rows", "n_nulls", "min_repr", "max_repr"):
+            assert s[field] == e[field], f"{col}.{field}: {s[field]} != {e[field]}"
+        rel = abs(s["n_distinct"] - e["n_distinct"]) / max(1, e["n_distinct"])
+        assert rel <= 0.02, f"{col}: {s['n_distinct']} vs {e['n_distinct']}"
+
+
+def test_streaming_index_serves_batch_equal_profile(spark, tmp_path):
+    orders = load_table(spark, SF_CORRECT, "orders")
+    src = str(tmp_path / "orders_in")
+    orders.repartition(4).write.parquet(src)
+
+    idx_path = str(tmp_path / "profile_index")
+    q = streaming_profile_index(
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        cols=_PROFILE_COLS,
+        index_path=idx_path,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    idx = spark.read.parquet(idx_path)
+    n_shards = idx.count()
+    assert n_shards >= 2, "replay should produce multiple index rows"
+    _served_vs_exact(spark, idx)
+
+    # replay idempotence: duplicate one shard row (the at-least-once
+    # foreachBatch retry shape); the served profile must not change
+    one = idx.orderBy("__shard").limit(1)
+    _served_vs_exact(spark, idx.unionByName(one))
+
+
+def test_batch_index_matches_streaming_contract(spark):
+    """build_profile_index (hash shards) serves the same contract as
+    the streaming-maintained index -- the batch/streaming duality of
+    the profile index."""
+    orders = load_table(spark, SF_CORRECT, "orders")
+    idx = build_profile_index(
+        orders, _PROFILE_COLS, n_shards=8, shard_key="o_orderkey"
+    )
+    assert idx.count() == 8
+    _served_vs_exact(spark, idx)
+
+
+def test_incremental_shard_absorb(spark):
+    """Appending a new shard's row to a standing index equals
+    rebuilding over the union -- mergeability, the property exact
+    distinct counts do not have."""
+    orders = load_table(spark, SF_CORRECT, "orders")
+    part = F.pmod(F.xxhash64("o_orderkey"), F.lit(5))
+    standing = build_profile_index(
+        orders.filter(part != 0),
+        _PROFILE_COLS,
+        n_shards=4,
+        shard_key="o_orderkey",
+    )
+    fresh = orders.filter(part == 0).groupBy(
+        F.lit(100).alias("__shard")
+    )
+    from flink_ad_analytics_spark.operators.profile import (
+        profile_index_aggs,
+    )
+
+    fresh = fresh.agg(*profile_index_aggs(_PROFILE_COLS))
+    _served_vs_exact(spark, standing.unionByName(fresh))

@@ -38,9 +38,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from bench import materialize  # noqa: E402
+from flink_ad_analytics_spark.operators.profile import (  # noqa: E402
+    build_profile_index,
+    profile_index_aggs,
+    profile_from_index,
+)
 from flink_ad_analytics_spark.queries import (  # noqa: E402
     _PROFILE_COLS,
-    _cents,
     q_table_profile,
     q_table_profile_approx,
 )
@@ -51,49 +55,20 @@ N_SHARDS = 16
 INDEX_PATH = "/root/repo/.tmp/profile_index_sf10"
 
 
-def _typed(col: str, kind: str) -> F.Column:
-    # the same order-preserving typed inputs q_table_profile_approx
-    # sketches (queries.py::_sketch_input)
-    if kind == "int":
-        return F.col(col)
-    if kind == "num":
-        return _cents(col).cast("long")
-    if kind == "ts":
-        return F.unix_micros(F.col(col).cast("timestamp"))
-    return F.col(col).cast("string")
-
-
 def shard_aggs():
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for col, kind in _PROFILE_COLS:
-        x = _typed(col, kind)
-        aggs += [
-            F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__nulls"),
-            F.hll_sketch_agg(x, F.lit(14)).alias(f"{col}__sketch"),
-            F.min(x).alias(f"{col}__min"),
-            F.max(x).alias(f"{col}__max"),
-        ]
-    return aggs
+    return profile_index_aggs(_PROFILE_COLS)
 
 
 def build_index(df):
-    return df.groupBy(
-        F.pmod(F.xxhash64("o_orderkey"), F.lit(N_SHARDS)).alias("__shard")
-    ).agg(*shard_aggs())
+    return build_profile_index(
+        df, _PROFILE_COLS, n_shards=N_SHARDS, shard_key="o_orderkey"
+    )
 
 
 def serve_from_index(idx):
-    aggs = [F.sum("n_rows").alias("n_rows")]
-    for col, _ in _PROFILE_COLS:
-        aggs += [
-            F.sum(f"{col}__nulls").alias(f"{col}__nulls"),
-            F.hll_sketch_estimate(
-                F.hll_union_agg(F.col(f"{col}__sketch"), F.lit(False))
-            ).alias(f"{col}__distinct"),
-            F.min(f"{col}__min").alias(f"{col}__min"),
-            F.max(f"{col}__max").alias(f"{col}__max"),
-        ]
-    return idx.agg(*aggs)
+    # long (col_name, stats) serving shape; the accuracy section below
+    # reads it back into the wide dict it previously used
+    return profile_from_index(idx, _PROFILE_COLS)
 
 
 def timed(fn, warm=1, reps=2):
@@ -178,24 +153,29 @@ def main() -> None:
     exact = {
         r["col_name"]: r for r in q_table_profile(spark, sf_dir).collect()
     }
-    served = serve_from_index(idx).collect()[0].asDict()
+    served = {
+        r["col_name"]: r for r in serve_from_index(idx).collect()
+    }
     acc = {}
     worst = 0.0
     for col, _ in _PROFILE_COLS:
-        e = exact[col]
-        rel = abs(served[f"{col}__distinct"] - e["n_distinct"]) / max(
+        e, s = exact[col], served[col]
+        rel = abs(s["n_distinct"] - e["n_distinct"]) / max(
             1, e["n_distinct"]
         )
         worst = max(worst, rel)
         acc[col] = {
             "exact_distinct": e["n_distinct"],
-            "merged_estimate": served[f"{col}__distinct"],
+            "merged_estimate": s["n_distinct"],
             "rel_err": round(rel, 5),
-            "nulls_equal": int(served[f"{col}__nulls"]) == e["n_nulls"],
+            "nulls_equal": int(s["n_nulls"]) == e["n_nulls"],
+            "minmax_equal": s["min_repr"] == e["min_repr"]
+            and s["max_repr"] == e["max_repr"],
         }
-    acc["n_rows_equal"] = int(served["n_rows"]) == exact[
-        _PROFILE_COLS[0][0]
-    ]["n_rows"]
+    first = _PROFILE_COLS[0][0]
+    acc["n_rows_equal"] = (
+        int(served[first]["n_rows"]) == exact[first]["n_rows"]
+    )
     acc["max_rel_err"] = round(worst, 5)
     acc["gate"] = "2% (same as test_table_profile_approx_accuracy)"
     acc["pass"] = worst <= 0.02 and acc["n_rows_equal"]
