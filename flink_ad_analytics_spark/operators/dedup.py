@@ -167,6 +167,91 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """EXACT Jaccard-threshold pairs via prefix filtering (the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07; Xiao et al.
+    WWW'08) -- same output as ``ngram_jaccard_pairs`` with FULL
+    recall, at a fraction of its candidate volume.
+
+    The filter: order every doc's shingles by one GLOBAL total order
+    (document frequency ascending, shingle ascending -- rarest first)
+    and keep only each doc's PREFIX of length
+    ``n - floor(threshold*n) + 1``. Any pair with Jaccard >= t shares
+    at least ceil(t*max(|A|,|B|)) shingles, so its smallest common
+    shingle (in the global order) must sit inside BOTH prefixes:
+    joining prefixes on the shingle has full recall, provably.
+    ``floor`` (not the tight ``ceil``) keeps the guarantee robust to
+    float fuzz at exact multiples -- one extra prefix token, never a
+    missed pair.
+
+    Why it beats the exhaustive inverted-index join at scale: that
+    join's candidate volume is sum(df^2) over ALL shingles and its
+    hottest keys are the most frequent shingles; prefix postings
+    prefer the RAREST shingles, so exactly the keys that explode are
+    the ones the filter drops. Where LSH trades recall for cost
+    (s-curve), this trades nothing: exact verification runs on the
+    (much smaller) candidate set only. Complements the family:
+    ngram_jaccard_pairs = exhaustive spec, minhash_lsh_pairs =
+    probabilistic scale path, prefix_filter_pairs = exact scale path.
+
+    Output: (doc_id_1, doc_id_2, jaccard), doc_id_1 < doc_id_2,
+    jaccard >= threshold, value-identical to ngram_jaccard_pairs
+    (equality asserted in tests on planted fixtures and the driver
+    corpus; the DuckDB oracle IS the exhaustive form).
+
+    REGIME: prefix length is ~ (1-t)*n + 1, so pruning power scales
+    with the threshold -- this is a HIGH-threshold (near-dup) tool.
+    Measured sf0.1 (5k docs): t=0.8 steady 2.65s (DuckDB's all-pairs
+    spec: ~575s) vs t=0.2 8.75s, where the df-join + per-doc prefix
+    sort cost more than the 20%-shorter postings save; the exhaustive
+    inverted-index join is the right exact plan at loose thresholds
+    on corpora without hot shingles, and ngram_jaccard_pairs'
+    max_shingle_df cap handles the hot-shingle case approximately.
+    """
+    sh = doc_shingles(docs, id_col, text_col)
+    posting = sh.select(
+        F.col(id_col),
+        F.size("shingles").alias("__n"),
+        F.explode("shingles").alias("shingle"),
+    )
+    df_tbl = posting.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__df").asc(), F.col("shingle").asc()
+    )
+    prefix_len = (
+        F.col("__n")
+        - F.floor(F.lit(threshold) * F.col("__n")).cast("int")
+        + F.lit(1)
+    )
+    pref = (
+        posting.join(df_tbl, "shingle")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= prefix_len)
+        .select(id_col, "shingle")
+    )
+    cand = (
+        pref.select(F.col(id_col).alias("doc_id_1"), "shingle")
+        .join(
+            pref.select(F.col(id_col).alias("doc_id_2"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    return _exact_jaccard_verify(
+        cand, sh, sh, "doc_id_1", "doc_id_2", id_col, threshold
+    )
+
+
 N_MINHASHES = 16
 LSH_BANDS = 4  # 4 bands x 4 rows: s-curve threshold ~0.71, catches the
 LSH_ROWS = 4  # planted near-dups (j >= 0.9) with P ~ 0.99

@@ -746,3 +746,93 @@ def test_editdist_topk_setgrain_kernel_matches_oracle(spark, tmp_path):
     # non-vacuous: both the 0-distance (identical) and real-kernel
     # (near-dup) shapes are present
     assert (a.edit_distance == 0).any() and (a.edit_distance > 0).any()
+
+
+def test_prefix_filter_pairs_equals_exhaustive(spark):
+    """prefix_filter_pairs must equal ngram_jaccard_pairs exactly --
+    same pairs, same jaccard doubles -- on a fixture with planted
+    near-dups at and around the threshold, plus unrelated docs and a
+    short-doc (empty shingle set) edge."""
+    from flink_ad_analytics_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base),
+        (2, base.replace("beta", "BETA2", 1)),           # high overlap
+        (3, base[: len(base) // 2]),                     # ~containment
+        (4, "one two three four five six seven eight " * 3),
+        (5, "one two three four five nine ten eleven " * 3),  # mid overlap
+        (6, "totally different words entirely here now " * 3),
+        (7, "xy"),                                       # no shingles
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.2, 0.5, 0.9):
+        want = {
+            (r.doc_id_1, r.doc_id_2): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        got = {
+            (r.doc_id_1, r.doc_id_2): r.jaccard
+            for r in prefix_filter_pairs(docs, threshold=t).collect()
+        }
+        assert got == want, f"threshold {t}"
+    assert want  # non-vacuous at the loosest threshold
+
+
+def test_prefix_filter_candidate_reduction(spark):
+    """The point of the filter: candidate volume must be strictly
+    below the exhaustive inverted-index join's on a corpus with a
+    hot common shingle (the keys the exhaustive join explodes on are
+    exactly the ones prefixes drop)."""
+    from pyspark.sql import functions as F
+
+    from flink_ad_analytics_spark.operators.dedup import doc_shingles
+
+    # 40 docs sharing a long common boilerplate (hot shingles) with
+    # rare unique tails: exhaustive candidates ~ 40^2/2 PER hot key.
+    # Pruning scales with the threshold (prefix ~= (1-t)*n + 1), so
+    # measure at t=0.8 -- the near-dup regime where an exact join is
+    # actually used.
+    boiler = " ".join(f"common{j}" for j in range(40))
+    rows = [
+        (i, boiler + " " + " ".join(f"tail{i}x{j}" for j in range(8)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = doc_shingles(docs, "doc_id", "text")
+    posting = sh.select(
+        "doc_id",
+        F.size("shingles").alias("__n"),
+        F.explode("shingles").alias("shingle"),
+    )
+    exhaustive = (
+        posting.select(F.col("doc_id").alias("a"), "shingle")
+        .join(posting.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .count()
+    )
+    from pyspark.sql import Window
+
+    df_tbl = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("__df").asc(), F.col("shingle").asc()
+    )
+    t = 0.8
+    pref = (
+        posting.join(df_tbl, "shingle")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(
+            F.col("__pos")
+            <= F.col("__n") - F.floor(F.lit(t) * F.col("__n")).cast("int") + 1
+        )
+    )
+    pruned = (
+        pref.select(F.col("doc_id").alias("a"), "shingle")
+        .join(pref.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .count()
+    )
+    assert pruned < exhaustive / 5, (pruned, exhaustive)
