@@ -836,3 +836,49 @@ def test_prefix_filter_candidate_reduction(spark):
         .count()
     )
     assert pruned < exhaustive / 5, (pruned, exhaustive)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = [f"w{i}" for i in range(12)]  # tiny vocab -> dense overlaps
+
+_doc_st = st.lists(
+    st.sampled_from(_WORDS), min_size=0, max_size=12
+).map(" ".join)
+_corpus_st = st.lists(_doc_st, min_size=2, max_size=8)
+_threshold_st = st.sampled_from([0.1, 0.2, 1 / 3, 0.5, 0.75, 0.9, 1.0])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(texts=_corpus_st, threshold=_threshold_st)
+def test_prefix_filter_full_recall_property(spark, texts, threshold):
+    """Property: prefix_filter_pairs == ngram_jaccard_pairs for ANY
+    corpus and ANY threshold -- the full-recall guarantee the prefix
+    length formula provides, exercised over a dense-overlap vocab
+    where pairs land exactly ON thresholds (ties included: 1/3, 1.0)
+    and over empty/duplicate/short documents."""
+    from flink_ad_analytics_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    want = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=threshold).collect()
+    }
+    got = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in prefix_filter_pairs(docs, threshold=threshold).collect()
+    }
+    assert got == want
