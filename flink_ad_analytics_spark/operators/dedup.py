@@ -213,8 +213,110 @@ def prefix_filter_pairs(
     inverted-index join is the right exact plan at loose thresholds
     on corpora without hot shingles, and ngram_jaccard_pairs'
     max_shingle_df cap handles the hot-shingle case approximately.
+
+    ADAPTIVE GRAIN (round 10, same doctrine as lsh_topk_pairs /
+    split_corpus_minhash_dups): on duplicate-heavy corpora (shared
+    duplication probe) the filter+verify runs once per DISTINCT
+    shingle set on one representative, and pairs fan back out over
+    group membership -- within-group pairs are jaccard exactly 1.0
+    by identity (emitted directly, no candidates), cross-group pairs
+    inherit the rep pair's exact jaccard (identical arrays). The
+    global order at rep grain is rep-level df -- the recall guarantee
+    holds for ANY global total order, and the verify recomputes exact
+    jaccard, so the OUTPUT is grain-independent (equivalence-tested).
+    Work at set grain is ~O(nd log nd + |output|) instead of paying
+    the within-group candidate inflation (measured sf1, 50k docs at
+    0.1 distinct ratio: 34.6s per-doc -> output-bound at set grain).
     """
+    n, nd = _duplication_probe(docs, text_col)
     sh = doc_shingles(docs, id_col, text_col)
+    if n == 0 or nd / n > _SETGRAIN_MAX_DISTINCT:
+        return _prefix_filter_from_shingles(sh, id_col, threshold)
+
+    # emptiness filter over the PERSISTED projection only (see
+    # lsh_topk_pairs: a Filter composed into the shingle/setkey
+    # expressions de-optimizes the projection ~200x)
+    members_all = _persist_standing(
+        sh.select(
+            F.col(id_col),
+            _injective_setkey().alias("__setkey"),
+            F.size("shingles").alias("__nsh"),
+        )
+    )
+    members = members_all.filter(F.col("__nsh") > 0).select(
+        id_col, "__setkey"
+    )
+    reps = members.groupBy("__setkey").agg(F.min(id_col).alias("__rep"))
+    # rep ids come from members (non-empty by construction), so the
+    # shingle side joins the UNfiltered sh frame
+    rep_sh = _persist_standing(
+        reps.join(
+            sh.select(F.col(id_col).alias("__rep"), "shingles").hint(
+                "shuffle_hash"
+            ),
+            "__rep",
+        )
+    )
+    rep_pairs = _prefix_filter_from_shingles(
+        rep_sh.select(F.col("__rep").alias(id_col), "shingles"),
+        id_col,
+        threshold,
+    )
+    rk = reps.select("__setkey", "__rep")
+    adj = (
+        rep_pairs.join(
+            rk.withColumnRenamed("__rep", "doc_id_1").withColumnRenamed(
+                "__setkey", "__key_a"
+            ),
+            "doc_id_1",
+        )
+        .join(
+            rk.withColumnRenamed("__rep", "doc_id_2").withColumnRenamed(
+                "__setkey", "__key_b"
+            ),
+            "doc_id_2",
+        )
+        .select("__key_a", "__key_b", "jaccard")
+    )
+    m1 = members.select(
+        F.col(id_col).alias("__a"), F.col("__setkey").alias("__key_a")
+    )
+    m2 = members.select(
+        F.col(id_col).alias("__b"), F.col("__setkey").alias("__key_b")
+    )
+    cross = (
+        adj.join(m1, "__key_a")
+        .join(m2, "__key_b")
+        .select(
+            F.least("__a", "__b").alias("doc_id_1"),
+            F.greatest("__a", "__b").alias("doc_id_2"),
+            "jaccard",
+        )
+    )
+    within = (
+        m1.join(
+            members.select(
+                F.col(id_col).alias("__b"),
+                F.col("__setkey").alias("__key_a"),
+            ),
+            "__key_a",
+        )
+        .filter(F.col("__a") < F.col("__b"))
+        .select(
+            F.col("__a").alias("doc_id_1"),
+            F.col("__b").alias("doc_id_2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    return cross.unionByName(within)
+
+
+def _prefix_filter_from_shingles(
+    sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Per-doc prefix-filter core over a (id, shingles) frame."""
     posting = sh.select(
         F.col(id_col),
         F.size("shingles").alias("__n"),
@@ -1646,8 +1748,24 @@ def lsh_topk_pairs(
         return _lsh_topk_perdoc(docs, id_col, text_col, threshold, k)
 
     sh = doc_shingles(docs, id_col, text_col)
+    # empty shingle sets NEVER pair in the per-doc grain (no postings
+    # -> no signatures -> no candidates; exhaustive jaccard is 0/0),
+    # so they must not become co-members at "jaccard 1.0" here --
+    # round-10 bug found by the empty-doc equivalence fixture.
+    # The emptiness filter applies to the PERSISTED projection, never
+    # composed into the shingle/setkey expressions: a Filter touching
+    # the higher-order-function pipeline de-optimizes the whole
+    # projection ~200x (measured sf1: 0.5s -> 103s, round-10 finding;
+    # filtering the InMemoryRelation costs nothing).
     members = _persist_standing(
-        sh.select(F.col(id_col), _injective_setkey().alias("__setkey"))
+        sh.select(
+            F.col(id_col),
+            _injective_setkey().alias("__setkey"),
+            F.size("shingles").alias("__nsh"),
+        )
+    )
+    members = members.filter(F.col("__nsh") > 0).select(
+        id_col, "__setkey"
     )
     wg = Window.partitionBy("__setkey").orderBy(F.col(id_col).asc())
     leads = members.select(

@@ -882,3 +882,68 @@ def test_prefix_filter_full_recall_property(spark, texts, threshold):
         for r in prefix_filter_pairs(docs, threshold=threshold).collect()
     }
     assert got == want
+
+
+def test_lsh_topk_setgrain_empty_shingle_docs(spark):
+    """Round-10 edge bug: docs with EMPTY shingle sets (< 3 tokens)
+    never pair in the per-doc grain (no postings, exhaustive jaccard
+    is 0/0), so the set-grain branch must not co-member them at
+    'jaccard 1.0'. Duplicate-heavy fixture with three shingle-less
+    docs (two identical, one different -- both classes collapse to
+    the same EMPTY set)."""
+    from flink_ad_analytics_spark.operators import dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = []
+    for rep in range(10):
+        rows.append((rep * 10, base))
+        rows.append((rep * 10 + 1, base))
+    rows += [(900, "xy"), (901, "xy"), (902, "ab cd")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    D.clear_grain_probe_cache()
+    got = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in D.lsh_topk_pairs(docs, threshold=0.2, k=3).collect()
+    }
+    want = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in D._lsh_topk_perdoc(docs, "doc_id", "text", 0.2, 3).collect()
+    }
+    D.release_standing_indexes()
+    assert got == want
+    assert not any(d1 >= 900 or d2 >= 900 for d1, d2 in got)
+
+
+def test_prefix_filter_set_grain_branch(spark):
+    """Duplicate-heavy corpus (each text x10, plus shingle-less docs)
+    drives prefix_filter_pairs down its SET-GRAIN branch: output must
+    equal the per-doc core exactly -- within-group pairs at jaccard
+    1.0, cross-group near-dups with the rep pair's exact jaccard,
+    empty-shingle docs absent, canonical doc_id_1 < doc_id_2."""
+    from flink_ad_analytics_spark.operators import dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("beta", "BETA2", 1)
+    texts = [base, near,
+             "one two three four five six seven eight nine ten " * 4]
+    rows = []
+    for rep in range(10):
+        for t_i, t in enumerate(texts):
+            rows.append((rep * 10 + t_i, t))
+    rows += [(900, "xy"), (901, "xy")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.2, 0.8):
+        D.clear_grain_probe_cache()
+        got = {
+            (r.doc_id_1, r.doc_id_2): r.jaccard
+            for r in D.prefix_filter_pairs(docs, threshold=t).collect()
+        }
+        D.release_standing_indexes()
+        want = {
+            (r.doc_id_1, r.doc_id_2): r.jaccard
+            for r in D.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert got == want, f"threshold {t}"
+        assert got
+        assert not any(d1 >= 900 or d2 >= 900 for d1, d2 in got)
+        assert all(d1 < d2 for d1, d2 in got)
