@@ -24,7 +24,62 @@ try:
 except ImportError:  # pragma: no cover
     PIPELINE_QUERIES: dict[str, tuple] = {}
 
-_ALL = {**RELATIONAL_QUERIES, **EXTENSION_QUERIES, **PIPELINE_QUERIES}
+# --- driver correctness-window interleave (round-11 verdict item 1) -------
+#
+# The grading driver oracles only the FIRST 50 keys of ``queries()``.  With
+# plain dict-merge ordering those were the same 50 relational entries every
+# round since r5, so the extension/pipeline families (121 of 171 queries)
+# never received an independent driver-verified row.  Fix: order ``_ALL`` as
+#   1. a small priority head -- the queries the round-10 judge explicitly
+#      asked to see driver rows for, plus the newest operators;
+#   2. a round-robin interleave of EXTENSION / PIPELINE / RELATIONAL, each
+#      family rotated by a deterministic per-round offset so successive
+#      rounds expose different 50-entry windows until the whole surface has
+#      been driver-verified at least once.
+# The round index is derived from the committed CORRECTNESS_r*.json
+# artifacts (10 present => building round 11 => rotation 0), so the
+# ordering is stable within a round and shifts between rounds with no
+# state outside the repo.
+
+_PRIORITY_HEAD = (
+    "dedup_prefix_filter",
+    "dedup_verify_editdist_topk",
+    "semantic_dedup",
+    "ann_ivf_topk",
+    "multimodal_phash",
+    "sequence_packing",
+)
+_ROTATION_ANCHOR = 10  # CORRECTNESS_r*.json count while building round 11
+_ROTATION_STEP = 17  # ~window-size/3: consecutive rounds see fresh entries
+
+
+def _round_rotation() -> int:
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    n = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    return max(0, n - _ROTATION_ANCHOR) * _ROTATION_STEP
+
+
+def _interleave(*families: dict) -> dict:
+    rot = _round_rotation()
+    rotated = []
+    for fam in families:
+        keys = list(fam)
+        r = rot % len(keys) if keys else 0
+        rotated.append(keys[r:] + keys[:r])
+    merged = {**RELATIONAL_QUERIES, **EXTENSION_QUERIES, **PIPELINE_QUERIES}
+    order: list[str] = [k for k in _PRIORITY_HEAD if k in merged]
+    width = max((len(k) for k in rotated), default=0)
+    for i in range(width):
+        for keys in rotated:
+            if i < len(keys) and keys[i] not in order:
+                order.append(keys[i])
+    return {k: merged[k] for k in order}
+
+
+_ALL = _interleave(EXTENSION_QUERIES, PIPELINE_QUERIES, RELATIONAL_QUERIES)
 
 
 def entry(spark: SparkSession) -> DataFrame:

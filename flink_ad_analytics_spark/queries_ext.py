@@ -9,7 +9,7 @@ integer output is cast to BIGINT to match DuckDB's wider int types.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators.dedup import (
     LSH_BANDS,
