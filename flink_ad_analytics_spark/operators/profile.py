@@ -66,11 +66,28 @@ def profile_index_aggs(cols: tuple) -> list:
 
 
 def build_profile_index(
-    df: DataFrame, cols: tuple, *, n_shards: int, shard_key: str
+    df: DataFrame,
+    cols: tuple,
+    *,
+    n_shards: int,
+    shard_key: str,
+    namespace: str = "batch",
 ) -> DataFrame:
-    """Batch build: one index row per hash shard of ``shard_key``."""
+    """Batch build: one index row per hash shard of ``shard_key``.
+
+    ``__shard`` is a NAMESPACED string (``{namespace}/{i}``) so that
+    index rows from different producers -- two batch builds, or a
+    batch build unioned with the streaming-maintained index (whose
+    namespace is the streaming query's checkpoint lineage id) -- can
+    never collide on shard id. ``profile_from_index`` loud-fails on a
+    collision instead of silently dropping rows (ADVICE r10).
+    """
     return df.groupBy(
-        F.pmod(F.xxhash64(shard_key), F.lit(n_shards)).alias("__shard")
+        F.concat_ws(
+            "/",
+            F.lit(namespace),
+            F.pmod(F.xxhash64(shard_key), F.lit(n_shards)).cast("string"),
+        ).alias("__shard")
     ).agg(*profile_index_aggs(cols))
 
 
@@ -91,14 +108,27 @@ def profile_from_index(idx: DataFrame, cols: tuple) -> DataFrame:
             )
         return _profile_repr_spark(c, kind)
 
-    if "__shard" in idx.columns:
-        # replay idempotence (streaming_profile_index's at-least-once
+    shard_guarded = "__shard" in idx.columns
+    if shard_guarded:
+        # Replay idempotence (streaming_profile_index's at-least-once
         # foreachBatch): a retried batch re-appends the SAME
-        # deterministic row under the same shard id; keeping one row
-        # per shard makes double-appends harmless. Batch-built indexes
-        # have distinct shard ids, so this is a no-op there.
-        idx = idx.dropDuplicates(["__shard"])
+        # deterministic row under the same shard id, so FULL-ROW
+        # identity dedup collapses it. Deduping on __shard alone would
+        # silently discard real data when two producers collide on a
+        # shard id (e.g. a batch index using hash shards 0..n-1
+        # unioned with a streaming index whose batch ids also start at
+        # 0, or a stream restarted from a reset checkpoint) -- instead
+        # the serve aggregate below counts rows vs distinct shard ids
+        # and raises in-plan on any shard id carrying two different
+        # rows (ADVICE r10). Shard ids are namespaced by producer
+        # precisely so this guard never fires in correct use.
+        idx = idx.dropDuplicates(idx.columns)
     aggs = [F.sum("n_rows").alias("n_rows")]
+    if shard_guarded:
+        aggs += [
+            F.count(F.lit(1)).alias("__n_index_rows"),
+            F.count_distinct("__shard").alias("__n_shard_ids"),
+        ]
     for col, kind in cols:
         aggs += [
             F.sum(f"{col}__nulls").alias(f"{col}__nulls"),
@@ -113,8 +143,30 @@ def profile_from_index(idx: DataFrame, cols: tuple) -> DataFrame:
         f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
         for col, _ in cols
     )
+    n_rows_col: F.Column = F.col("n_rows")
+    if shard_guarded:
+        # in-plan loud-fail (zero extra jobs -- the serve aggregate is
+        # one row): after full-identity dedup, rows > distinct shard
+        # ids means some shard id carries two DIFFERENT stat rows --
+        # a producer-namespace collision that would undercount.
+        n_rows_col = F.when(
+            F.col("__n_index_rows") == F.col("__n_shard_ids"),
+            F.col("n_rows"),
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "profile index shard-id collision: %s index rows over"
+                    " %s distinct shard ids after identity dedup --"
+                    " producers must use distinct __shard namespaces"
+                    " (build_profile_index(namespace=...) /"
+                    " streaming checkpoint lineage)",
+                    F.col("__n_index_rows").cast("string"),
+                    F.col("__n_shard_ids").cast("string"),
+                )
+            ).cast("long")
+        )
     return wide.select(
-        "n_rows",
+        n_rows_col.alias("n_rows"),
         F.expr(
             f"stack({len(cols)}, {stack}) AS "
             "(col_name, n_nulls, n_distinct, min_repr, max_repr)"

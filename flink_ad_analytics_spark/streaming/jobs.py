@@ -742,11 +742,50 @@ def streaming_profile_index(
     """
     from ..operators.profile import profile_index_aggs
 
+    # Shard-id namespace = the streaming query's checkpoint lineage id
+    # (Spark's own {checkpoint}/metadata query id): stable across
+    # restarts of the SAME checkpoint -- so a replayed batch re-appends
+    # an identical row that serve-side identity dedup collapses -- but
+    # fresh when the checkpoint is reset, so batch ids restarting at 0
+    # can never collide with rows from the previous lineage. It also
+    # cannot collide with build_profile_index's "batch/<i>" hash-shard
+    # namespace (ADVICE r10: dedup-on-__shard silently dropped real
+    # rows whenever two producers reused a shard id).
+    _ns_cache: list[str] = []
+
+    def _lineage_ns() -> str:
+        if not _ns_cache:
+            import json as _json
+            import os as _os
+
+            meta = _os.path.join(checkpoint, "metadata")
+            try:
+                with open(meta) as f:
+                    _ns_cache.append(str(_json.load(f)["id"]))
+            except (OSError, ValueError, KeyError):
+                # non-local checkpoint FS: fall back to a sibling
+                # namespace file with the same lifetime as the dir
+                import uuid as _uuid
+
+                ns_file = _os.path.join(checkpoint, "profile_index_ns")
+                try:
+                    with open(ns_file) as f:
+                        _ns_cache.append(f.read().strip())
+                except OSError:
+                    ns = _uuid.uuid4().hex
+                    _os.makedirs(checkpoint, exist_ok=True)
+                    with open(ns_file, "w") as f:
+                        f.write(ns)
+                    _ns_cache.append(ns)
+        return _ns_cache[0]
+
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         (
-            batch_df.groupBy(F.lit(batch_id).alias("__shard"))
+            batch_df.groupBy(
+                F.lit(f"{_lineage_ns()}/{batch_id}").alias("__shard")
+            )
             .agg(*profile_index_aggs(cols))
             .write.mode("append")
             .parquet(index_path)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from flink_ad_analytics_spark.operators.profile import (
     build_profile_index,
     profile_from_index,
+    profile_index_aggs,
 )
 from flink_ad_analytics_spark.queries import _PROFILE_COLS, q_table_profile
 from flink_ad_analytics_spark.sources.batch import load_table
@@ -110,11 +111,35 @@ def test_incremental_shard_absorb(spark):
         shard_key="o_orderkey",
     )
     fresh = orders.filter(part == 0).groupBy(
-        F.lit(100).alias("__shard")
+        F.lit("fresh/100").alias("__shard")
     )
-    from flink_ad_analytics_spark.operators.profile import (
-        profile_index_aggs,
-    )
-
     fresh = fresh.agg(*profile_index_aggs(_PROFILE_COLS))
     _served_vs_exact(spark, standing.unionByName(fresh))
+
+
+def test_shard_namespace_collision_loud_fails(spark):
+    """ADVICE r10: two producers reusing a shard id (batch hash shards
+    vs streaming batch ids, or a reset-checkpoint restart) must raise,
+    not silently drop whole shards of real data; identical replayed
+    rows must still dedup harmlessly."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    orders = load_table(spark, SF_CORRECT, "orders")
+    part = F.pmod(F.xxhash64("o_orderkey"), F.lit(2))
+    a = (
+        orders.filter(part == 0)
+        .groupBy(F.lit("ns/0").alias("__shard"))
+        .agg(*profile_index_aggs(_PROFILE_COLS))
+    )
+    b = (
+        orders.filter(part == 1)
+        .groupBy(F.lit("ns/0").alias("__shard"))  # COLLIDING shard id
+        .agg(*profile_index_aggs(_PROFILE_COLS))
+    )
+    clash = a.unionByName(b)
+    with pytest.raises(SparkRuntimeException, match="shard-id collision"):
+        profile_from_index(clash, _PROFILE_COLS).collect()
+
+    # distinct namespaces over the same split serve the exact profile
+    b_ok = b.withColumn("__shard", F.lit("other/0"))
+    _served_vs_exact(spark, a.unionByName(b_ok))

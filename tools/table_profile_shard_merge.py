@@ -128,11 +128,11 @@ def main() -> None:
     new_shard = orders.filter(
         F.pmod(F.xxhash64("o_orderkey"), F.lit(N_SHARDS)) == 0
     )
-    standing = idx.filter(F.col("__shard") != 0)
+    standing = idx.filter(F.col("__shard") != "batch/0")
 
     def incremental():
         fresh = new_shard.groupBy(
-            F.lit(0).alias("__shard")
+            F.lit("batch/0").alias("__shard")
         ).agg(*shard_aggs())
         materialize(serve_from_index(standing.unionByName(fresh)))
 
