@@ -88,6 +88,21 @@ def main() -> None:
             # every other query's pre-existing parquet input.
             materialize(queries[name](spark, sf_dir))
 
+    # VERDICT r10 item 7: the warmup corpus (sf0.001) is retired once
+    # the timed SF takes over -- release its standing signature/band
+    # indexes so the timed run neither holds dead cached plans nor
+    # competes with them for storage memory. This also exercises the
+    # release path under the realistic many-corpora-one-session
+    # pattern on every bench pass: the timed queries below rebuild
+    # their own standing indexes from scratch and must still be
+    # value-correct (the rehearsal gates that at sf0.01; a dedicated
+    # two-corpora release test gates it in the suite).
+    from flink_ad_analytics_spark.operators.dedup import (
+        release_standing_indexes,
+    )
+
+    release_standing_indexes()
+
     # Attribute one-time persisted-fit builds to the query that
     # triggered them (VERDICT r7 #6: a FIT_ALGO_VERSION / corpus-stamp
     # change re-pays every fit, which read as a +5s regression in

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 import __spark_entry__ as entrymod
 
 BENCH_DIR = "/root/repo/.benchmarks"
@@ -53,7 +55,7 @@ def test_core_artifacts_present_and_shaped():
     assert all("load_avg_1m_before" in r for r in meth["runs"])
 
 
-def _load_committed_bench():
+def _load_committed_bench(repo: str = "/root/repo"):
     """The GIT-COMMITTED bench artifact, not the working-tree file.
 
     VERDICT r9 finding #1: bench.py used to rewrite the committed
@@ -67,7 +69,7 @@ def _load_committed_bench():
 
     raw = subprocess.run(
         ["git", "show", "HEAD:.benchmarks/bench_sf0.1.json"],
-        cwd="/root/repo",
+        cwd=repo,
         capture_output=True,
         text=True,
         check=True,
@@ -82,16 +84,9 @@ def _headline_of(bench: dict) -> str:
     )
 
 
-def test_coverage_headline_matches_committed_bench():
-    """VERDICT r8 nit #1: COVERAGE.md once narrated a different
-    session's headline (151.8s/0.050) than the committed
-    bench_sf0.1.json (144.4s/0.048). This gate re-derives the bolded
-    headline sentence from the artifact and requires COVERAGE.md to
-    contain it verbatim -- narrative and artifact can no longer
-    diverge; updating the artifact without the prose (or vice versa)
-    fails here with the expected string in the message."""
-    headline = _headline_of(_load_committed_bench())
-    with open("/root/repo/COVERAGE.md") as f:
+def _check_headline(repo: str = "/root/repo") -> None:
+    headline = _headline_of(_load_committed_bench(repo))
+    with open(f"{repo}/COVERAGE.md") as f:
         text = " ".join(f.read().split())  # collapse prose line wraps
     assert headline in text, (
         f"COVERAGE.md headline drifted from the git-committed "
@@ -100,24 +95,63 @@ def test_coverage_headline_matches_committed_bench():
     )
 
 
-def test_headline_gate_survives_dirty_working_tree_artifact():
+def test_coverage_headline_matches_committed_bench():
+    """VERDICT r8 nit #1: COVERAGE.md once narrated a different
+    session's headline (151.8s/0.050) than the committed
+    bench_sf0.1.json (144.4s/0.048). This gate re-derives the bolded
+    headline sentence from the artifact and requires COVERAGE.md to
+    contain it verbatim -- narrative and artifact can no longer
+    diverge; updating the artifact without the prose (or vice versa)
+    fails here with the expected string in the message."""
+    _check_headline()
+
+
+def test_headline_gate_survives_dirty_working_tree_artifact(tmp_path):
     """Simulates the exact driver sequence that broke round 9: a
     bench pass mutates the working-tree bench_sf0.1.json, then pytest
     runs. The gate must still read the committed version -- so the
     derived headline is unchanged even when the working-tree file is
-    garbage. (Mutation is restored byte-exact in the finally.)"""
-    path = f"{BENCH_DIR}/bench_sf0.1.json"
-    with open(path, "rb") as f:
-        original = f.read()
-    dirty = dict(json.loads(original))
-    dirty["value"] = 99999.9
-    dirty["ratio_vs_duckdb"] = 9.999
-    try:
-        with open(path, "w") as f:
-            json.dump(dirty, f)
-        committed = _load_committed_bench()
-        assert committed["value"] != 99999.9
-        test_coverage_headline_matches_committed_bench()
-    finally:
-        with open(path, "wb") as f:
-            f.write(original)
+    garbage.
+
+    ADVICE r10: runs against a SCRATCH git repo built in tmp_path
+    instead of mutating the real tracked artifact in place -- a hard
+    kill mid-test can no longer leave the repo dirty, and parallel
+    tests reading the working-tree file cannot race the mutation."""
+    import subprocess
+
+    repo = tmp_path / "repo"
+    bench_dir = repo / ".benchmarks"
+    bench_dir.mkdir(parents=True)
+    good = {
+        "value": 123.4,
+        "n_queries": 7,
+        "ratio_vs_duckdb": 0.042,
+    }
+    (bench_dir / "bench_sf0.1.json").write_text(json.dumps(good))
+    (repo / "COVERAGE.md").write_text(
+        f"Headline: {_headline_of(good)} blah.\n"
+    )
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-c", "user.email=t@t", "-c", "user.name=t", *args],
+            cwd=repo,
+            check=True,
+            capture_output=True,
+        )
+
+    git("init", "-q")
+    git("add", "-A")
+    git("commit", "-qm", "good artifact")
+
+    # the r9 sequence: bench mutates the WORKING-TREE artifact...
+    dirty = dict(good, value=99999.9, ratio_vs_duckdb=9.999)
+    (bench_dir / "bench_sf0.1.json").write_text(json.dumps(dirty))
+    # ...and the gate must still read the committed version
+    assert _load_committed_bench(str(repo))["value"] == 123.4
+    _check_headline(str(repo))
+
+    # non-vacuous: once the garbage IS committed, the gate goes red
+    git("commit", "-aqm", "garbage artifact")
+    with pytest.raises(AssertionError, match="drifted"):
+        _check_headline(str(repo))

@@ -619,6 +619,47 @@ def test_split_corpus_setgrain_broadcast_guard(spark, monkeypatch):
     assert got_bc == want and got_sh == want
 
 
+def test_release_standing_indexes_between_corpora(spark):
+    """VERDICT r10 item 7: the many-corpora-one-session pattern.
+    Build a standing index on corpus A, release, serve corpus B,
+    release, then re-serve corpus A -- results must be identical to
+    the first pass (release only drops caching, never correctness),
+    and the registry must be empty after the final release."""
+    from pyspark.sql import functions as F
+
+    from flink_ad_analytics_spark.operators import dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    docs_a = spark.createDataFrame(
+        [(i, base if i % 2 else base.replace("beta", "BETA2", 1))
+         for i in range(20)],
+        ["doc_id", "text"],
+    )
+    docs_b = spark.createDataFrame(
+        [(i, f"one two three four five six seven {i % 3} " * 4)
+         for i in range(12)],
+        ["doc_id", "text"],
+    )
+    pred = F.col("doc_id") % 2 == 0
+
+    def run(docs):
+        out = {
+            (r.doc_id, r.dup_of, r.jaccard)
+            for r in D.split_corpus_minhash_dups(
+                docs, pred, threshold=0.2
+            ).collect()
+        }
+        assert D._STANDING_INDEXES  # the run registered its indexes
+        D.release_standing_indexes()
+        assert not D._STANDING_INDEXES
+        return out
+
+    first_a = run(docs_a)
+    run(docs_b)
+    assert run(docs_a) == first_a
+    assert first_a  # non-vacuous
+
+
 def test_grain_probe_cache_bounded_and_clearable(spark):
     """ADVICE r9: the probe cache evicts other-application entries on
     insert, caps its size, and exposes clear()."""
@@ -643,6 +684,35 @@ def test_grain_probe_cache_bounded_and_clearable(spark):
     assert len(D._GRAIN_PROBE_CACHE) <= D._GRAIN_PROBE_CACHE_MAX
     D.clear_grain_probe_cache()
     assert D._GRAIN_PROBE_CACHE == {}
+
+
+def test_grain_probe_reprobes_after_same_path_rewrite(spark, tmp_path):
+    """VERDICT r10 item 6: the probe cache key fingerprints the input
+    file listing (path, mtime, size), so rewriting files at the SAME
+    path within one session must re-probe instead of serving the old
+    (n, nd) -- the former documented staleness residual."""
+    from flink_ad_analytics_spark.operators import dedup as D
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(4)], ["doc_id", "text"]
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    D.clear_grain_probe_cache()
+    docs = spark.read.parquet(path)
+    assert D._duplication_probe(docs, "text") == (4, 1)
+
+    # rewrite the same path: 6 rows, all distinct texts
+    spark.createDataFrame(
+        [(i, f"delta epsilon {i}") for i in range(6)], ["doc_id", "text"]
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    docs2 = spark.read.parquet(path)
+    assert D._duplication_probe(docs2, "text") == (6, 6)
+    # and the probe IS cached within one (session, listing): same key
+    # twice -> one entry per fingerprint, not a recompute per call
+    keys = [k for k in D._GRAIN_PROBE_CACHE]
+    assert D._duplication_probe(docs2, "text") == (6, 6)
+    assert [k for k in D._GRAIN_PROBE_CACHE] == keys
+    D.clear_grain_probe_cache()
 
 
 def test_lsh_topk_grain_equivalence(spark):

@@ -61,6 +61,31 @@ def test_table_profile_approx_accuracy(spark):
         )
 
 
+def test_table_profile_served_accuracy(spark):
+    """The standing-index serving path's accuracy contract, same gate
+    as the approx twin: nulls/min/max/n_rows byte-identical to the
+    exact profile (sums and min/max folds are exact over any partition
+    of the rows), merged HLL distinct estimates within 2%."""
+    exact = {
+        r["col_name"]: r
+        for r in QUERIES["table_profile"](spark, SF_CORRECT).collect()
+    }
+    served = {
+        r["col_name"]: r
+        for r in QUERIES["table_profile_served"](spark, SF_CORRECT).collect()
+    }
+    assert set(exact) == set(served)
+    for col, e in exact.items():
+        s = served[col]
+        for field in ("n_rows", "n_nulls", "min_repr", "max_repr"):
+            assert s[field] == e[field], f"{col}.{field}: {s[field]} != {e[field]}"
+        rel = abs(s["n_distinct"] - e["n_distinct"]) / max(1, e["n_distinct"])
+        assert rel <= 0.02, (
+            f"{col}: served distinct {s['n_distinct']} vs exact "
+            f"{e['n_distinct']} (rel err {rel:.4f} > 2%)"
+        )
+
+
 def test_order_value_percentiles_approx_accuracy(spark):
     """GK-sketch percentiles vs the exact sort-based aggregate: group
     counts byte-equal, every percentile within 0.5% relative error
