@@ -222,19 +222,29 @@ def prefix_filter_pairs(
     (equality asserted in tests on planted fixtures and the driver
     corpus; the DuckDB oracle IS the exhaustive form).
 
-    REGIME SELECTOR (round 11, VERDICT r10 item 4): prefix length is
-    ~ (1-t)*n + 1, so pruning power scales with the threshold. Below
-    the measured crossover ``PREFIX_FILTER_MIN_T`` the operator now
-    routes itself to the exhaustive inverted-index core
-    (_ngram_jaccard_from_shingles) instead of shipping the regime as
-    caller advice: at t=0.2 the prefix kept ~80% of postings and the
-    df-join + per-doc prefix sort cost 3.3x the exhaustive join
-    (8.75s vs 2.65s at sf0.1). Both cores verify exact jaccard on the
-    full shingle sets, so the output is selector-independent; the
-    crossover is pinned from tools/prefix_crossover.py's bisection
-    (.benchmarks/prefix_filter_crossover.json). Hot-shingle corpora
-    at loose thresholds remain ngram_jaccard_pairs' max_shingle_df
-    territory (approximate by contract).
+    REGIME SELECTOR (round 11, VERDICT r10 item 4): the measured
+    crossover lives in code (_exact_pairs_core + the pinned constants
+    above it), and the round-11 measurement campaign
+    (.benchmarks/prefix_filter_crossover.json) overturned the
+    round-10 threshold-only intuition. Three branches: (1) below
+    PREFIX_FILTER_MIN_T the prefix keeps ~(1-t) of all postings and
+    can never repay its machinery -> exhaustive core; (2) at/above it
+    the exhaustive candidate volume (sum df*(df-1)/2, one cheap
+    cached aggregate) decides -- below 2e8 candidates the exhaustive
+    join's whole-stage-codegen count path is simply faster on ANY
+    corpus measured (42.7M candidates in 0.6s, vs 1.7-7s of prefix
+    machinery at sf0.1); (3) above the gate the prefix path runs,
+    guarded by a verify-volume probe that bails back to exhaustive
+    when the built prefixes fail to prune (boilerplate-dominant
+    corpora). The winning regime is real and measured: 20k docs with
+    3 hot shingles (6e8 exhaustive candidates whose pair-grain
+    aggregate hash map spills catastrophically) run 5.8s via prefix
+    vs 353.7s exhaustive -- a 61x win exactly where 100 TB corpora
+    live (web boilerplate = hot keys, unique content = pruning
+    prefixes). Every branch verifies exact jaccard on the full
+    shingle sets, so the output is selector-independent. Loose
+    thresholds on hot corpora remain ngram_jaccard_pairs'
+    max_shingle_df territory (approximate by contract).
 
     ADAPTIVE GRAIN (round 10, same doctrine as lsh_topk_pairs /
     split_corpus_minhash_dups): on duplicate-heavy corpora (shared
@@ -335,36 +345,124 @@ def prefix_filter_pairs(
     return cross.unionByName(within)
 
 
-#: Measured exhaustive-vs-prefix crossover (VERDICT r10 item 4: the
-#: regime advice moves from docstring to code). Prefix length is
-#: ~ (1-t)*n + 1, so below this threshold the prefix keeps most
-#: postings and the df-join + per-doc prefix sort cost more than the
-#: shorter postings save; the exhaustive inverted-index join is the
-#: faster exact plan there. Pinned from the bisection in
-#: .benchmarks/prefix_filter_crossover.json (tools/prefix_crossover.py,
-#: sf0.1 5k docs: exhaustive ~flat in t; prefix wins from ~t=0.5 up).
-#: Both sides verify exact jaccard on the full shingle sets, so the
-#: OUTPUT is selector-independent -- only the plan changes.
+#: Exact-pairs regime selector (VERDICT r10 item 4: the measured
+#: crossover moves from docstring advice into a plan rule). The
+#: round-11 measurement campaign (tools/prefix_crossover.py ->
+#: .benchmarks/prefix_filter_crossover.json) overturned the round-10
+#: intuition: the decisive variable is NOT the threshold alone but
+#: the verify-cost asymmetry. The exhaustive inverted-index core is
+#: pure whole-stage-codegen integer work (~14 ns per candidate row on
+#: this host -- 42.7M candidates in 0.58s), while the prefix path
+#: pays per-doc window machinery plus an array_intersect verify at
+#: ~20 us per surviving candidate PAIR (~1000x per unit). So:
+#:
+#: * PREFIX_FILTER_MIN_T -- below this threshold the prefix keeps
+#:   ~(1-t) of every doc's postings; it cannot prune enough to repay
+#:   its machinery on ANY corpus. Exhaustive, always.
+#: * _PREFIX_MIN_EXH_CANDIDATES -- at/above MIN_T, the prefix only
+#:   pays when the exhaustive candidate volume (sum df*(df-1)/2 over
+#:   the shingle df distribution -- one cheap aggregate, cached like
+#:   any optimizer statistic) is large enough that linear-candidate
+#:   codegen stops being free: measured, exhaustive handles 4.3e7
+#:   candidates in 0.6s and ~6e8 in tens of seconds, so the gate
+#:   sits at 2e8. Below it: exhaustive.
+#: * _PREFIX_VERIFY_COST_RATIO -- even when candidates explode, a
+#:   boilerplate-DOMINANT corpus (docs sharing most of their tokens)
+#:   forces hot shingles into the prefixes once per-doc unique
+#:   shingles run out, and the verify volume approaches the
+#:   exhaustive volume at 1000x the per-row price (measured: 28-40s
+#:   prefix vs 0.6s exhaustive on exactly that corpus). After
+#:   building the prefix postings the operator probes THEIR candidate
+#:   count and bails back to the exhaustive core unless the prefix
+#:   prunes by at least this factor.
+#:
+#: Every branch verifies exact jaccard on the full shingle sets, so
+#: the OUTPUT is selector-independent -- the selector only picks the
+#: cheaper physical plan, and every pinned number has a committed
+#: measurement row on both sides.
 PREFIX_FILTER_MIN_T = 0.5
+_PREFIX_MIN_EXH_CANDIDATES = 2e8
+_PREFIX_VERIFY_COST_RATIO = 256
+
+#: (applicationId, sh.semanticHash()) -> exhaustive candidate count;
+#: same bounded-cache discipline as _GRAIN_PROBE_CACHE.
+_EXH_CAND_CACHE: dict = {}
+
+
+def _exhaustive_candidate_probe(sh: DataFrame, id_col: str) -> float:
+    """sum df*(df-1)/2 over the shingle document-frequency
+    distribution: the EXACT number of candidate rows the exhaustive
+    inverted-index self-join materializes. One aggregate over the
+    postings -- the df-skew statistic the selector needs, priced like
+    the duplication probe and cached per (session, plan)."""
+    key = (
+        sh.sparkSession.sparkContext.applicationId,
+        sh.semanticHash(),
+    )
+    if key in _EXH_CAND_CACHE:
+        return _EXH_CAND_CACHE[key]
+    row = (
+        sh.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.sum(
+                F.col("df").cast("double")
+                * (F.col("df") - 1).cast("double")
+                / 2
+            ).alias("cand")
+        )
+        .collect()[0]
+    )
+    cand = float(row["cand"] or 0.0)
+    app_id = key[0]
+    for k in [k for k in _EXH_CAND_CACHE if k[0] != app_id]:
+        del _EXH_CAND_CACHE[k]
+    while len(_EXH_CAND_CACHE) >= _GRAIN_PROBE_CACHE_MAX:
+        del _EXH_CAND_CACHE[next(iter(_EXH_CAND_CACHE))]
+    _EXH_CAND_CACHE[key] = cand
+    return cand
 
 
 def _exact_pairs_core(
     sh: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard-threshold core over a (id, shingles) frame:
-    prefix filter in its pruning regime (threshold >=
-    PREFIX_FILTER_MIN_T), exhaustive inverted-index join below it.
-    Value-identical either way (both verify exact jaccard); the
-    selector only picks the cheaper physical plan for the regime."""
-    if threshold >= PREFIX_FILTER_MIN_T:
-        return _prefix_filter_from_shingles(sh, id_col, threshold)
-    return _ngram_jaccard_from_shingles(sh, id_col, threshold)
+    """Exact Jaccard-threshold core over a (id, shingles) frame,
+    routed by the measured regime selector (constants above):
+    exhaustive inverted-index join below PREFIX_FILTER_MIN_T or when
+    the exhaustive candidate volume is small enough for linear
+    codegen; prefix filter only where it provably pays -- candidate
+    explosion AND prefixes that actually prune (verify-volume guard
+    inside _prefix_filter_from_shingles). Value-identical on every
+    branch."""
+    if threshold < PREFIX_FILTER_MIN_T:
+        return _ngram_jaccard_from_shingles(sh, id_col, threshold)
+    exh_cand = _exhaustive_candidate_probe(sh, id_col)
+    if exh_cand < _PREFIX_MIN_EXH_CANDIDATES:
+        return _ngram_jaccard_from_shingles(sh, id_col, threshold)
+    return _prefix_filter_from_shingles(
+        sh, id_col, threshold, exh_candidates=exh_cand
+    )
 
 
 def _prefix_filter_from_shingles(
-    sh: DataFrame, id_col: str, threshold: float
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    *,
+    exh_candidates: float | None = None,
 ) -> DataFrame:
-    """Per-doc prefix-filter core over a (id, shingles) frame."""
+    """Per-doc prefix-filter core over a (id, shingles) frame.
+
+    When ``exh_candidates`` is given (the selector's probed exhaustive
+    candidate volume), the built prefix postings are persisted and
+    THEIR candidate volume probed: if the prefixes fail to prune by
+    at least _PREFIX_VERIFY_COST_RATIO (boilerplate-dominant corpora
+    force hot shingles into prefixes once unique shingles run out,
+    and the array-intersect verify costs ~1000x the exhaustive
+    core's per-candidate codegen), bail to the exhaustive core --
+    the machinery spent is one window pass, the catastrophe avoided
+    is measured at 40x (prefix 28-40s vs exhaustive 0.6s)."""
     posting = sh.select(
         F.col(id_col),
         F.size("shingles").alias("__n"),
@@ -387,6 +485,26 @@ def _prefix_filter_from_shingles(
         .filter(F.col("__pos") <= prefix_len)
         .select(id_col, "shingle")
     )
+    if exh_candidates is not None:
+        # verify-volume guard (see docstring): persist the prefix
+        # postings (the candidate join reads them twice anyway),
+        # probe their candidate volume, bail if pruning is too weak.
+        pref = _persist_standing(pref)
+        pref_cand_row = (
+            pref.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.sum(
+                    F.col("df").cast("double")
+                    * (F.col("df") - 1).cast("double")
+                    / 2
+                ).alias("cand")
+            )
+            .collect()[0]
+        )
+        pref_cand = float(pref_cand_row["cand"] or 0.0)
+        if pref_cand * _PREFIX_VERIFY_COST_RATIO > exh_candidates:
+            return _ngram_jaccard_from_shingles(sh, id_col, threshold)
     cand = (
         pref.select(F.col(id_col).alias("doc_id_1"), "shingle")
         .join(

