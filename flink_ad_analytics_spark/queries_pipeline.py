@@ -111,13 +111,17 @@ def _kmeans_fp_cached(emb, sf_dir: str, k: int, iters: int, seed: int):
     return _FIT_MEMO[key]
 
 
-def _kmeans_fp_cte(k: int, iters: int, seed: int, dims: int = 64) -> str:
+def _kmeans_fp_cte(
+    k: int, iters: int, seed: int, dims: int = 64, fit_where: str = ""
+) -> str:
     """DuckDB twin of operators/clustering.py::kmeans_fixedpoint: a
     recursive CTE carrying the k centroid rows through ``iters`` exact
     integer Lloyd updates (same floor-quantization, same hash-pinned
     init, same (2S+n)//(2n) round-half-up averaging, same lowest-cid
     tie-breaks, same empty-cluster carry). Yields CTEs ``qv`` (the
-    quantized corpus) and ``cent`` (it, cid, c); consumers filter
+    quantized corpus), ``fitqv`` (the fit subset -- all of qv unless
+    ``fit_where`` restricts it, e.g. ann_ivf_absorb fitting on the
+    standing corpus only) and ``cent`` (it, cid, c); consumers filter
     cent to it = {iters}."""
     from .operators.clustering import FP_SCALE, FP_SHIFT
 
@@ -129,10 +133,11 @@ WITH RECURSIVE qv AS MATERIALIZED (
                   + {FP_SHIFT}) AS q,
          md5('{seed}:' || CAST(vec_id AS VARCHAR)) AS h
   FROM embeddings),
+fitqv AS MATERIALIZED (SELECT * FROM qv {fit_where}),
 init AS MATERIALIZED (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid,
          q AS c
-  FROM (SELECT * FROM qv ORDER BY h, vec_id LIMIT {k})),
+  FROM (SELECT * FROM fitqv ORDER BY h, vec_id LIMIT {k})),
 cent AS (
   SELECT 0 AS it, cid, c FROM init
   UNION ALL
@@ -142,7 +147,7 @@ cent AS (
       SELECT v.vec_id, v.q, c.it, c.cid,
              list_sum(list_transform(generate_series(1, {dims}),
                  i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS dist2
-      FROM qv v, cur c
+      FROM fitqv v, cur c
       QUALIFY ROW_NUMBER() OVER (
           PARTITION BY v.vec_id ORDER BY dist2, c.cid) = 1),
     upd AS (
@@ -965,6 +970,84 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=2,
         assigned=assigned,
+    )
+
+
+#: fresh-shard predicate for ann_ivf_absorb: vec_ids whose md5 nibble
+#: is '0' (~1/16 of the corpus) are the newly-ingested shard; the
+#: standing corpus is everything else. md5 of the decimal-rendered id
+#: is engine-portable (the dataset_splits technique).
+_ABSORB_SEED = "absorb"
+
+
+def q_ann_ivf_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE ANN INGEST -- the profile-index / incremental-dedup
+    absorb contract applied to similarity search. A fresh embeddings
+    shard (~1/16 by portable hash) arrives against a STANDING IVF
+    index: the centroids were fit on the standing corpus only and the
+    standing inverted lists are warehouse artifacts (paid at ingest,
+    _persisted_fit), so absorbing the shard costs ONLY the assignment
+    of the new vectors to the existing centroids -- no refit, no
+    reassignment of the standing corpus -- and serving runs over the
+    merged lists immediately.
+
+    At 100 TB this is the difference between an ANN index you can
+    keep current and one you rebuild nightly: per arriving shard the
+    work is |shard| distance evaluations against k centroids plus a
+    list append, while both refit paths scale with the corpus.
+    Exactness: assignment is pointwise in (vector, centroids), so
+    merged lists are IDENTICAL to a from-scratch assignment of the
+    union under the same centroids -- the DuckDB oracle replays the
+    whole pipeline (fit on standing via the shared recursive CTE's
+    fit_where, assign everything, probe) and values match exactly
+    (integer fixed-point scores, same tie-breaks as ann_ivf_kmeans).
+    """
+    from .operators.clustering import (
+        ivf_fixedpoint_assign,
+        kmeans_fixedpoint,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fresh_pred = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{_ABSORB_SEED}:"),
+                    F.col("vec_id").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        == "0"
+    )
+    standing = emb.filter(~fresh_pred)
+    fresh = emb.filter(fresh_pred)
+    cent = _persisted_fit(
+        emb,
+        sf_dir,
+        "kmfp_standing",
+        (_KM_K, _KM_FP_ITERS, _KM_SEED, _ABSORB_SEED),
+        lambda: kmeans_fixedpoint(
+            standing, k=_KM_K, iters=_KM_FP_ITERS, seed=_KM_SEED
+        ),
+    )
+    lists = _persisted_fit(
+        emb,
+        sf_dir,
+        "ivflists_standing",
+        (_KM_K, _KM_FP_ITERS, _KM_SEED, _ABSORB_SEED),
+        lambda: ivf_fixedpoint_assign(standing, cent),
+    )
+    # the per-shard ingest cost: assign ONLY the fresh vectors
+    absorbed = ivf_fixedpoint_assign(fresh, cent)
+    return ivf_fixedpoint_topk(
+        emb,
+        cent,
+        query_filter=F.col("vec_id") < 20,
+        k=5,
+        nprobe=2,
+        assigned=lists.unionByName(absorbed),
     )
 
 
@@ -3859,6 +3942,24 @@ PIPELINE_QUERIES: dict[str, tuple] = {
         q_ann_ivf_kmeans,
         ANN_IVF_KMEANS_SQL.format(
             cte=_kmeans_fp_cte(_KM_K, _KM_FP_ITERS, _KM_SEED),
+            iters=_KM_FP_ITERS, nprobe=2, k=5,
+        ),
+    ),
+    # same probe/scan SQL as ann_ivf_kmeans; the cte fits centroids on
+    # the STANDING corpus only (fit_where), assignment still covers
+    # every vector -- exactly the absorb semantics
+    "ann_ivf_absorb": (
+        q_ann_ivf_absorb,
+        ANN_IVF_KMEANS_SQL.format(
+            cte=_kmeans_fp_cte(
+                _KM_K,
+                _KM_FP_ITERS,
+                _KM_SEED,
+                fit_where=(
+                    f"WHERE substr(md5('{_ABSORB_SEED}:' || "
+                    "CAST(vec_id AS VARCHAR)), 1, 1) != '0'"
+                ),
+            ),
             iters=_KM_FP_ITERS, nprobe=2, k=5,
         ),
     ),
