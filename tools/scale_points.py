@@ -77,10 +77,28 @@ def main() -> None:
         oq = points[sf]["oracle"]["queries"]
         spark_total = round(sum(q[n] for n in shared), 3)
         duck_total = round(sum(oq[n] for n in shared), 3)
+        # the pooled ratio can be dominated by one huge oracle
+        # denominator (dedup_verify_editdist_topk costs DuckDB 1462s
+        # at sf10 vs Spark's 29s), so record the per-query ratio
+        # distribution and the largest denominator alongside the sum
+        ratios = sorted(q[n] / oq[n] for n in shared if oq[n] > 0)
+        mid = len(ratios) // 2
+        median = (
+            ratios[mid]
+            if len(ratios) % 2
+            else (ratios[mid - 1] + ratios[mid]) / 2
+        )
+        top_denom = max(shared, key=lambda n: oq[n])
         out["points"][str(sf)] = {
             "spark_shared_sec": spark_total,
             "duckdb_shared_sec": duck_total,
             "ratio_vs_duckdb": round(spark_total / duck_total, 3),
+            "median_query_ratio": round(median, 3),
+            "largest_oracle_denominator": {
+                "query": top_denom,
+                "duckdb_sec": oq[top_denom],
+                "spark_sec": q[top_denom],
+            },
         }
     for lo, hi in zip(sfs, sfs[1:]):
         ql, qh = points[lo]["bench"]["queries"], points[hi]["bench"]["queries"]
