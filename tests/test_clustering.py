@@ -330,3 +330,33 @@ def test_fixedpoint_pq_oracle_on_duplicate_codewords(spark):
     ).replace("v.vec_id < 20", "v.vec_id < 3")
     exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == exp and len(got) == 12
+
+
+def test_ivf_absorb_merged_lists_equal_full_assignment(spark):
+    """The mergeability property ann_ivf_absorb rests on, asserted
+    directly: assignment is pointwise in (vector, centroids), so
+    standing lists + absorbed fresh shard == from-scratch assignment
+    of the whole corpus under the SAME centroids -- list for list,
+    quantized coordinate for coordinate. (The declared query's DuckDB
+    oracle proves the end-to-end serve; this pins the algebra.)"""
+    from pyspark.sql import functions as F
+
+    from flink_ad_analytics_spark.operators.clustering import (
+        ivf_fixedpoint_assign,
+        kmeans_fixedpoint,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").limit(400)
+    pred = F.substring(
+        F.md5(F.concat(F.lit("absorb:"), F.col("vec_id").cast("string"))),
+        1,
+        1,
+    ) == "0"
+    cent = kmeans_fixedpoint(emb.filter(~pred), k=4, iters=2, seed=11)
+    merged = ivf_fixedpoint_assign(emb.filter(~pred), cent).unionByName(
+        ivf_fixedpoint_assign(emb.filter(pred), cent)
+    )
+    full = ivf_fixedpoint_assign(emb, cent)
+    a = {(r["c_id"], r["bucket"], tuple(r["c_q"])) for r in merged.collect()}
+    b = {(r["c_id"], r["bucket"], tuple(r["c_q"])) for r in full.collect()}
+    assert a == b and len(a) == 400
