@@ -821,3 +821,53 @@ def streaming_profile_index(
         .queryName(query_name)
         .start()
     )
+
+
+def streaming_ivf_absorb(
+    vec_stream: DataFrame,
+    *,
+    cent: DataFrame,
+    lists_path: str,
+    checkpoint: str,
+    query_name: str = "ivf_absorb",
+) -> "StreamingQuery":
+    """Streaming maintenance of the STANDING IVF INVERTED LISTS --
+    the ANN twin of ``streaming_profile_index`` and the continuous
+    form of the batch ``ann_ivf_absorb`` contract: every arriving
+    micro-batch of vectors is assigned to the FIXED standing
+    centroids (``cent``, a warehouse artifact -- no refit, no
+    reassignment of prior vectors) and its list rows (c_id, bucket,
+    c_q) appended, so ANN serving (``ivf_fixedpoint_topk`` with
+    ``assigned=`` the list table) is current at any moment.
+
+    Idempotence: assignment is a pure function of (vector,
+    centroids), so an at-least-once foreachBatch replay re-appends
+    IDENTICAL rows; serving dedups on ``c_id`` (each vector owns
+    exactly one list row) which collapses replays AND legitimately
+    re-delivered vectors. Asserted against the batch assignment
+    row-for-row, plus served-topk equality, in
+    tests/test_streaming_ivf_absorb.py.
+
+    At 100 TB: per arriving shard the work is |shard| x k centroid
+    distances + an append -- the index never rebuilds; periodic
+    re-clustering (centroid drift) is a batch decision upstream, at
+    which point the lists rebuild once under the new centroid
+    artifact (a new lists_path keyed by the centroid fit tag, the
+    fitstore contract)."""
+    from ..operators.clustering import ivf_fixedpoint_assign
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            ivf_fixedpoint_assign(batch_df, cent)
+            .write.mode("append")
+            .parquet(lists_path)
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
