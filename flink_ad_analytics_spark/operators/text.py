@@ -486,6 +486,62 @@ def char_stats(
     )
 
 
+def shingle_novelty(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hot_df: int = 10,
+) -> DataFrame:
+    """CROSS-document novelty / boilerplate scoring: per document, the
+    fraction of its 3-word shingles that are corpus-UNIQUE (df == 1 --
+    novel content) and the fraction appearing in >= ``hot_df`` docs
+    (shared boilerplate: headers, footers, templates). The complement
+    of repetition_features' WITHIN-document view, and the per-doc
+    readout of the same df distribution the exact-pairs selector
+    probes: a low-novelty high-boilerplate doc is exactly the one that
+    explodes all-pairs dedup and adds little training signal.
+
+    Plan: one shingle pass (the shared doc_shingles projection-barrier
+    pipeline), one groupBy(shingle) for the df table -- a corpus
+    statistic, the same relation minhash's vocabulary factoring and
+    the selector probe build -- one annotate join carrying only
+    (doc_id, df), one per-doc aggregate riding doc_shingles' pinned
+    doc_id partitioning. At 100 TB the df table is ingest-maintainable
+    (it is a mergeable counter relation), making this a
+    two-scan-free curation signal. Docs with < 3 tokens have no
+    shingles and are absent, consistent with the dedup family.
+    Ratios are exact int/int double divisions (engine-portable)."""
+    from .dedup import doc_shingles
+
+    sh = doc_shingles(docs, id_col, text_col)
+    posting = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    df_tbl = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        posting.join(df_tbl, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+            F.sum((F.col("df") >= hot_df).cast("long")).alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.col("n_boiler").cast("long").alias("n_boiler"),
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+            (
+                F.col("n_boiler").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("boilerplate"),
+        )
+    )
+
+
 def repetition_features(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -52,6 +52,7 @@ from .operators.text import (
     STOPWORDS,
     char_stats,
     lang_id,
+    shingle_novelty,
     text_features,
     top_terms,
 )
@@ -562,6 +563,37 @@ SELECT doc_id, n_tokens, n_bpe_tokens, n_chars_nospace,
        {QUALITY_SCORE_SQL}
          AS quality_score
 FROM feat
+"""
+
+
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document novelty / boilerplate scoring
+    (operators/text.py:shingle_novelty): per doc, the fraction of its
+    3-word shingles that are corpus-unique (df=1) vs shared across
+    >= 10 docs. The per-doc readout of the df distribution the
+    exact-pairs selector probes; the curation complement of the
+    within-doc repetition_quality entry."""
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_novelty(docs)
+
+
+SHINGLE_NOVELTY_SQL = f"""
+WITH {_TOKS_SQL},
+{_SHINGLES_SQL},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+       WHERE len(shingles) > 0),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN d.df >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty,
+       CAST(SUM(CASE WHEN d.df >= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS boilerplate
+FROM ex e JOIN dfreq d USING (shingle)
+GROUP BY e.doc_id
 """
 
 
@@ -1286,6 +1318,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "top_terms": (q_top_terms, TOP_TERMS_SQL),
     "char_stats": (q_char_stats, CHAR_STATS_SQL),
+    "shingle_novelty": (q_shingle_novelty, SHINGLE_NOVELTY_SQL),
     "lang_id_confusion": (q_lang_id_confusion, _lang_id_oracle()),
     "multimodal_meta": (q_multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_decode": (q_multimodal_decode, MULTIMODAL_DECODE_SQL),

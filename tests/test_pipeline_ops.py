@@ -370,3 +370,29 @@ def test_semantic_decontaminate_contract(spark):
         semantic_decontaminate(
             emb, F.lit(True), threshold=1, max_eval=3
         )
+
+
+def test_shingle_novelty_planted_boilerplate(spark):
+    """Semantic pin for shingle_novelty: docs sharing a >=10-doc
+    boilerplate run score boilerplate > 0 and novelty < 1 on exactly
+    the shared shingles; a fully unique doc scores novelty 1.0 /
+    boilerplate 0.0; a <3-token doc is absent (no shingles)."""
+    from flink_ad_analytics_spark.operators.text import shingle_novelty
+
+    boiler = "common one two three four"  # 3 boilerplate shingles
+    rows = [(i, f"{boiler} tail{i}a tail{i}b") for i in range(10)]
+    rows.append((100, "totally unique words only here now"))
+    rows.append((101, "xy"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in shingle_novelty(docs).collect()}
+
+    assert 101 not in out
+    u = out[100]
+    assert u["novelty"] == 1.0 and u["boilerplate"] == 0.0
+    for i in range(10):
+        r = out[i]
+        # 7 tokens -> 5 shingles: 3 shared by all 10 docs (df=10),
+        # 2 involve the per-doc tail (df=1)
+        assert r["n_shingles"] == 5
+        assert r["n_boiler"] == 3 and r["n_novel"] == 2
+        assert r["boilerplate"] == 0.6 and r["novelty"] == 0.4
