@@ -952,7 +952,19 @@ def ivf_fixedpoint_topk(
 
     ``assigned``: a precomputed inverted-list relation
     (ivf_fixedpoint_assign output, e.g. the persisted index
-    artifact); assigned on the fly when omitted.
+    artifact). May carry DUPLICATE ``c_id`` rows -- an at-least-once
+    streaming maintainer (streaming_ivf_absorb) replaying a batch, or
+    a legitimately re-delivered vector, appends bit-identical rows
+    (assignment is a pure function of (vector, centroids)) -- the
+    one-list-row-per-vector serving contract is enforced HERE, not
+    left to the loader (ADVICE r11): ranking by dense_rank makes
+    bit-identical replays tie on (dist2, c_id) and share a rank, so
+    WindowGroupLimit's map-side partial top-k pruning stays sound and
+    in-plan (row_number-over-duplicates would mis-rank, and deduping
+    before the window would forfeit the partial prune); the residual
+    duplicate rows are collapsed AFTER the rank<=k filter, an
+    exchange over at most queries*k surviving rows. Assigned on the
+    fly when omitted.
     """
     if assigned is None:
         assigned = ivf_fixedpoint_assign(
@@ -974,8 +986,13 @@ def ivf_fixedpoint_topk(
         assigned.join(F.broadcast(probes), "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
         .withColumn("dist2", F.expr(_FP_DIST.format(a="q_q", b="c_q")))
-        .withColumn("rank", F.row_number().over(wk).cast("long"))
+        # dense_rank: distinct candidates never tie on (dist2, c_id),
+        # so this equals row_number on a duplicate-free list table,
+        # while replayed rows (same c_id => same c_q => same dist2)
+        # share a rank instead of inflating later ranks
+        .withColumn("rank", F.dense_rank().over(wk).cast("long"))
         .filter(F.col("rank") <= k)
+        .dropDuplicates(["q_id", "c_id"])
         .select("q_id", "c_id", "dist2", "rank")
     )
 

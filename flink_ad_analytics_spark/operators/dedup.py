@@ -394,10 +394,13 @@ def _exhaustive_candidate_probe(sh: DataFrame, id_col: str) -> float:
     distribution: the EXACT number of candidate rows the exhaustive
     inverted-index self-join materializes. One aggregate over the
     postings -- the df-skew statistic the selector needs, priced like
-    the duplication probe and cached per (session, plan)."""
+    the duplication probe and cached per (session, plan, data
+    fingerprint -- ADVICE r11: a same-path rewrite within a session
+    must re-probe, same as _GRAIN_PROBE_CACHE)."""
     key = (
         sh.sparkSession.sparkContext.applicationId,
         sh.semanticHash(),
+        _input_fingerprint(sh),
     )
     if key in _EXH_CAND_CACHE:
         return _EXH_CAND_CACHE[key]
@@ -1540,6 +1543,7 @@ def clear_grain_probe_cache() -> None:
     that mutate data through a channel the fingerprint cannot see
     (e.g. an in-place parquet edit preserving mtime and size)."""
     _GRAIN_PROBE_CACHE.clear()
+    _EXH_CAND_CACHE.clear()
 
 
 def _input_fingerprint(docs: DataFrame) -> str:

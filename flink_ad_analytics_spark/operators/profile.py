@@ -111,18 +111,26 @@ def profile_from_index(idx: DataFrame, cols: tuple) -> DataFrame:
     shard_guarded = "__shard" in idx.columns
     if shard_guarded:
         # Replay idempotence (streaming_profile_index's at-least-once
-        # foreachBatch): a retried batch re-appends the SAME
-        # deterministic row under the same shard id, so FULL-ROW
-        # identity dedup collapses it. Deduping on __shard alone would
-        # silently discard real data when two producers collide on a
-        # shard id (e.g. a batch index using hash shards 0..n-1
-        # unioned with a streaming index whose batch ids also start at
-        # 0, or a stream restarted from a reset checkpoint) -- instead
-        # the serve aggregate below counts rows vs distinct shard ids
-        # and raises in-plan on any shard id carrying two different
-        # rows (ADVICE r10). Shard ids are namespaced by producer
+        # foreachBatch): a retried batch re-appends a row with the
+        # same shard id and IDENTICAL deterministic stats (n_rows,
+        # nulls, typed min/max) -- but the binary HLL sketch bytes
+        # need NOT be identical (DataSketches LIST/SET-mode coupon
+        # order follows insertion/partial-merge order, which varies
+        # with task scheduling; ADVICE r11). So dedup on the
+        # DETERMINISTIC columns only, keeping whichever row's sketch
+        # survives -- any legit replay's sketch summarizes the same
+        # rows, so the merged estimate is unaffected. Deduping on
+        # __shard alone would silently discard real data when two
+        # producers collide on a shard id (e.g. a batch index using
+        # hash shards 0..n-1 unioned with a streaming index whose
+        # batch ids also start at 0, or a stream restarted from a
+        # reset checkpoint) -- instead the serve aggregate below
+        # counts rows vs distinct shard ids and raises in-plan on any
+        # shard id carrying two rows with DIFFERENT deterministic
+        # stats (ADVICE r10). Shard ids are namespaced by producer
         # precisely so this guard never fires in correct use.
-        idx = idx.dropDuplicates(idx.columns)
+        det_cols = [c for c in idx.columns if not c.endswith("__sketch")]
+        idx = idx.dropDuplicates(det_cols)
     aggs = [F.sum("n_rows").alias("n_rows")]
     if shard_guarded:
         aggs += [
@@ -146,9 +154,10 @@ def profile_from_index(idx: DataFrame, cols: tuple) -> DataFrame:
     n_rows_col: F.Column = F.col("n_rows")
     if shard_guarded:
         # in-plan loud-fail (zero extra jobs -- the serve aggregate is
-        # one row): after full-identity dedup, rows > distinct shard
-        # ids means some shard id carries two DIFFERENT stat rows --
-        # a producer-namespace collision that would undercount.
+        # one row): after deterministic-column dedup, rows > distinct
+        # shard ids means some shard id carries two DIFFERENT stat
+        # rows -- a producer-namespace collision that would
+        # undercount.
         n_rows_col = F.when(
             F.col("__n_index_rows") == F.col("__n_shard_ids"),
             F.col("n_rows"),
@@ -156,7 +165,7 @@ def profile_from_index(idx: DataFrame, cols: tuple) -> DataFrame:
             F.raise_error(
                 F.format_string(
                     "profile index shard-id collision: %s index rows over"
-                    " %s distinct shard ids after identity dedup --"
+                    " %s distinct shard ids after deterministic-stat dedup --"
                     " producers must use distinct __shard namespaces"
                     " (build_profile_index(namespace=...) /"
                     " streaming checkpoint lineage)",

@@ -775,32 +775,63 @@ def streaming_profile_index(
     # cannot collide with build_profile_index's "batch/<i>" hash-shard
     # namespace (ADVICE r10: dedup-on-__shard silently dropped real
     # rows whenever two producers reused a shard id).
+    # All namespace IO goes through the CHECKPOINT's OWN Hadoop
+    # FileSystem (ADVICE r11): with a driver-local open()/makedirs, an
+    # hdfs:// or s3a:// checkpoint would get its namespace file on the
+    # driver's local disk, so a restart from a different driver node
+    # would mint a NEW namespace and a replayed uncommitted batch
+    # would land under a different shard id than its pre-failure
+    # partial append -- a cross-namespace duplicate the collision
+    # guard cannot see. Resolving paths via Path.getFileSystem gives
+    # the namespace true checkpoint lifetime on any scheme.
     _ns_cache: list[str] = []
 
-    def _lineage_ns() -> str:
-        if not _ns_cache:
-            import json as _json
-            import os as _os
+    def _hadoop_read(fs, jvm, path) -> str:
+        stream = fs.open(path)
+        try:
+            return str(
+                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            )
+        finally:
+            stream.close()
 
-            meta = _os.path.join(checkpoint, "metadata")
+    def _lineage_ns(spark) -> str:
+        if _ns_cache:
+            return _ns_cache[0]
+        import json as _json
+
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        meta = jvm.org.apache.hadoop.fs.Path(checkpoint + "/metadata")
+        fs = meta.getFileSystem(hconf)
+        try:
+            if fs.exists(meta):
+                _ns_cache.append(
+                    str(_json.loads(_hadoop_read(fs, jvm, meta))["id"])
+                )
+                return _ns_cache[0]
+        except (ValueError, KeyError):
+            pass  # unreadable/foreign metadata: use the sibling file
+        # fall back to a sibling namespace file on the SAME filesystem
+        # as the checkpoint, so it shares the checkpoint's lifetime
+        import uuid as _uuid
+
+        ns_path = jvm.org.apache.hadoop.fs.Path(
+            checkpoint + "/profile_index_ns"
+        )
+        if not fs.exists(ns_path):
+            ns = _uuid.uuid4().hex
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(checkpoint))
             try:
-                with open(meta) as f:
-                    _ns_cache.append(str(_json.load(f)["id"]))
-            except (OSError, ValueError, KeyError):
-                # non-local checkpoint FS: fall back to a sibling
-                # namespace file with the same lifetime as the dir
-                import uuid as _uuid
-
-                ns_file = _os.path.join(checkpoint, "profile_index_ns")
+                out = fs.create(ns_path, False)  # no-overwrite: lose
+                # the race to a concurrent driver, then read its file
                 try:
-                    with open(ns_file) as f:
-                        _ns_cache.append(f.read().strip())
-                except OSError:
-                    ns = _uuid.uuid4().hex
-                    _os.makedirs(checkpoint, exist_ok=True)
-                    with open(ns_file, "w") as f:
-                        f.write(ns)
-                    _ns_cache.append(ns)
+                    out.write(bytearray(ns.encode("utf-8")))
+                finally:
+                    out.close()
+            except Exception:  # noqa: BLE001 -- py4j wraps the
+                pass  # FileAlreadyExistsException; re-read below
+        _ns_cache.append(_hadoop_read(fs, jvm, ns_path).strip())
         return _ns_cache[0]
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
@@ -808,7 +839,9 @@ def streaming_profile_index(
             return
         (
             batch_df.groupBy(
-                F.lit(f"{_lineage_ns()}/{batch_id}").alias("__shard")
+                F.lit(
+                    f"{_lineage_ns(batch_df.sparkSession)}/{batch_id}"
+                ).alias("__shard")
             )
             .agg(*profile_index_aggs(cols))
             .write.mode("append")
@@ -842,11 +875,15 @@ def streaming_ivf_absorb(
 
     Idempotence: assignment is a pure function of (vector,
     centroids), so an at-least-once foreachBatch replay re-appends
-    IDENTICAL rows; serving dedups on ``c_id`` (each vector owns
-    exactly one list row) which collapses replays AND legitimately
-    re-delivered vectors. Asserted against the batch assignment
-    row-for-row, plus served-topk equality, in
-    tests/test_streaming_ivf_absorb.py.
+    IDENTICAL rows, and the SERVING OPERATOR enforces the
+    one-list-row-per-vector contract in code (ADVICE r11):
+    ``ivf_fixedpoint_topk`` ranks by dense_rank, under which
+    bit-identical replayed rows tie instead of inflating ranks, and
+    collapses the surviving duplicates post-filter -- so passing the
+    raw maintained parquet directly as ``assigned=`` is safe after
+    any replay or re-delivered vector. Asserted against the batch
+    assignment row-for-row, plus served-topk equality on a
+    triple-delivered list table, in tests/test_streaming_ivf_absorb.py.
 
     At 100 TB: per arriving shard the work is |shard| x k centroid
     distances + an append -- the index never rebuilds; periodic

@@ -84,9 +84,10 @@ def test_streaming_lists_equal_batch_assignment_and_serve(spark, tmp_path):
     assert serve(landed) == batch_serve
     assert batch_serve  # non-vacuous
 
-    # at-least-once replay: re-append one micro-batch's rows; the
-    # c_id-grain dedup must keep the serve identical
+    # at-least-once replay: re-append one micro-batch's rows, then
+    # serve the RAW maintained parquet -- no caller-side dedup; the
+    # one-list-row-per-vector contract is enforced inside
+    # ivf_fixedpoint_topk (ADVICE r11), so the serve must be identical
     one_file = spark.read.parquet(lists_path).limit(50)
     one_file.write.mode("append").parquet(lists_path)
-    replayed = spark.read.parquet(lists_path).dropDuplicates(["c_id"])
-    assert serve(replayed) == batch_serve
+    assert serve(spark.read.parquet(lists_path)) == batch_serve

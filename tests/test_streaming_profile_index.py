@@ -117,6 +117,94 @@ def test_incremental_shard_absorb(spark):
     _served_vs_exact(spark, standing.unionByName(fresh))
 
 
+def test_lineage_namespace_survives_restart_on_uri_checkpoint(
+    spark, tmp_path
+):
+    """ADVICE r11: the shard-id namespace must live on the CHECKPOINT's
+    filesystem (resolved through the Hadoop FileSystem API), not the
+    driver's local disk -- a restart from the same checkpoint URI must
+    re-derive the SAME namespace, so replayed batches land under their
+    pre-failure shard ids. Exercised with an explicit scheme-qualified
+    file:// URI, the shape a remote FS checkpoint takes."""
+    orders = load_table(spark, SF_CORRECT, "orders").limit(200)
+    src = str(tmp_path / "orders_in")
+    orders.repartition(2).write.parquet(src)
+    idx_path = str(tmp_path / "profile_index")
+    ckpt = f"file://{tmp_path}/ckpt_uri"
+
+    def _run():
+        q = streaming_profile_index(
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            cols=_PROFILE_COLS,
+            index_path=idx_path,
+            checkpoint=ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _run()
+    ns1 = {
+        r["__shard"].rsplit("/", 1)[0]
+        for r in spark.read.parquet(idx_path).select("__shard").collect()
+    }
+    assert len(ns1) == 1, ns1
+    # new data + restart from the SAME checkpoint: same namespace
+    orders.repartition(1).write.mode("append").parquet(src)
+    _run()
+    ns2 = {
+        r["__shard"].rsplit("/", 1)[0]
+        for r in spark.read.parquet(idx_path).select("__shard").collect()
+    }
+    assert ns2 == ns1, (ns1, ns2)
+
+
+def test_replay_with_nonidentical_sketch_bytes_serves(spark):
+    """ADVICE r11: DataSketches HLL serialization is not byte-
+    deterministic for small batches (LIST/SET-mode coupon order follows
+    insertion / partial-merge order), so an at-least-once replay can
+    legally append a row whose DETERMINISTIC stats match the original
+    while the sketch BYTES differ. Serving must collapse it (either
+    sketch summarizes the same rows), not trip the collision guard."""
+    orders = load_table(spark, SF_CORRECT, "orders")
+    part = F.pmod(F.xxhash64("o_orderkey"), F.lit(5))
+    shard_rows = orders.filter(part == 0)
+    # same rows, two aggregation shapes -> different coupon insertion /
+    # partial-merge order -> (typically) different sketch bytes
+    a = (
+        shard_rows.coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+        .groupBy(F.lit("ns/0").alias("__shard"))
+        .agg(*profile_index_aggs(_PROFILE_COLS))
+    )
+    b = (
+        shard_rows.repartition(7, "o_custkey")
+        .sortWithinPartitions(F.desc("o_orderkey"))
+        .groupBy(F.lit("ns/0").alias("__shard"))
+        .agg(*profile_index_aggs(_PROFILE_COLS))
+    )
+    ra, rb = a.collect()[0], b.collect()[0]
+    det = [c for c in a.columns if not c.endswith("__sketch")]
+    sk = [c for c in a.columns if c.endswith("__sketch")]
+    assert all(ra[c] == rb[c] for c in det), "replay fixture must be a replay"
+    assert any(bytes(ra[c]) != bytes(rb[c]) for c in sk), (
+        "fixture vacuous: every replayed sketch serialized byte-identically"
+    )
+    # full-row identity dedup (the pre-r12 behavior) would see 2 rows on
+    # one shard id and raise; deterministic-stat dedup must serve the
+    # EXACT profile (n_rows not double-counted, distincts in-gate)
+    standing = build_profile_index(
+        orders.filter(part != 0),
+        _PROFILE_COLS,
+        n_shards=4,
+        shard_key="o_orderkey",
+    )
+    _served_vs_exact(spark, standing.unionByName(a).unionByName(b))
+
+
 def test_shard_namespace_collision_loud_fails(spark):
     """ADVICE r10: two producers reusing a shard id (batch hash shards
     vs streaming batch ids, or a reset-checkpoint restart) must raise,
