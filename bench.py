@@ -57,6 +57,17 @@ def materialize(df) -> None:
 
 
 def main() -> None:
+    # Run-condition provenance (VERDICT r11 item 3): a loaded host can
+    # inflate the total ~2.5x (round 11: 159s idle vs 395s contended),
+    # so the artifact records the 1-minute load average BEFORE the
+    # session starts (external contention; anything >~1 on an
+    # otherwise-idle box means another workload was draining) plus a
+    # per-query sample (self-load included -- meaningful relative to
+    # the ~cpus steady level the bench itself induces).
+    try:
+        load_before = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover -- non-unix
+        load_before = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = build_session(
@@ -112,8 +123,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     refit_sec: dict[str, float] = {}
+    query_load: dict[str, float] = {}
     for name in names:
         n_fit0 = len(fitstore.FIT_EVENTS)
+        try:
+            query_load[name] = round(os.getloadavg()[0], 2)
+        except OSError:  # pragma: no cover
+            pass
         t0 = time.perf_counter()
         materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -172,6 +188,14 @@ def main() -> None:
             },
             **refit_sec,
         }
+        query_load = {
+            **{
+                k: v
+                for k, v in prior.get("query_load_1m", {}).items()
+                if k not in names
+            },
+            **query_load,
+        }
         merged_from_subset = True
 
     out = {
@@ -200,6 +224,10 @@ def main() -> None:
         # one session and correctly resets it
         "partial": bool(subset),
         "subset_last_run": sorted(names) if subset else None,
+        "load_avg_1m_before": load_before,
+        # load sampled at each timed query's start; full map in the
+        # artifact, slowest-10 subset on stdout
+        "query_load_1m": query_load,
     }
 
     baseline_path = os.path.join(bench_dir, f"duckdb_sf{sf}.json")
@@ -227,6 +255,9 @@ def main() -> None:
     )
     compact = dict(out)
     compact["queries"] = slowest
+    compact["query_load_1m"] = {
+        n: query_load[n] for n in slowest if n in query_load
+    }
     compact["n_queries"] = len(timings)
     compact["full_results"] = full_path
     print(json.dumps(compact))
