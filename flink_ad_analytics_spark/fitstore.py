@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 # constants, tie-breaks, assignment order, ...). Folded into the cache
 # tag so a code change can never silently serve a stale pre-change
 # artifact (ADVICE r6: artifacts were keyed only by corpus + params).
-FIT_ALGO_VERSION = 1
+FIT_ALGO_VERSION = 2  # r12: inverted lists carry the dist2 residual
 
 #: (kind, tag, seconds) of every fit_fn actually EXECUTED in this
 #: process (cache misses only). bench.py reads this to attribute

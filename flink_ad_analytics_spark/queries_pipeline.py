@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .operators.clustering import (
+    IVF_DRIFT_STALE_RATIO as _IVF_DRIFT_GATE,
     ivf_fixedpoint_topk,
     kmeans_fixedpoint_assign,
     kmeans_step_stats,
@@ -1002,6 +1003,25 @@ def q_ann_ivf_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit_where, assign everything, probe) and values match exactly
     (integer fixed-point scores, same tie-breaks as ann_ivf_kmeans).
     """
+    emb, _standing, fresh, cent, lists = _absorb_parts(spark, sf_dir)
+    from .operators.clustering import ivf_fixedpoint_assign
+
+    # the per-shard ingest cost: assign ONLY the fresh vectors
+    absorbed = ivf_fixedpoint_assign(fresh, cent)
+    return ivf_fixedpoint_topk(
+        emb,
+        cent,
+        query_filter=F.col("vec_id") < 20,
+        k=5,
+        nprobe=2,
+        assigned=lists.unionByName(absorbed),
+    )
+
+
+def _absorb_parts(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the absorb-contract queries: the portable
+    md5-nibble standing/fresh split, the standing-corpus centroid fit
+    and the standing inverted lists (both warehouse artifacts)."""
     from .operators.clustering import (
         ivf_fixedpoint_assign,
         kmeans_fixedpoint,
@@ -1039,16 +1059,36 @@ def q_ann_ivf_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_KM_K, _KM_FP_ITERS, _KM_SEED, _ABSORB_SEED),
         lambda: ivf_fixedpoint_assign(standing, cent),
     )
-    # the per-shard ingest cost: assign ONLY the fresh vectors
-    absorbed = ivf_fixedpoint_assign(fresh, cent)
-    return ivf_fixedpoint_topk(
-        emb,
-        cent,
-        query_filter=F.col("vec_id") < 20,
-        k=5,
-        nprobe=2,
-        assigned=lists.unionByName(absorbed),
+    return emb, standing, fresh, cent, lists
+
+
+def q_ann_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STALENESS SIGNAL for the standing IVF (VERDICT r11 item 2):
+    the absorb contract fixes centroids forever -- that is what makes
+    ingest mergeable -- so under distribution drift serving recall
+    decays with no error anywhere. This query is the measured watch
+    on that failure mode: the fresh shard's mean assignment residual
+    (dist2 now rides in the inverted lists,
+    operators/clustering.py::ivf_fixedpoint_assign) over the
+    fit-time standing mean. In-distribution the ratio sits ~1 and
+    ``stale`` is false; past the MEASURED threshold
+    (IVF_DRIFT_STALE_RATIO, tools/ivf_drift_campaign.py, recall-loss
+    calibrated) ``ivf_absorb_or_refit`` switches from the cheap
+    append to a one-time refit under a new fit tag -- decay is shown,
+    trigger fires, recall recovers in tests/test_ivf_drift.py.
+
+    Cost: two aggregates over relations that already exist (standing
+    lists artifact + the absorb shard's assignment); at 100 TB the
+    standing (sum, n) pair is a running total the streaming ledger
+    maintains (streaming_ivf_absorb drift_path), so the report is
+    O(|shard|), nothing scaling with the standing corpus."""
+    from .operators.clustering import (
+        ivf_drift_stats,
+        ivf_fixedpoint_assign,
     )
+
+    _emb, _standing, fresh, cent, lists = _absorb_parts(spark, sf_dir)
+    return ivf_drift_stats(lists, ivf_fixedpoint_assign(fresh, cent))
 
 
 ANN_IVF_KMEANS_SQL = """{cte},
@@ -1077,6 +1117,34 @@ SELECT q_id, c_id,
 FROM assigned a JOIN probes p USING (bucket)
 WHERE p.q_id != a.c_id
 QUALIFY rank <= {k}
+"""
+
+# drift report oracle: replay the standing-only fit (fit_where), assign
+# EVERY vector, then fold per-cohort residual means exactly as
+# ivf_drift_stats does -- integer sums, double division, same order of
+# operations, same stale gate constant.
+ANN_IVF_DRIFT_SQL = """{cte},
+fcent AS (SELECT * FROM cent WHERE it = {iters}),
+assigned AS (
+  SELECT v.vec_id,
+         substr(md5('{seed}:' || CAST(v.vec_id AS VARCHAR)), 1, 1) = '0'
+           AS is_fresh,
+         list_sum(list_transform(generate_series(1, 64),
+             i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS dist2
+  FROM qv v, fcent c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY dist2, c.cid) = 1),
+s AS (
+  SELECT COUNT(*) AS n_standing,
+         CAST(SUM(dist2) AS DOUBLE) / COUNT(*) AS standing_mean_dist2
+  FROM assigned WHERE NOT is_fresh),
+f AS (
+  SELECT COUNT(*) AS n_fresh,
+         CAST(SUM(dist2) AS DOUBLE) / COUNT(*) AS fresh_mean_dist2
+  FROM assigned WHERE is_fresh)
+SELECT n_standing, standing_mean_dist2, n_fresh, fresh_mean_dist2,
+       fresh_mean_dist2 / standing_mean_dist2 AS drift_ratio,
+       fresh_mean_dist2 / standing_mean_dist2 > {gate} AS stale
+FROM s, f
 """
 
 
@@ -3961,6 +4029,23 @@ PIPELINE_QUERIES: dict[str, tuple] = {
                 ),
             ),
             iters=_KM_FP_ITERS, nprobe=2, k=5,
+        ),
+    ),
+    "ann_ivf_drift": (
+        q_ann_ivf_drift,
+        ANN_IVF_DRIFT_SQL.format(
+            cte=_kmeans_fp_cte(
+                _KM_K,
+                _KM_FP_ITERS,
+                _KM_SEED,
+                fit_where=(
+                    f"WHERE substr(md5('{_ABSORB_SEED}:' || "
+                    "CAST(vec_id AS VARCHAR)), 1, 1) != '0'"
+                ),
+            ),
+            iters=_KM_FP_ITERS,
+            seed=_ABSORB_SEED,
+            gate=_IVF_DRIFT_GATE,
         ),
     ),
     "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),

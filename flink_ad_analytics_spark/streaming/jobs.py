@@ -863,6 +863,9 @@ def streaming_ivf_absorb(
     lists_path: str,
     checkpoint: str,
     query_name: str = "ivf_absorb",
+    drift_path: str | None = None,
+    fit_inertia: tuple[int, int] | None = None,
+    stale_ratio: float | None = None,
 ) -> "StreamingQuery":
     """Streaming maintenance of the STANDING IVF INVERTED LISTS --
     the ANN twin of ``streaming_profile_index`` and the continuous
@@ -885,21 +888,71 @@ def streaming_ivf_absorb(
     assignment row-for-row, plus served-topk equality on a
     triple-delivered list table, in tests/test_streaming_ivf_absorb.py.
 
+    Drift ledger (VERDICT r11 item 2): with ``drift_path`` +
+    ``fit_inertia`` = (sum_dist2, n) of the FIT-TIME standing
+    assignment (one aggregate over the standing lists at deploy, or
+    the running sum the ledger itself maintains), every micro-batch
+    also appends one MERGEABLE drift row: (batch_id, n_vec,
+    sum_dist2, mean_dist2, drift_ratio, refit_requested).  The ratio
+    is the batch's mean assignment residual over the fit-time mean
+    (operators/clustering.py::ivf_drift_stats semantics);
+    ``refit_requested`` goes true past the measured
+    IVF_DRIFT_STALE_RATIO (tools/ivf_drift_campaign.py) -- the signal
+    a downstream batch refitter consumes to re-fit centroids on
+    standing+fresh and rebuild the lists once under a new fit tag.
+    The rows are per-batch PARTIALS (integer sums), so any window of
+    the ledger re-aggregates exactly -- replay-safe the same way as
+    the lists themselves.
+
     At 100 TB: per arriving shard the work is |shard| x k centroid
-    distances + an append -- the index never rebuilds; periodic
-    re-clustering (centroid drift) is a batch decision upstream, at
-    which point the lists rebuild once under the new centroid
-    artifact (a new lists_path keyed by the centroid fit tag, the
-    fitstore contract)."""
-    from ..operators.clustering import ivf_fixedpoint_assign
+    distances + an append -- the index never rebuilds; the drift row
+    adds one map-side aggregate of the just-assigned batch (the
+    residuals were computed during assignment anyway). Re-clustering
+    stays a batch decision upstream -- now a MEASURED one -- at which
+    point the lists rebuild once under the new centroid artifact (a
+    new lists_path keyed by the centroid fit tag, the fitstore
+    contract)."""
+    from ..operators.clustering import (
+        IVF_DRIFT_STALE_RATIO,
+        ivf_fixedpoint_assign,
+    )
+
+    if drift_path is not None and fit_inertia is None:
+        raise ValueError(
+            "drift_path requires fit_inertia=(sum_dist2, n) of the "
+            "fit-time standing assignment"
+        )
+    gate = float(
+        IVF_DRIFT_STALE_RATIO if stale_ratio is None else stale_ratio
+    )
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        assigned = ivf_fixedpoint_assign(batch_df, cent)
+        if drift_path is not None:
+            assigned = assigned.localCheckpoint(eager=True)
+        assigned.write.mode("append").parquet(lists_path)
+        if drift_path is None:
+            return
+        fit_mean = float(fit_inertia[0]) / float(fit_inertia[1])
+        mean = F.col("sum_dist2").cast("double") / F.col("n_vec")
+        ratio = mean / F.lit(fit_mean)
         (
-            ivf_fixedpoint_assign(batch_df, cent)
+            assigned.agg(
+                F.count(F.lit(1)).alias("n_vec"),
+                F.sum("dist2").alias("sum_dist2"),
+            )
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "n_vec",
+                "sum_dist2",
+                mean.alias("mean_dist2"),
+                ratio.alias("drift_ratio"),
+                (ratio > F.lit(gate)).alias("refit_requested"),
+            )
             .write.mode("append")
-            .parquet(lists_path)
+            .parquet(drift_path)
         )
 
     return (

@@ -372,6 +372,52 @@ def test_semantic_decontaminate_contract(spark):
         )
 
 
+def test_shingle_novelty_paths_equal(spark):
+    """The r12 skew-split path (broadcast-anti hot vocabulary + cold-
+    only SMJ + arithmetic n_boiler) must be value-identical to the
+    annotate join on a mixed corpus, and the auto selector must keep
+    the declared-query corpus on the annotate path (max_df far below
+    the measured crossover pin)."""
+    from flink_ad_analytics_spark.operators.text import (
+        _NOVELTY_SPLIT_MIN_DF,
+        _novelty_df_probe,
+        shingle_novelty,
+    )
+    from flink_ad_analytics_spark.operators.dedup import doc_shingles
+
+    boiler = "common one two three four"
+    rows = [(i, f"{boiler} tail{i}a tail{i}b") for i in range(25)]
+    rows.append((100, "totally unique words only here now"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def key(df):
+        return sorted(
+            (
+                r["doc_id"],
+                r["n_shingles"],
+                r["n_novel"],
+                r["n_boiler"],
+                round(r["novelty"], 9),
+                round(r["boilerplate"], 9),
+            )
+            for r in df.collect()
+        )
+
+    annotate = key(shingle_novelty(docs, skew_split=False))
+    split = key(shingle_novelty(docs, skew_split=True))
+    auto = key(shingle_novelty(docs))
+    assert annotate == split == auto
+    assert len(annotate) == 26
+
+    # selector routing: this corpus's hottest shingle (df=25) is far
+    # under the pinned crossover, so auto must take the annotate path
+    sh = doc_shingles(docs, "doc_id", "text")
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    df_tbl = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    max_df, vocab = _novelty_df_probe(df_tbl, 10)
+    assert max_df == 25 and max_df < _NOVELTY_SPLIT_MIN_DF
+
+
 def test_shingle_novelty_planted_boilerplate(spark):
     """Semantic pin for shingle_novelty: docs sharing a >=10-doc
     boilerplate run score boilerplate > 0 and novelty < 1 on exactly
