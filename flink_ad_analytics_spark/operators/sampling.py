@@ -475,6 +475,7 @@ def dsir_logweights(
     target: DataFrame | None = None,
     *,
     target_index: DataFrame | None = None,
+    target_pred: Column | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 10_000,
@@ -516,29 +517,60 @@ def dsir_logweights(
     exactly one must be given, and both yield identical weights
     (tests/test_sampling.py pins this).
     """
-    if (target is None) == (target_index is None):
-        raise ValueError("pass exactly one of target / target_index")
+    if sum(x is not None for x in (target, target_index, target_pred)) != 1:
+        raise ValueError(
+            "pass exactly one of target / target_index / target_pred"
+        )
     fb = _hashed_features(raw, id_col, text_col, n_buckets, seed)
     dbc = fb.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
-    raw_counts = dbc.groupBy("bucket").agg(F.sum("c").alias("c_r"))
-    tgt_counts = (
-        target_index
-        if target_index is not None
-        else dsir_target_index(
-            target,
-            id_col=id_col,
-            text_col=text_col,
-            n_buckets=n_buckets,
-            seed=seed,
+    if target_pred is not None:
+        # r12 (guide section 2.4): when the target corpus is a
+        # PREDICATE-SELECTED subset of ``raw`` (q_dsir_selection's "the
+        # en subcorpus stands in for the target"), hashing it
+        # separately re-tokenizes and re-md5s the subset -- a second
+        # corpus-sized pass. Its bucket counts are already a slice of
+        # the raw pass: c_t(b) = sum of dbc.c over target docs, which
+        # one broadcast of the tiny (id, flag) relation recovers
+        # exactly (same hashing, same occurrence grain). Raw and
+        # target counts come out of ONE aggregation over dbc -- and
+        # that dbc branch needs the same (id, bucket, c) columns as
+        # the per-doc scoring branch below, so the optimizer's column
+        # pruning cannot differentiate the two subtrees and exchange
+        # reuse collapses them to a single tokenize+hash pass at
+        # runtime (the three-branch form was measured to re-run the
+        # explode per branch; plan evidence in plans/r12). A full
+        # join is unnecessary here: target is a subset of raw, so
+        # target-only buckets cannot exist.
+        flags = raw.select(F.col(id_col), target_pred.alias("__is_tgt"))
+        joined = (
+            dbc.join(F.broadcast(flags), id_col, "left")
+            .groupBy("bucket")
+            .agg(
+                F.sum("c").alias("c_r"),
+                F.sum(F.when(F.col("__is_tgt"), F.col("c"))).alias("c_t"),
+            )
         )
-    )
-    # Totals as windows over the joined bucket table, NOT scalar-agg
-    # crossJoins: a crossJoin per total would splice the whole
-    # raw-count subtree (and its corpus scan) into the plan once per
-    # scalar. The no-partition window funnels through one task, but
-    # its input is bounded by n_buckets rows BY CONSTRUCTION -- not by
-    # the corpus. FULL join so target-only buckets still count into T.
-    joined = raw_counts.join(tgt_counts, "bucket", "full")
+    else:
+        raw_counts = dbc.groupBy("bucket").agg(F.sum("c").alias("c_r"))
+        tgt_counts = (
+            target_index
+            if target_index is not None
+            else dsir_target_index(
+                target,
+                id_col=id_col,
+                text_col=text_col,
+                n_buckets=n_buckets,
+                seed=seed,
+            )
+        )
+        # Totals as windows over the joined bucket table, NOT
+        # scalar-agg crossJoins: a crossJoin per total would splice
+        # the whole raw-count subtree (and its corpus scan) into the
+        # plan once per scalar. The no-partition window funnels
+        # through one task, but its input is bounded by n_buckets
+        # rows BY CONSTRUCTION -- not by the corpus. FULL join so
+        # target-only buckets still count into T.
+        joined = raw_counts.join(tgt_counts, "bucket", "full")
     w = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -595,8 +627,9 @@ def dsir_logweights(
 
 def dsir_select(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     *,
+    target_pred: Column | None = None,
     k: int = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -623,6 +656,7 @@ def dsir_select(
     dw = dsir_logweights(
         raw,
         target,
+        target_pred=target_pred,
         id_col=id_col,
         text_col=text_col,
         n_buckets=n_buckets,

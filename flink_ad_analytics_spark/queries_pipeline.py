@@ -385,11 +385,19 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     TARGET domain -- here the corpus's English subcorpus stands in for
     the high-quality target, the whole corpus is the raw pool. Two
     bucket-count aggregations + a broadcast log-ratio lookup + a
-    Gumbel-top-k; no corpus-sized shuffle anywhere."""
+    Gumbel-top-k; no corpus-sized shuffle anywhere.
+
+    r12: the target is a predicate-selected slice of the raw corpus,
+    so it is passed as ``target_pred`` -- the target bucket counts
+    come from the SAME hashed-feature pass as the raw counts (one
+    tokenize+md5 pass and one (doc, bucket) shuffle total, shared via
+    exchange reuse) instead of re-tokenizing the en subcorpus in a
+    second pass. Values identical by construction (the fused counts
+    are a partition of the same occurrence rows); oracle unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     return dsir_select(
         docs,
-        docs.filter(F.col("lang") == "en"),
+        target_pred=F.col("lang") == "en",
         k=_DSIR_K,
         n_buckets=_DSIR_BUCKETS,
         seed=_DSIR_SEED,

@@ -88,6 +88,22 @@ ENGINE_BUILD_CONF = {
     # 1.9s, steady-state). At lake scale AQE coalescing absorbs any
     # over-split tail.
     "spark.sql.files.openCostInBytes": "1048576",
+    # r12 (guide sections 2.2/9): let AQE coalesce post-shuffle
+    # partitions toward the advisory byte size instead of padding
+    # them out to default parallelism. With parallelismFirst=true
+    # (Spark's compatibility default) every tiny shuffle still fans
+    # out to min(parallelism) near-empty reduce tasks; the Spark docs
+    # themselves recommend false. The advisory size stays at Spark's
+    # 64m default and is env-overridable for cluster profiles where
+    # 128-256m partitions amortize better
+    # (SPARK_GRAFT_ADVISORY_PARTITION_BYTES). Measured on the 24-query
+    # relational/streaming-shape bench subset, 5 interleaved
+    # session-pairs on the (noisy) r12 host: median -21%, B wins 4/5
+    # pairings (OPTIMIZATION_r12.md has the raw samples).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+        "SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"
+    ),
     # Session windows / stateful ops off-heap state can stay default
     # locally; RocksDB provider is configured by streaming jobs that
     # need large state (see streaming/jobs.py).

@@ -294,6 +294,28 @@ def test_dsir_weights_target_like_docs_higher(spark):
     assert min(a_scores) > max(b_scores)
 
 
+def test_dsir_target_pred_identical_to_two_pass(spark):
+    """The r12 fused path (target_pred slices the raw hashed-feature
+    pass) must produce bit-identical weights to hashing the
+    predicate-filtered corpus as a separate target -- same occurrence
+    rows, partitioned instead of recomputed."""
+    from flink_ad_analytics_spark.operators.sampling import (
+        dsir_logweights,
+        dsir_select,
+    )
+
+    docs = _dsir_corpus(spark)
+    pred = F.col("doc_id") < 20
+    two_pass = sorted(dsir_logweights(docs, docs.filter(pred)).collect())
+    fused = sorted(dsir_logweights(docs, target_pred=pred).collect())
+    assert two_pass == fused  # exact, incl. the double log_w
+    sel_two = dsir_select(docs, docs.filter(pred), k=7).collect()
+    sel_fused = dsir_select(docs, target_pred=pred, k=7).collect()
+    assert sel_two == sel_fused
+    with pytest.raises(ValueError):
+        dsir_logweights(docs, docs.filter(pred), target_pred=pred)
+
+
 def test_dsir_weights_partitioning_invariant(spark):
     from flink_ad_analytics_spark.operators.sampling import dsir_logweights
 
