@@ -421,13 +421,21 @@ def pcm_frame_stats(
         "asset_id",
         "n_samples",
         (F.col("i") / w).cast("long").alias("frame"),
-        (
-            F.conv(F.expr("substring(h, 4 * i + 1, 2)"), 16, 10).cast("long")
-            + F.lit(256)
-            * F.conv(F.expr("substring(h, 4 * i + 3, 2)"), 16, 10).cast(
-                "long"
-            )
-        ).alias("u"),
+        # r12: one base-16 conv per sample instead of two. s16le means
+        # byte i is the LOW byte and byte i+1 the HIGH byte; swapping
+        # the two hex pairs before a single conv yields the identical
+        # unsigned sample (hi*256 + lo). Measured min-of-3 x2 sessions:
+        # 2.93 -> 2.67s at sf0.1, value-identical.
+        F.conv(
+            F.expr(
+                "concat(substring(h, 4 * i + 3, 2), "
+                "substring(h, 4 * i + 1, 2))"
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u"),
     )
     signed = per_sample.withColumn(
         "s",
