@@ -32,15 +32,21 @@ except ImportError:  # pragma: no cover
 #   1. every query that has NEVER appeared in a committed driver
 #      CORRECTNESS_r*.json window, in a deterministic round-robin
 #      interleave of the EXTENSION / PIPELINE / RELATIONAL families;
-#   2. then the already-verified queries, same interleave order.
+#   2. then every query whose semantics-bearing operator code changed in
+#      r12/r13 (``_RETOUCHED``) -- r12 verdict item 2: a query whose
+#      expressions changed must re-enter the window even if an older
+#      round already verified it, so the driver re-oracles the CURRENT
+#      code, not the code that earned the original row;
+#   3. then the remaining already-verified queries, same interleave
+#      order.
 # ``_DRIVER_VERIFIED`` is an EXPLICIT COMMITTED CONSTANT -- the union of
-# the key sets of CORRECTNESS_r01..r11.json -- bumped intentionally each
+# the key sets of CORRECTNESS_r01..r12.json -- bumped intentionally each
 # round by appending the new round's window keys (ADVICE r11: deriving
 # the ordering from artifact-file globbing made a fresh clone of HEAD and
 # the local tree disagree whenever the round's own artifact was
-# untracked; a source-level constant cannot drift).  With 91 verified /
-# 83 pending at round 12, the r12 window is 50 first-time queries and
-# round 13 covers the remaining 33.
+# untracked; a source-level constant cannot drift).  With 141 verified /
+# 34 pending at round 13, the r13 window is the full remaining
+# first-time set plus 16 retouched re-verification slots.
 
 _DRIVER_VERIFIED = frozenset((
     "above_average_orders", "ann_cosine_topk", "ann_filtered_topk",
@@ -75,7 +81,40 @@ _DRIVER_VERIFIED = frozenset((
     "urgent_undelivered", "url_canonicalize", "url_dedup",
     "user_funnel_cep", "user_sessions", "volume_shipping",
     "zorder_buckets",
+    # --- r12 window (CORRECTNESS_r12.json, 50/50 green) ---
+    "ann_ivf_kmeans", "ann_pq_topk", "ann_quantized_topk",
+    "ann_topk_vectorized", "bpe_segment", "bpe_top_pairs", "bpe_vocab",
+    "capped_sessions", "char_stats", "count_zscore_alerts",
+    "curated_corpus", "dataset_splits", "decontaminated",
+    "decontaminated_bloom", "dedup_verify_editdist", "dsir_selection",
+    "embedding_quantization", "event_type_pivot", "gopher_quality",
+    "hard_negatives", "k_anonymity_audit", "kcenter_coverage",
+    "kfold_balance", "kmeans_clusters", "kmeans_fit", "kmeans_step",
+    "kmeans_update", "multimodal_frames", "multimodal_resize",
+    "negative_samples", "pii_redaction", "pq_codebook_fit", "pq_codes",
+    "price_band_peers", "priority_grouping_sets", "quality_ensemble",
+    "quality_weighted_sample", "rebalanced_mix", "repetition_quality",
+    "semantic_decontamination", "shingle_novelty", "span_dedup",
+    "split_contamination", "stratified_sample", "temperature_mix",
+    "token_budget", "tokenizer_fertility", "top_terms",
+    "user_erasure_audit", "window_dedup",
 ))
+
+#: Queries whose semantics-bearing operator code changed in r12 or r13
+#: (r12 verdict item 2): they re-enter the driver window right after the
+#: never-verified tier so the CURRENT expressions get a fresh oracle row.
+#: Order here is the window order (never-verified fill 34 slots; these
+#: fill the rest).
+_RETOUCHED = (
+    # r12 changes that missed the r12 window (verdict item 2's literal list)
+    "multimodal_phash", "pcm_frame_stats", "pcm_frame_stats_arrow",
+    "dsir_selection", "shingle_novelty",
+    # r13 optimization touches
+    "dedup_verify_editdist", "dedup_verify_editdist_topk",
+    "hopping_daily_actives", "semantic_dedup", "dedup_minhash_lsh",
+    "dedup_clusters_star", "dedup_clusters_best", "incremental_dedup",
+    "ann_cosine_topk", "ann_ivf_topk", "dedup_clusters",
+)
 
 
 def _interleave(*families: dict) -> dict:
@@ -88,7 +127,10 @@ def _interleave(*families: dict) -> dict:
             if i < len(keys) and keys[i] not in rr:
                 rr.append(keys[i])
     order = [k for k in rr if k not in _DRIVER_VERIFIED]
-    order += [k for k in rr if k in _DRIVER_VERIFIED]
+    order += [k for k in _RETOUCHED if k in _DRIVER_VERIFIED]
+    order += [
+        k for k in rr if k in _DRIVER_VERIFIED and k not in _RETOUCHED
+    ]
     return {k: merged[k] for k in order}
 
 

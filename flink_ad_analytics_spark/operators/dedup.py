@@ -554,12 +554,25 @@ def _signatures_from_shingles(sh: DataFrame, id_col: str) -> DataFrame:
     from ..functions.hashing import hex_minhash_term
 
     posting = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    # The pinned repartition (same rationale as doc_shingles: AQE would
-    # coalesce the small vocabulary exchange to ~1 task, serializing
-    # the 16 md5s/shingle computed in the projection above it) also
-    # pre-partitions the vocabulary on the join key.
+    # Width pin for the hash+merge stage (same rationale as
+    # doc_shingles: AQE sizes exchanges by BYTES and would coalesce
+    # this small-shuffle stage to ~1 task, serializing the 16
+    # md5s/shingle and the merge join). The pin lives on the POSTING
+    # side: its child is doc-id-partitioned, so the repartition
+    # survives as the join's own REPARTITION_BY_NUM exchange (exempt
+    # from AQE coalescing -- and AQE must then skip the whole join
+    # group, because coalescing one side of a co-partitioned SMJ would
+    # break the join) at zero added shuffle. The vocabulary side
+    # CANNOT carry the pin -- a repartition on (shingle) directly
+    # above the distinct's identical hash(shingle) exchange is elided
+    # as redundant, which is exactly what the r13 before-plan showed
+    # (both SMJ inputs ENSURE_REQUIREMENTS, stage coalesced to 1) --
+    # so it keeps its plain distinct: the map-side partial dedup
+    # shrinks that exchange to the per-partition vocabulary, and the
+    # group-level skip pins its width anyway.
     n_part = sh.sparkSession.sparkContext.defaultParallelism
-    uniq = posting.select("shingle").distinct().repartition(n_part, "shingle").select(
+    pinned_posting = posting.repartition(n_part, "shingle")
+    uniq = posting.select("shingle").distinct().select(
         "shingle",
         *[
             hex_minhash_term(F.col("shingle"), j).alias(f"h_{j}")
@@ -575,7 +588,7 @@ def _signatures_from_shingles(sh: DataFrame, id_col: str) -> DataFrame:
     # builds cannot spill). Sort-merge spills to disk on both sides,
     # costs nothing measurable at bench scale, and is the only
     # strategy that is safe at every corpus size.
-    hashed = posting.join(uniq.hint("merge"), "shingle")
+    hashed = pinned_posting.join(uniq.hint("merge"), "shingle")
     aggs = [F.min(F.col(f"h_{j}")).alias(f"mh_{j}") for j in range(N_MINHASHES)]
     return hashed.groupBy(id_col).agg(*aggs)
 
@@ -647,13 +660,28 @@ def _exact_jaccard_verify(
     the formula/threshold semantics cannot drift between paths (or
     silently diverge from their SQL oracles). Sizes are taken from
     the arrays AFTER the join exchange materializes them -- no
-    recompute of the shingle transform."""
+    recompute of the shingle transform.
+
+    The candidate relation is pinned to an explicit-width repartition
+    on ``left_id`` (r13, guide §2.2/§2.5 byte-blindness): candidates
+    are two longs per row, so AQE's byte-based coalescing collapses
+    the exchange feeding this stage to ~1 task -- blind to the
+    array_intersect-per-pair (and, in the editdist consumers, the
+    O(len^2) levenshtein-per-pair) CPU above it. REPARTITION_BY_NUM is
+    exempt from AQE coalescing, so the verify stage keeps one task per
+    core at any byte size; the pinned key doubles as the partitioning
+    the per-``left_id`` rank windows downstream need (lsh_topk_perdoc,
+    cross_corpus best-match), removing their exchange outright
+    (guide §2.4). Cost: one narrow id-pair shuffle -- linear in the
+    candidate count at any corpus size, trivial next to the kernels."""
+    n_part = candidates.sparkSession.sparkContext.defaultParallelism
     s1 = sh_left.select(F.col(id_col).alias(left_id), F.col("shingles").alias("sh1"))
     s2 = sh_right.select(
         F.col(id_col).alias(right_id), F.col("shingles").alias("sh2")
     )
     return (
-        candidates.join(s1, left_id)
+        candidates.repartition(n_part, F.col(left_id))
+        .join(s1, left_id)
         .join(s2, right_id)
         .select(
             left_id,

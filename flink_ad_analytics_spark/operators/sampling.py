@@ -541,9 +541,20 @@ def dsir_logweights(
         # explode per branch; plan evidence in plans/r12). A full
         # join is unnecessary here: target is a subset of raw, so
         # target-only buckets cannot exist.
+        #
+        # The (id, flag) relation is corpus-CARDINALITY but only two
+        # narrow columns; no broadcast hint (r12 ADVICE): at lake
+        # scale a forced broadcast of one row per document would blow
+        # the 8 GB broadcast cap, while the unhinted join lets the
+        # planner broadcast when the runtime size allows (it does at
+        # every committed SF -- plan evidence in plans/r13) and fall
+        # back to a narrow-row shuffle join when it does not.
+        # PRECONDITION: ``raw`` ids are unique (the corpus contract
+        # everywhere in this module); a duplicated id would fan out
+        # its dbc rows through this join and inflate both counts.
         flags = raw.select(F.col(id_col), target_pred.alias("__is_tgt"))
         joined = (
-            dbc.join(F.broadcast(flags), id_col, "left")
+            dbc.join(flags, id_col, "left")
             .groupBy("bucket")
             .agg(
                 F.sum("c").alias("c_r"),

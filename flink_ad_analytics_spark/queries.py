@@ -423,6 +423,20 @@ def _hopping_counts_panes(
         "event_type",
         "user_id",
     ).agg(F.count(F.lit(1)).alias("n"))
+    # Width pin for the fan-out stage (r13, guide §2.2 byte-blindness):
+    # the pre-counted pane relation is narrow, so AQE's byte-based
+    # coalescing collapses the pane aggregation's exchange to ~1 task
+    # -- blind to the W/S-times explode and the distinct-user partial
+    # aggregation that run ABOVE it (measured: the whole query 1.95s
+    # -> 4.16s min-of-6 under advisory-size coalescing with no pin).
+    # An explicit-width repartition on a key subset ((pane, user) --
+    # a strict subset so it cannot be elided as redundant against the
+    # aggregation's own hash(pane, type, user) exchange) is exempt
+    # from AQE coalescing and keeps one task per core. Cost: one extra
+    # narrow shuffle of pre-counted panes -- linear, and paid only by
+    # this high-fan-out decomposition.
+    n_part = ev.sparkSession.sparkContext.defaultParallelism
+    pane = pane.repartition(n_part, "p", "user_id")
     assigned = pane.select(
         "p", "event_type", "user_id", "n",
         F.explode(F.expr(f"sequence(0, {fanout - 1})")).alias("k"),

@@ -90,16 +90,27 @@ ENGINE_BUILD_CONF = {
     "spark.sql.files.openCostInBytes": "1048576",
     # r12 (guide sections 2.2/9): let AQE coalesce post-shuffle
     # partitions toward the advisory byte size instead of padding
-    # them out to default parallelism. With parallelismFirst=true
-    # (Spark's compatibility default) every tiny shuffle still fans
-    # out to min(parallelism) near-empty reduce tasks; the Spark docs
-    # themselves recommend false. The advisory size stays at Spark's
-    # 64m default and is env-overridable for cluster profiles where
-    # 128-256m partitions amortize better
-    # (SPARK_GRAFT_ADVISORY_PARTITION_BYTES). Measured on the 24-query
-    # relational/streaming-shape bench subset, 5 interleaved
-    # session-pairs on the (noisy) r12 host: median -21%, B wins 4/5
-    # pairings (OPTIMIZATION_r12.md has the raw samples).
+    # them out to default parallelism; env-overridable for cluster
+    # profiles where 128-256m partitions amortize better
+    # (SPARK_GRAFT_ADVISORY_PARTITION_BYTES).
+    #
+    # r13 (verdict item 1): the r12 change shipped withOUT a
+    # parallelism floor, and byte-based coalescing serialized every
+    # CPU-dense low-byte stage (levenshtein verify pairs, hopping pane
+    # fan-out): interleaved same-session A/B, min-of-6 both orders, on
+    # the quieter r13 host read dedup_verify_editdist 2.43s -> 3.98s,
+    # _topk 2.06 -> 3.68, hopping_daily_actives 1.95 -> 4.16 under the
+    # floorless conf -- while the r12 "tail wins" did NOT reproduce
+    # (large_volume_customers min 1.30 A vs 1.59 B; semantic_dedup,
+    # kmeans_step, pricing_summary ties): they were r12-host noise.
+    # Fix: an explicit coalescing floor at the session's core count
+    # (cluster parallelism at scale). Spark 4.1.2 honors an EXPLICIT
+    # minPartitionNum regardless of parallelismFirst (the
+    # parallelismFirst branch is only the unset fallback --
+    # CoalesceShufflePartitions.$anonfun$apply$1), so large shuffles
+    # still coalesce toward the advisory size while no stage drops
+    # below one task per core. Set in build_session (needs the core
+    # count); parallelismFirst stays false so the intent is explicit.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
         "SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"
@@ -147,6 +158,13 @@ def build_session(
     master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(ENGINE_BUILD_CONF)
+    # AQE coalescing floor = the session's parallelism (see the
+    # ENGINE_BUILD_CONF comment; on a cluster this is the submit
+    # config's total core count). Env-overridable like the advisory.
+    conf["spark.sql.adaptive.coalescePartitions.minPartitionNum"] = (
+        os.environ.get("SPARK_GRAFT_COALESCE_MIN_PARTITIONS")
+        or str(cpus or os.cpu_count() or 1)
+    )
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     conf.update(ENGINE_RUNTIME_CONF)

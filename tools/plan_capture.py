@@ -11,6 +11,8 @@ decisions match the bench configuration.
 
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 import sys
 
@@ -20,6 +22,11 @@ from flink_ad_analytics_spark.session import build_session  # noqa: E402
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(
+            "usage: plan_capture.py OUTDIR [SUFFIX] [q1,q2,...]"
+        )
     outdir = sys.argv[1]
     suffix = sys.argv[2] if len(sys.argv) > 2 else "before"
     names = sys.argv[3].split(",") if len(sys.argv) > 3 else None
@@ -41,9 +48,12 @@ def main() -> None:
     for name in names:
         try:
             df = qs[name](spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            # public API only (r12 ADVICE): explain() prints; capture
+            # its stdout instead of reaching into the JVM internals
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            plan = buf.getvalue()
         except Exception as e:  # noqa: BLE001 -- capture failures loudly
             plan = f"PLAN CAPTURE FAILED: {e!r}\n"
         with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as f:
