@@ -662,18 +662,23 @@ def _exact_jaccard_verify(
     the arrays AFTER the join exchange materializes them -- no
     recompute of the shingle transform.
 
-    The candidate relation is pinned to an explicit-width repartition
-    on ``left_id`` (r13, guide §2.2/§2.5 byte-blindness): candidates
-    are two longs per row, so AQE's byte-based coalescing collapses
-    the exchange feeding this stage to ~1 task -- blind to the
-    array_intersect-per-pair (and, in the editdist consumers, the
-    O(len^2) levenshtein-per-pair) CPU above it. REPARTITION_BY_NUM is
-    exempt from AQE coalescing, so the verify stage keeps one task per
-    core at any byte size; the pinned key doubles as the partitioning
-    the per-``left_id`` rank windows downstream need (lsh_topk_perdoc,
-    cross_corpus best-match), removing their exchange outright
-    (guide §2.4). Cost: one narrow id-pair shuffle -- linear in the
-    candidate count at any corpus size, trivial next to the kernels."""
+    The candidate relation carries a CONDITIONAL explicit-width
+    repartition on ``left_id`` (r13): when the candidates already
+    arrive hash-partitioned on ``left_id`` (the common local shape --
+    the band self-join is a broadcast join, so the signature
+    aggregation's partitioning propagates through the alias), the
+    planner elides it as redundant and it costs nothing (verified in
+    plans/r13/dedup_verify_editdist_after.txt: no extra exchange).
+    When they do NOT -- e.g. the band join planned as a sort-merge
+    join at scale leaves the relation (band, band_key)-partitioned --
+    it materializes as a REPARTITION_BY_NUM exchange of two-long rows,
+    which both enforces the layout the per-``left_id`` rank windows
+    downstream need (lsh_topk_perdoc, cross_corpus best-match; guide
+    §2.4) and, being exempt from AQE coalescing, keeps the
+    array_intersect/levenshtein verify stage at one task per core
+    regardless of its (tiny) byte size (guide §2.2 byte-blindness).
+    The session-level coalescing floor (session.py minPartitionNum)
+    covers the elided case."""
     n_part = candidates.sparkSession.sparkContext.defaultParallelism
     s1 = sh_left.select(F.col(id_col).alias(left_id), F.col("shingles").alias("sh1"))
     s2 = sh_right.select(

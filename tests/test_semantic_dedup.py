@@ -102,3 +102,25 @@ def test_negative_ids_still_pair(spark):
         for r in semantic_dedup(_df(spark, rows), k=1, threshold=0.9).collect()
     }
     assert out == {-5: True, -1: False, 7: True}
+
+
+def test_checkpoint_materialization_value_neutral(spark):
+    """r13: the in-query localCheckpoint of the assignment pass is an
+    execution detail -- output must be row-identical to the recompute
+    form on a real fixture (and the checkpoint must actually be in
+    effect by default)."""
+    import flink_ad_analytics_spark.operators.clustering as cl
+
+    assert cl._SEMANTIC_DEDUP_CHECKPOINT is True
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with_ckpt = sorted(
+        map(tuple, semantic_dedup(emb, k=5, threshold=0.4).collect())
+    )
+    cl._SEMANTIC_DEDUP_CHECKPOINT = False
+    try:
+        without = sorted(
+            map(tuple, semantic_dedup(emb, k=5, threshold=0.4).collect())
+        )
+    finally:
+        cl._SEMANTIC_DEDUP_CHECKPOINT = True
+    assert with_ckpt == without
