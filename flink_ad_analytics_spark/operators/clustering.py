@@ -749,10 +749,19 @@ def semantic_dedup(
     # result DataFrame is dropped. At corpus scale this removes two
     # full O(n*k) distance passes; fault tolerance of the checkpointed
     # blocks is the standard localCheckpoint trade, acceptable for an
-    # intra-query intermediate. (Module flag so measurement harnesses
-    # can A/B the recompute form in one session.)
+    # intra-query intermediate. SERIALIZED storage (PySpark's
+    # MEMORY_AND_DISK level), not the deserialized JVM default: the
+    # relation carries the embedding payload, and deserialized row
+    # unroll across 32 tasks is exactly what OOMed the dsir checkpoint
+    # at sf10; serialized blocks store compactly and spill under
+    # pressure. (Module flag so measurement harnesses can A/B the
+    # recompute form in one session.)
     if _SEMANTIC_DEDUP_CHECKPOINT:
-        base = base.localCheckpoint(eager=False)
+        from pyspark.storagelevel import StorageLevel
+
+        base = base.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
     scorable = base.filter(F.col("nrm") > 0)
     n_part = max(k, 1) * n_salts
     a = scorable.select(

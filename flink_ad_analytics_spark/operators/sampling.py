@@ -523,6 +523,28 @@ def dsir_logweights(
         )
     fb = _hashed_features(raw, id_col, text_col, n_buckets, seed)
     dbc = fb.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    # In-query materialization (r13; the semantic_dedup idiom): dbc
+    # feeds BOTH the global bucket-count branch and the per-doc scoring
+    # aggregation, and the bucket branch reaches dbc through a
+    # broadcast build chain that plans its own copy of the subtree --
+    # exchange reuse provably never fires there (r12 finding), so the
+    # corpus-sized tokenize+md5 explode executed twice. A lazy
+    # localCheckpoint evaluates it once per invocation, inside the
+    # caller's action; blocks are freed by the ContextCleaner when the
+    # result is dropped. Plan: Generate explodes 2 -> 1
+    # (plans/r13/dsir_selection_{before,after}.txt); at corpus scale
+    # this halves the dominant hashing pass. The checkpointed relation
+    # is the per-(doc, bucket) count table -- far smaller than the
+    # token stream it replaces recomputing. SERIALIZED storage, not
+    # the deserialized default: at sf10 (~tens of millions of rows)
+    # 32 tasks unrolling deserialized row objects OOMed a 12g heap;
+    # serialized blocks store compactly and spill to disk under
+    # pressure (measured: sf10 OOM -> completes, sf0.1 unchanged).
+    from pyspark.storagelevel import StorageLevel
+
+    dbc = dbc.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     if target_pred is not None:
         # r12 (guide section 2.4): when the target corpus is a
         # PREDICATE-SELECTED subset of ``raw`` (q_dsir_selection's "the
