@@ -106,14 +106,19 @@ _DRIVER_VERIFIED = frozenset((
 #: Order here is the window order (never-verified fill 34 slots; these
 #: fill the rest).
 _RETOUCHED = (
-    # r12 changes that missed the r12 window (verdict item 2's literal list)
-    "multimodal_phash", "pcm_frame_stats", "pcm_frame_stats_arrow",
+    # r12 changes that missed the r12 window (verdict item 2's literal
+    # list; pcm_frame_stats_arrow is NOT here -- its Arrow decode is an
+    # independent path the r12 hex-conv change never touched)
+    "multimodal_phash", "pcm_frame_stats",
     "dsir_selection", "shingle_novelty",
-    # r13 optimization touches
+    # r13 optimization touches (width pins, checkpoint
+    # materializations, the ANN payload-free prune rewrite --
+    # ann_filtered_topk rides the same cosine_topk core)
     "dedup_verify_editdist", "dedup_verify_editdist_topk",
     "hopping_daily_actives", "semantic_dedup", "dedup_minhash_lsh",
     "dedup_clusters_star", "dedup_clusters_best", "incremental_dedup",
-    "ann_cosine_topk", "ann_ivf_topk", "dedup_clusters",
+    "ann_cosine_topk", "ann_ivf_topk", "ann_filtered_topk",
+    "dedup_clusters",
 )
 
 
