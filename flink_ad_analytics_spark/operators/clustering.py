@@ -267,6 +267,94 @@ def ivf_kmeans_topk(
     )
 
 
+#: Double-prescreen margin for the literal-centroid argmin below. The
+#: plain double fold deviates from the exact decimal fold by far less
+#: than this: per term, the decimal path rounds to 16dp (<= 5e-17) and
+#: the double path's IEEE error is <= a few ulp of the running sum;
+#: over 64 terms with |d2| <= ~1e3 the total deviation is < 1e-11, and
+#: the exact fold's own terminal 12dp round adds <= 5e-13. Candidates
+#: whose exact d2 could win (including exact 12dp ties, which must
+#: reach the cid tie-break) therefore sit within 2 * 1e-11 of the
+#: double minimum -- five orders of magnitude inside this margin.
+_PRESCREEN_EPS = "1.0E-6"
+
+
+def _dbl_arr_sql(vals) -> str:
+    """A literal ARRAY<DOUBLE> (repr() emits shortest round-trip
+    decimals, and the CAST pins the element type: bare fractional
+    literals parse as DECIMAL in Spark SQL)."""
+    return (
+        "CAST(array("
+        + ",".join(repr(float(v)) for v in vals)
+        + ") AS ARRAY<DOUBLE>)"
+    )
+
+
+def _argmin_winner_sql(cent_arrs: list[list[float]], vec_expr: str) -> str:
+    """struct<d2: decimal(38,12), cid: int> -- the exact-decimal argmin
+    of ``vec_expr`` against the LITERAL centroid list, evaluated as one
+    per-row expression (guide §1.2/§2.4, r13 session 2):
+
+    * all k distances are first computed with the plain DOUBLE fold
+      (primitive arithmetic -- no per-term BigDecimal allocation),
+    * only candidates within ``_PRESCREEN_EPS`` of the double minimum
+      are rescored with the exact decimal fold (~1 per row), and the
+      (d2, cid)-min of those is the winner -- identical to scoring
+      every candidate exactly, by the margin argument above.
+
+    This is NOT the r12-rejected map-side argmin: that rewrite kept
+    all k decimal folds and added a struct per candidate; here the
+    decimal work itself drops k-fold, structs are allocated only for
+    survivors, and the pair blow-up + argmin window exchange disappear
+    from the consumers' plans entirely (the k centroid rows ride in as
+    literals -- the same bounded driver state kmeans_fit/pq_fit
+    already collect()).
+
+    The outer single-element aggregate binds the double-distance array
+    as a lambda variable -- the ahash_signatures lesson: a projected
+    intermediate would be re-inlined (and re-evaluated) per consumer
+    by CollapseProject, but a lambda binding cannot be.
+    """
+    k = len(cent_arrs)
+    cc = "array(" + ",".join(_dbl_arr_sql(c) for c in cent_arrs) + ")"
+    d2a = ",".join(
+        f"aggregate(zip_with({vec_expr}, {_dbl_arr_sql(c)}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"CAST(0 AS DOUBLE), (a, t) -> a + t)"
+        for c in cent_arrs
+    )
+    exact_j = (
+        f"CAST(round(aggregate(zip_with({vec_expr}, element_at({cc}, j + 1), "
+        f"(x, y) -> CAST((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) "
+        f"AS DECIMAL(20,16))), "
+        f"CAST(0 AS DECIMAL(38,16)), "
+        f"(acc, t) -> CAST(acc + t AS DECIMAL(38,16))), 12) AS DECIMAL(38,12))"
+    )
+    zero = "named_struct('d2', CAST(NULL AS DECIMAL(38,12)), 'cid', -1)"
+    return (
+        f"aggregate(array(array({d2a})), {zero}, (z, ds) -> "
+        f"aggregate("
+        f"filter(sequence(0, {k - 1}), j -> "
+        f"element_at(ds, j + 1) <= array_min(ds) + {_PRESCREEN_EPS}), "
+        f"{zero}, "
+        f"(best, j) -> IF(best.cid = -1 OR {exact_j} < best.d2, "
+        f"named_struct('d2', {exact_j}, 'cid', j), best)))"
+    )
+
+
+def _collect_init_centroids(
+    emb: DataFrame, k: int, id_col: str, vec_col: str, seed: int
+) -> list[list[float]]:
+    """The hash-sampled init as driver-side literals, ordered by
+    centroid_id (k <= 16 rows -- bounded state, the collect
+    kmeans_fit/pq_fit already do)."""
+    rows = hash_sampled_centroids(emb, k, id_col, vec_col, seed).collect()
+    return [
+        [float(x) for x in r.centroid]
+        for r in sorted(rows, key=lambda r: r.centroid_id)
+    ]
+
+
 def _assign_to_init(
     emb: DataFrame,
     k: int,
@@ -275,7 +363,43 @@ def _assign_to_init(
     seed: int,
 ) -> DataFrame:
     """Exact-decimal nearest-init-centroid assignment: (id, centroid_id,
-    d2). Shared by the two oracle-bridge stats below."""
+    d2). Shared by the two oracle-bridge stats below.
+
+    r13: pure per-row projection against the collected init centroids
+    (double prescreen + exact rescore, `_argmin_winner_sql`) instead of
+    the n*k broadcast-join pair relation + per-id argmin window: the
+    exact decimal folds drop from k to ~1 per row and the window
+    exchange/sort leave the plan. `inline` binds the winner struct once
+    per row (field extraction on the raw expression would re-evaluate
+    the whole argmin per field). Value-identical to the window form --
+    `_assign_to_init_reference` keeps that form as the test anchor
+    (test_assign_prescreen_matches_reference)."""
+    cents = _collect_init_centroids(emb, k, id_col, vec_col, seed)
+    if not cents:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, centroid_id int, d2 decimal(38,12)"
+        )
+    w = _argmin_winner_sql(cents, vec_col)
+    return emb.select(
+        F.col(id_col), F.expr(f"inline(array({w}))")
+    ).select(
+        F.col(id_col),
+        F.col("cid").alias("centroid_id"),
+        F.col("d2"),
+    )
+
+
+def _assign_to_init_reference(
+    emb: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+) -> DataFrame:
+    """The pre-r13 window-argmin form of `_assign_to_init` (exact
+    decimal fold for every (vector, centroid) pair, per-id rank
+    window). Mirrors the DuckDB oracle's shape one-to-one; kept as the
+    equality anchor the prescreen form is tested against."""
     cents = hash_sampled_centroids(emb, k, id_col, vec_col, seed).select(
         "centroid_id",
         F.expr("transform(centroid, x -> CAST(x AS DOUBLE))").alias("centroid"),
@@ -345,13 +469,26 @@ def kmeans_update_stats(
     most n_partitions x k x d rows -- same order as the fused pass's
     partial sums.
     """
-    best = _assign_to_init(emb, k, id_col, vec_col, seed)
-    dims = emb.select(
-        F.col(id_col), F.posexplode(vec_col).alias("pos", "x")
+    # r13: the assignment rides the SAME projection as the dimension
+    # explode (one `inline` Generate binds the winner struct per row,
+    # the posexplode Generate above it repeats the bound attribute per
+    # dimension) -- the pre-r13 join of the exploded dims against the
+    # windowed assignment, and both of its exchanges, are gone.
+    cents = _collect_init_centroids(emb, k, id_col, vec_col, seed)
+    if not cents:
+        return emb.sparkSession.createDataFrame(
+            [], "centroid_id long, pos long, n_vecs long, sum_x double"
+        )
+    w = _argmin_winner_sql(cents, vec_col)
+    assigned = emb.select(
+        F.col(vec_col), F.expr(f"inline(array({w}))")
+    )
+    dims = assigned.select(
+        F.col("cid").alias("centroid_id"),
+        F.posexplode(vec_col).alias("pos", "x"),
     )
     return (
-        dims.join(best.select(id_col, "centroid_id"), id_col)
-        .groupBy("centroid_id", "pos")
+        dims.groupBy("centroid_id", "pos")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(
@@ -629,47 +766,37 @@ def pq_codes_stats(
     where code is the argmin-distance codeword (ties by codeword id)
     and d2 the exact decimal subspace distance, rounded once.
 
-    Scale: candidates are n x m x k rows of a ``dsub``-element codegen
-    fold over sliced arrays -- the same per-row cost profile as the
-    production ``pq_encode``, expressed declaratively; the only
-    exchange is the per-(vector, subspace) argmin window.
+    Scale (r13): one per-row projection -- an array of m winner
+    structs (per-subspace double prescreen + exact decimal rescore of
+    the ~1 margin survivor, `_argmin_winner_sql`) posexploded to
+    (id, sub) grain. The pre-r13 n x m x k candidate relation (two
+    broadcast crossJoins + per-(vector, subspace) argmin window, k
+    decimal folds per output row) is gone: exact folds drop 16x and
+    the window exchange/sort leave the plan, same per-row cost profile
+    as the production ``pq_encode``'s argmin, expressed declaratively.
     """
     d = len(emb.select(vec_col).first()[0])
     if d % m:
         raise ValueError(f"dims {d} not divisible by m={m}")
     dsub = d // m
-    spark = emb.sparkSession
-    cents = hash_sampled_centroids(emb, k, id_col, vec_col, seed).select(
-        "centroid_id",
-        F.expr("transform(centroid, x -> CAST(x AS DOUBLE))").alias("centroid"),
-    )
-    subs = spark.range(m).select(F.col("id").cast("int").alias("sub"))
-    vs = f"slice({vec_col}, sub * {dsub} + 1, {dsub})"
-    cs = f"slice(centroid, sub * {dsub} + 1, {dsub})"
-    dist2 = _DIST2_FOLD.format(v=vs, c=cs)
-    pairs = (
-        emb.select(id_col, vec_col)
-        .crossJoin(F.broadcast(subs))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col(id_col),
-            F.col("sub"),
-            F.col("centroid_id"),
-            F.expr(dist2).alias("d2"),
+    cents = _collect_init_centroids(emb, k, id_col, vec_col, seed)
+    if not cents:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, sub long, code long, d2 double"
         )
-    )
-    w = Window.partitionBy(id_col, "sub").orderBy(
-        F.col("d2").asc(), F.col("centroid_id").asc()
-    )
-    return (
-        pairs.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select(
-            F.col(id_col),
-            F.col("sub").cast("long").alias("sub"),
-            F.col("centroid_id").cast("long").alias("code"),
-            F.round(F.col("d2"), 6).cast("double").alias("d2"),
-        )
+    winners = []
+    for sub in range(m):
+        vs = f"slice({vec_col}, {sub * dsub + 1}, {dsub})"
+        sliced = [c[sub * dsub : (sub + 1) * dsub] for c in cents]
+        winners.append(_argmin_winner_sql(sliced, vs))
+    warr = "array(" + ",".join(winners) + ")"
+    return emb.select(
+        F.col(id_col), F.posexplode(F.expr(warr)).alias("sub", "w")
+    ).select(
+        F.col(id_col),
+        F.col("sub").cast("long").alias("sub"),
+        F.col("w.cid").cast("long").alias("code"),
+        F.round(F.col("w.d2"), 6).cast("double").alias("d2"),
     )
 
 
@@ -727,12 +854,21 @@ def semantic_dedup(
     """
     from .similarity import _dot, _dot_fast, _norm
 
-    assigned = _assign_to_init(emb, k, id_col, vec_col, seed).select(
-        F.col(id_col), F.col("centroid_id").cast("long").alias("cluster_id")
-    )
-    base = assigned.join(emb.select(id_col, vec_col), id_col).select(
+    # r13: the cluster assignment is a per-row expression against the
+    # collected init centroids (prescreened exact argmin,
+    # `_argmin_winner_sql`) computed in the SAME projection as the norm
+    # -- the pre-r13 assignment subtree (n*k pair relation + argmin
+    # window) and the join re-attaching the embedding payload are both
+    # gone; `base` is now one straight scan-projection.
+    cents = _collect_init_centroids(emb, k, id_col, vec_col, seed)
+    if not cents:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster_id long, keep boolean"
+        )
+    win = _argmin_winner_sql(cents, vec_col)
+    base = emb.select(
         F.col(id_col),
-        F.col("cluster_id"),
+        F.expr(f"({win}).cid").cast("long").alias("cluster_id"),
         F.col(vec_col),
         _norm(vec_col).alias("nrm"),
     )

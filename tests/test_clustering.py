@@ -360,3 +360,49 @@ def test_ivf_absorb_merged_lists_equal_full_assignment(spark):
     a = {(r["c_id"], r["bucket"], tuple(r["c_q"])) for r in merged.collect()}
     b = {(r["c_id"], r["bucket"], tuple(r["c_q"])) for r in full.collect()}
     assert a == b and len(a) == 400
+
+
+def test_assign_prescreen_matches_reference(spark):
+    """The r13 prescreened per-row argmin (`_assign_to_init`: double
+    prescreen over literal centroids + exact decimal rescore of the
+    margin survivors) is row- and value-identical to the preserved
+    window form (`_assign_to_init_reference`: exact decimal fold for
+    every (vector, centroid) pair + per-id rank window) -- on the
+    fixture table AND on planted near-tie data where two centroids sit
+    within the prescreen margin's deciding range."""
+    from flink_ad_analytics_spark.operators.clustering import (
+        _assign_to_init,
+        _assign_to_init_reference,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    got = sorted(
+        tuple(r) for r in _assign_to_init(emb, 10, "vec_id", "embedding", 11).collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in _assign_to_init_reference(
+            emb, 10, "vec_id", "embedding", 11
+        ).collect()
+    )
+    assert got == ref and len(got) > 0
+
+    # Near-tie stress: vectors equidistant (exactly, at 12dp) from two
+    # sampled centroids must break to the LOWER centroid_id in both
+    # forms; the duplicate-coordinate rows force exact-tie d2 values.
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5) / 4.0 for j in range(8)])
+        for i in range(40)
+    ]
+    rows += [(100 + i, rows[i][1]) for i in range(10)]  # exact duplicates
+    tie = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got_t = sorted(
+        tuple(r) for r in _assign_to_init(tie, 6, "vec_id", "embedding", 11).collect()
+    )
+    ref_t = sorted(
+        tuple(r)
+        for r in _assign_to_init_reference(
+            tie, 6, "vec_id", "embedding", 11
+        ).collect()
+    )
+    assert got_t == ref_t and len(got_t) == 50
