@@ -1044,10 +1044,85 @@ def kmeans_fixedpoint(
     return cent
 
 
+def _fp_inline_winner_sql(cent_rows: list[tuple[int, list[int]]], q_expr: str) -> str:
+    """struct<cid int, dist2 bigint>: integer argmin of ``q_expr``
+    against LITERAL fixed-point centroids, as one per-row expression.
+
+    The k exact integer distances land in ONE bound array (the outer
+    single-element aggregate is the lambda-binding idiom), and
+
+        cid   = cids[array_position(ds, array_min(ds))]
+        dist2 = array_min(ds)
+
+    ``array_position`` returns the FIRST index of the minimum, which IS
+    the lowest-cid tie-break -- so, unlike the r12-rejected map-side
+    argmin, NO struct is allocated per candidate (that allocation is
+    what lost the r12 A/B); one struct per row carries the result out.
+    Adopting this deletes the broadcast join (n*k joined rows, each
+    copying the 64-bigint q array), the WindowGroupLimit sort, and the
+    per-id window exchange from every consumer's plan. Measured
+    same-session interleaved (min-of-6, both orders, sf0.1):
+    one-shot assign 0.316->0.278s, 4-iteration fit 2.05->1.71s
+    (.benchmarks/fp_assign_inline_ab.json)."""
+    cids = (
+        "CAST(array("
+        + ",".join(str(c) for c, _ in cent_rows)
+        + ") AS ARRAY<INT>)"
+    )
+    d2 = ",".join(
+        f"aggregate(zip_with({q_expr}, CAST(array("
+        + ",".join(str(int(v)) for v in vec)
+        + ") AS ARRAY<BIGINT>), (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+        for _, vec in cent_rows
+    )
+    return (
+        f"aggregate(array(array({d2})), "
+        f"named_struct('cid', CAST(-1 AS INT), 'dist2', CAST(-1 AS BIGINT)), "
+        f"(z, ds) -> named_struct("
+        f"'cid', element_at({cids}, CAST(array_position(ds, array_min(ds)) AS INT)), "
+        f"'dist2', array_min(ds)))"
+    )
+
+
+def _collect_fp_cent(cent: DataFrame) -> list[tuple[int, list[int]]]:
+    """The k-row fixed-point centroid relation as driver-side literals
+    (bounded state -- the relation is localCheckpointed k rows by
+    construction), ordered by cid."""
+    return sorted(
+        (int(r.cid), [int(x) for x in r.c])
+        for r in cent.select("cid", "c").collect()
+    )
+
+
 def _fp_assign(qv: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
     """argmin-distance assignment of quantized rows against the k-row
-    centroid relation (broadcast), ties to the lowest cid. Output
-    keeps the quantized vector for the update step."""
+    centroid relation, ties to the lowest cid. Output keeps the
+    quantized vector for the update step.
+
+    r13: per-row literal argmin (`_fp_inline_winner_sql`) instead of
+    the broadcast-join pair relation + per-id rank window; values
+    identical (test_fp_assign_inline_matches_reference), plan loses
+    the join and the window exchange/sort."""
+    rows = _collect_fp_cent(cent)
+    if not rows:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            list(qv.schema.fields)
+            + [
+                T.StructField("cid", T.IntegerType()),
+                T.StructField("dist2", T.LongType()),
+            ]
+        )
+        return qv.sparkSession.createDataFrame([], schema)
+    win = _fp_inline_winner_sql(rows, "q")
+    return qv.select("*", F.expr(f"inline(array({win}))"))
+
+
+def _fp_assign_reference(qv: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """The pre-r13 window form of `_fp_assign` (broadcast join + per-id
+    rank window), kept as the equality anchor for the inline form."""
     dist = F.expr(_FP_DIST.format(a="q", b="c"))
     w = Window.partitionBy(id_col).orderBy("dist2", "cid")
     return (
@@ -1370,7 +1445,16 @@ def pq_fixedpoint(
 
 def _pq_fp_assign(sv: DataFrame, cb: DataFrame) -> DataFrame:
     """Per-(vector, subspace) argmin code against the broadcast
-    codebook, ties to the lowest cid."""
+    codebook, ties to the lowest cid.
+
+    Deliberately NOT the `_fp_assign` literal-argmin form: a CASE-
+    per-sub variant (8 branches x 16 literal codeword arrays) was
+    built, proven value-identical, and REJECTED on an interleaved A/B
+    inside the 3-iteration pq fit -- 2.89s window vs 3.31s inline,
+    losing every pairing; the per-iteration driver-side analysis /
+    constant-folding of the 128-literal-array expression outweighs
+    the join + (id, sub) rank window it removes
+    (.benchmarks/pq_fp_inline_negative.json)."""
     dist = F.expr(_FP_DIST.format(a="qs", b="c"))
     w = Window.partitionBy(sv.columns[0], "sub").orderBy("dist2", "cid")
     return (

@@ -406,3 +406,35 @@ def test_assign_prescreen_matches_reference(spark):
         ).collect()
     )
     assert got_t == ref_t and len(got_t) == 50
+
+
+def test_fp_assign_inline_matches_reference(spark):
+    """The r13 literal-argmin fixed-point assignment (`_fp_assign`:
+    one bound integer-distance array per row, array_position
+    tie-break) is row- and value-identical to the preserved
+    broadcast-join + rank-window reference on the fixture table.
+    (`_pq_fp_assign` deliberately stays on the window form -- the CASE
+    variant lost its A/B; see the operator docstring.)"""
+    from flink_ad_analytics_spark.operators.clustering import (
+        _fp_assign,
+        _fp_assign_reference,
+        _fp_quantize,
+        kmeans_fixedpoint,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    cent = kmeans_fixedpoint(emb, k=10, iters=2, seed=11)
+    qv = _fp_quantize(emb, "vec_id", "embedding")
+    got = sorted(
+        tuple(r)
+        for r in _fp_assign(qv, cent, "vec_id")
+        .select("vec_id", "cid", "dist2")
+        .collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in _fp_assign_reference(qv, cent, "vec_id")
+        .select("vec_id", "cid", "dist2")
+        .collect()
+    )
+    assert got == ref and len(got) > 0
