@@ -106,19 +106,33 @@ _DRIVER_VERIFIED = frozenset((
 #: Order here is the window order (never-verified fill 34 slots; these
 #: fill the rest).
 _RETOUCHED = (
-    # r12 changes that missed the r12 window (verdict item 2's literal
-    # list; pcm_frame_stats_arrow is NOT here -- its Arrow decode is an
-    # independent path the r12 hex-conv change never touched)
+    # The window holds 50 - 34 never-verified = 16 retouched slots, so
+    # the tier is prioritized by SEMANTIC risk: queries whose r12/r13
+    # changes rewrote value-bearing EXPRESSIONS occupy the slots;
+    # plan-only r13 touches (REPARTITION_BY_NUM width pins, in-query
+    # checkpoint materializations on dedup_verify_editdist(_topk),
+    # hopping_daily_actives, dedup_minhash_lsh, incremental_dedup,
+    # dedup_clusters(_star/_best)) cannot change values by
+    # construction, already carry driver rows from earlier rounds, and
+    # are value-re-proven by the committed 175/175 rehearsal -- they
+    # yield their slots to the expression-level set.
+    # r12 expression changes that missed the r12 window (verdict item
+    # 2's literal list; pcm_frame_stats_arrow is NOT here -- its Arrow
+    # decode is an independent path the r12 hex-conv change never
+    # touched):
     "multimodal_phash", "pcm_frame_stats",
     "dsir_selection", "shingle_novelty",
-    # r13 optimization touches (width pins, checkpoint
-    # materializations, the ANN payload-free prune rewrite --
-    # ann_filtered_topk rides the same cosine_topk core)
-    "dedup_verify_editdist", "dedup_verify_editdist_topk",
-    "hopping_daily_actives", "semantic_dedup", "dedup_minhash_lsh",
-    "dedup_clusters_star", "dedup_clusters_best", "incremental_dedup",
+    # r13 session-2 expression rewrites (assignment-family double
+    # prescreen, fixed-point literal argmin, single-pass md5 decode;
+    # ann_ivf_absorb/ann_ivf_drift are in the never-verified tier
+    # already):
+    "semantic_dedup", "pq_codes", "kmeans_step", "kmeans_update",
+    "kmeans_fit", "kmeans_clusters", "ann_ivf_kmeans",
+    "multimodal_decode", "multimodal_resize",
+    # r13 session-1 ANN payload-free prune rewrite (computation
+    # reordered, row-identical -- ann_filtered_topk rides the same
+    # cosine_topk core):
     "ann_cosine_topk", "ann_ivf_topk", "ann_filtered_topk",
-    "dedup_clusters",
 )
 
 
