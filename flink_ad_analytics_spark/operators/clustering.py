@@ -317,11 +317,16 @@ def _argmin_winner_sql(cent_arrs: list[list[float]], vec_expr: str) -> str:
     """
     k = len(cent_arrs)
     cc = "array(" + ",".join(_dbl_arr_sql(c) for c in cent_arrs) + ")"
-    d2a = ",".join(
-        f"aggregate(zip_with({vec_expr}, {_dbl_arr_sql(c)}, (x, y) -> "
+    # ds via transform over the ONE centroid literal (not one spelled
+    # fold per candidate): halves the expression tree, which is pure
+    # driver-side analysis/codegen cost -- measured first-run -33% and
+    # steady -12% on pq_codes vs the per-candidate spelling, values
+    # identical (the pq CASE rejection showed tree size is a real
+    # per-iteration tax in fit loops)
+    d2a = (
+        f"transform({cc}, c -> aggregate(zip_with({vec_expr}, c, (x, y) -> "
         f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        f"CAST(0 AS DOUBLE), (a, t) -> a + t)"
-        for c in cent_arrs
+        f"CAST(0 AS DOUBLE), (a, t) -> a + t))"
     )
     exact_j = (
         f"CAST(round(aggregate(zip_with({vec_expr}, element_at({cc}, j + 1), "
@@ -332,7 +337,7 @@ def _argmin_winner_sql(cent_arrs: list[list[float]], vec_expr: str) -> str:
     )
     zero = "named_struct('d2', CAST(NULL AS DECIMAL(38,12)), 'cid', -1)"
     return (
-        f"aggregate(array(array({d2a})), {zero}, (z, ds) -> "
+        f"aggregate(array({d2a}), {zero}, (z, ds) -> "
         f"aggregate("
         f"filter(sequence(0, {k - 1}), j -> "
         f"element_at(ds, j + 1) <= array_min(ds) + {_PRESCREEN_EPS}), "
@@ -1069,15 +1074,26 @@ def _fp_inline_winner_sql(cent_rows: list[tuple[int, list[int]]], q_expr: str) -
         + ",".join(str(c) for c, _ in cent_rows)
         + ") AS ARRAY<INT>)"
     )
-    d2 = ",".join(
-        f"aggregate(zip_with({q_expr}, CAST(array("
-        + ",".join(str(int(v)) for v in vec)
-        + ") AS ARRAY<BIGINT>), (x, y) -> (x - y) * (x - y)), "
-        f"CAST(0 AS BIGINT), (acc, t) -> acc + t)"
-        for _, vec in cent_rows
+    cc = (
+        "array("
+        + ",".join(
+            "CAST(array("
+            + ",".join(str(int(v)) for v in vec)
+            + ") AS ARRAY<BIGINT>)"
+            for _, vec in cent_rows
+        )
+        + ")"
+    )
+    # one transform over the single centroid literal (see
+    # _argmin_winner_sql: halves the expression tree, trimming the
+    # per-iteration analysis tax in the fit loop), values identical
+    d2 = (
+        f"transform({cc}, c -> aggregate(zip_with({q_expr}, c, "
+        f"(x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, t) -> acc + t))"
     )
     return (
-        f"aggregate(array(array({d2})), "
+        f"aggregate(array({d2}), "
         f"named_struct('cid', CAST(-1 AS INT), 'dist2', CAST(-1 AS BIGINT)), "
         f"(z, ds) -> named_struct("
         f"'cid', element_at({cids}, CAST(array_position(ds, array_min(ds)) AS INT)), "
